@@ -1,13 +1,137 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Every query name maps 1:1 to a SURVEY §2 line; oracleSql carries the
+  * DuckDB-equivalent ANSI SQL for the hash-compare gate.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    MarketOps.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B. marketplace/analytics
+    "b1_pricing_summary"        -> MarketOps.pricingSummary _,
+    "b2_top_sellers"            -> MarketOps.topSellers _,
+    "b3_marketplace_listing"    -> MarketOps.marketplaceListing _,
+    "b4_latest_order_per_customer" -> MarketOps.latestOrderPerCustomer _,
+    "b5_collection_stats"       -> MarketOps.collectionStats _,
+    "b6_revenue_by_nation"      -> MarketOps.revenueByNation _,
+    "b7_keyword_search"         -> MarketOps.keywordSearch _,
+    "b8_price_histogram"        -> MarketOps.priceHistogram _,
+    "b9_union_history"          -> MarketOps.unionHistory _,
+    "b10_earned_by_customer"    -> MarketOps.earnedByCustomer _,
+    "b11_running_volume"        -> MarketOps.runningVolume _,
+    "b12_first_sale"            -> MarketOps.firstSale _,
+    "b13_attribute_facets"      -> MarketOps.attributeFacets _,
+    "b14_priority_share"        -> MarketOps.priorityShare _,
+    "b15_recent_listings"       -> MarketOps.recentListings _,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "b1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "b2_top_sellers" ->
+      """SELECT s_suppkey, s_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         count(*) AS n_sales
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_suppkey, s_name
+         ORDER BY revenue DESC, s_suppkey LIMIT 10""",
+    "b3_marketplace_listing" ->
+      """SELECT o_orderkey, o_totalprice, c_name,
+         CAST(o_orderdate AS DATE) AS order_date
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'O'
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 20""",
+    "b4_latest_order_per_customer" ->
+      """SELECT c_custkey, c_name, o_orderkey AS last_orderkey,
+         CAST(o_orderdate AS DATE) AS last_order_date,
+         o_totalprice AS last_totalprice
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) o
+         JOIN customer ON o_custkey = c_custkey
+         WHERE rn = 1 ORDER BY c_custkey""",
+    "b5_collection_stats" ->
+      """SELECT p_brand, count(*) AS items,
+         count(DISTINCT l_suppkey) AS owners,
+         round(sum(l_extendedprice), 2) AS volume,
+         round(min(l_extendedprice), 2) AS floor_price
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "b6_revenue_by_nation" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "b7_keyword_search" ->
+      """SELECT p_partkey, p_name, p_brand, p_retailprice
+         FROM part WHERE p_name LIKE '%gre%'
+         ORDER BY p_partkey LIMIT 50""",
+    "b8_price_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS bucket_volume
+         FROM orders GROUP BY 1 ORDER BY bucket""",
+    "b9_union_history" ->
+      """SELECT day, kind, count(*) AS n FROM (
+           SELECT CAST(o_orderdate AS DATE) AS day, 'order' AS kind FROM orders
+           UNION ALL
+           SELECT CAST(l_shipdate AS DATE) AS day, 'ship' AS kind FROM lineitem
+         ) GROUP BY day, kind ORDER BY day, kind""",
+    "b10_earned_by_customer" ->
+      """SELECT c_custkey, c_name,
+         round(sum(o_totalprice), 2) AS earned, count(*) AS n_filled
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'F'
+         GROUP BY c_custkey, c_name
+         ORDER BY earned DESC, c_custkey LIMIT 20""",
+    "b11_running_volume" ->
+      """SELECT day, round(vol, 2) AS day_volume,
+         round(sum(vol) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_volume
+         FROM (SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(o_totalprice) AS vol FROM orders GROUP BY 1)
+         ORDER BY day""",
+    "b12_first_sale" ->
+      """SELECT l_partkey,
+         min(CAST(l_shipdate AS DATE)) AS first_ship_day,
+         count(*) AS n_sales,
+         (count(*) = 1) AS single_sale
+         FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""",
+    "b13_attribute_facets" ->
+      """SELECT p_brand, p_type, count(*) AS n,
+         round(avg(p_retailprice), 4) AS avg_price
+         FROM part GROUP BY p_brand, p_type ORDER BY p_brand, p_type""",
+    "b14_priority_share" ->
+      """SELECT o_orderpriority, round(vol, 2) AS volume, n,
+         round(vol / sum(vol) OVER (), 6) AS share
+         FROM (SELECT o_orderpriority, sum(o_totalprice) AS vol,
+               count(*) AS n FROM orders GROUP BY 1)
+         ORDER BY o_orderpriority""",
+    "b15_recent_listings" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+         o_totalprice, c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'O'
+         ORDER BY order_date DESC, o_orderkey DESC LIMIT 30""",
+  )
 }

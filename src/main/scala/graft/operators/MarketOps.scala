@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Marketplace/analytics queries — the Spark re-expression of the
+  * reference's MongoDB aggregation pipelines in
+  * `src/modules/app/app.service.ts` (see SURVEY.md §2.B).
+  *
+  * Scale notes: every dim-side join is broadcast-hinted (region, nation,
+  * customer, supplier, part are tiny relative to the facts even at
+  * 100 TB); grouped aggregates are partial-aggregable (map-side
+  * combine); top-N queries rely on TakeOrderedAndProject (per-partition
+  * top-K, no global sort materialization).
+  */
+object MarketOps {
+
+  /** b1: flagship pricing summary (TPC-H Q1 shape).
+    * Reference analog: marketplace stats rollups (app.service.ts:1462+).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** b2: top-10 suppliers by revenue — trading-volume leaderboard
+    * (reference: getTradingVolume, app.service.ts:1963+). Supplier dim
+    * is broadcast; the aggregate runs map-side first.
+    */
+  def topSellers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    li.groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_sales"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue"), col("n_sales"))
+      .orderBy(col("revenue").desc, col("s_suppkey"))
+      .limit(10)
+  }
+
+  /** b3: marketplace listing — filter + sort + paginate + lookup
+    * (reference: getMarketplace app.service.ts:604-758). Page 2 of open
+    * orders by price desc, customer name looked up via broadcast join.
+    */
+  def marketplaceListing(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_name"),
+              col("o_orderdate").cast("date").as("order_date"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(20).limit(20)
+  }
+
+  /** b4: latest order per customer — the `$lookup` + `$sort` +
+    * `$group {$first}` pattern (app.service.ts:172-179) as a window.
+    */
+  def latestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val latest = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    latest.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"),
+              col("o_orderkey").as("last_orderkey"),
+              col("o_orderdate").cast("date").as("last_order_date"),
+              col("o_totalprice").as("last_totalprice"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** b5: per-brand collection stats — items / distinct owners / volume /
+    * floor price (reference: getStatisticsOfCollection
+    * app.service.ts:1462-1500 + getCollectionLowestPrice
+    * db.service.ts:256).
+    */
+  def collectionStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("items"),
+           countDistinct(col("l_suppkey")).as("owners"),
+           round(sum(col("l_extendedprice")), 2).as("volume"),
+           round(min(col("l_extendedprice")), 2).as("floor_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** b6: revenue by nation within one region — 5-way join rollup.
+    * All dims broadcast; only the lineitem↔orders join shuffles.
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** b7: keyword search (reference: quickSearch app.service.ts:1274) —
+    * LIKE filter pushed to the scan, deterministic order, limited.
+    */
+  def keywordSearch(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_name").contains("gre"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+      .limit(50)
+
+  /** b8: price histogram of orders (10k-wide buckets). */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / 10000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("bucket_volume"))
+      .orderBy(col("bucket"))
+
+  /** b9: union of two event kinds → daily counts (reference:
+    * listTransactions unions order_events + token_events,
+    * app.service.ts:802-965).
+    */
+  def unionHistory(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderdate").cast("date").as("day"), lit("order").as("kind"))
+    val s = Tables.lineitem(spark, dir)
+      .select(col("l_shipdate").cast("date").as("day"), lit("ship").as("kind"))
+    o.unionByName(s)
+      .groupBy(col("day"), col("kind"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day"), col("kind"))
+  }
+
+  /** b10: earnings per customer from filled orders, top 20 (reference:
+    * getEarnedByAddress app.service.ts:276-344).
+    */
+  def earnedByCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    val c = Tables.customer(spark, dir)
+    o.groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("earned"),
+           count(lit(1)).as("n_filled"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("earned"), col("n_filled"))
+      .orderBy(col("earned").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** b11: daily volume + running cumulative sum — price-history style
+    * time series (app.service.ts:345, 1220). Single shuffle on day, then
+    * a global running window (tiny post-agg cardinality).
+    */
+  def runningVolume(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(col("o_totalprice")).as("vol"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("cum_volume", round(sum(col("vol")).over(w), 2))
+      .select(col("day"), round(col("vol"), 2).as("day_volume"), col("cum_volume"))
+      .orderBy(col("day"))
+  }
+
+  /** b12: first-sale detection per part (reference: checkFirstSale
+    * app.service.ts:2268) — min ship date + sale count per part.
+    */
+  def firstSale(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(min(col("l_shipdate").cast("date")).as("first_ship_day"),
+           count(lit(1)).as("n_sales"))
+      .withColumn("single_sale", (col("n_sales") === 1).cast("boolean"))
+      .orderBy(col("l_partkey"))
+
+  /** b13: attribute facet counts (reference: getAttributesOfCollection
+    * app.service.ts:2397) — group by (key,value) pairs.
+    */
+  def attributeFacets(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("p_retailprice")), 4).as("avg_price"))
+      .orderBy(col("p_brand"), col("p_type"))
+
+  /** b14: share-of-total per order priority (reference:
+    * getQuotedTokensRate app.service.ts:2455) — ratio against a global
+    * total computed as a second tiny aggregate, broadcast back.
+    */
+  def priorityShare(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val per = o.groupBy(col("o_orderpriority"))
+      .agg(sum(col("o_totalprice")).as("vol"), count(lit(1)).as("n"))
+    // window over the 5-row aggregate — negligible at any scale
+    val w = Window.partitionBy()
+    per.withColumn("share", round(col("vol") / sum(col("vol")).over(w), 6))
+      .select(col("o_orderpriority"), round(col("vol"), 2).as("volume"),
+              col("n"), col("share"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** b15: latest 30 open listings with customer lookup (reference:
+    * getRecentOnSale app.service.ts:361).
+    */
+  def recentListings(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+              col("o_orderdate").cast("date").as("order_date"),
+              col("o_totalprice"), col("c_name"))
+      .orderBy(col("order_date").desc, col("o_orderkey").desc)
+      .limit(30)
+  }
+}
