@@ -84,7 +84,7 @@ object SparkEntry {
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "b7_keyword_search" ->
       """SELECT p_partkey, p_name, p_brand, p_retailprice
-         FROM part WHERE p_name LIKE '%gre%'
+         FROM part WHERE p_name LIKE '%gear%'
          ORDER BY p_partkey LIMIT 50""",
     "b8_price_histogram" ->
       """SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket,

@@ -9,11 +9,16 @@ import graft.sources.Tables
   * reference's MongoDB aggregation pipelines in
   * `src/modules/app/app.service.ts` (see SURVEY.md §2.B).
   *
-  * Scale notes: every dim-side join is broadcast-hinted (region, nation,
-  * customer, supplier, part are tiny relative to the facts even at
-  * 100 TB); grouped aggregates are partial-aggregable (map-side
-  * combine); top-N queries rely on TakeOrderedAndProject (per-partition
-  * top-K, no global sort materialization).
+  * Scale notes: `broadcast()` hints are reserved for fixed-cardinality
+  * dims (region = 5 rows, nation = 25) and for sides this module has
+  * already truncated to ≤ a few dozen rows (top-K before the lookup
+  * join). customer/supplier/part grow linearly with scale factor, so
+  * they carry NO forced hint — AQE + autoBroadcastJoinThreshold pick
+  * broadcast when the actual size fits, shuffle join otherwise. Grouped
+  * aggregates are partial-aggregable (map-side combine); top-N queries
+  * rely on TakeOrderedAndProject (per-partition top-K, no global sort
+  * materialization) and truncate BEFORE the lookup join so the join
+  * probe side is K rows, not the full fact table.
   */
 object MarketOps {
 
@@ -33,19 +38,24 @@ object MarketOps {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** b2: top-10 suppliers by revenue — trading-volume leaderboard
-    * (reference: getTradingVolume, app.service.ts:1963+). Supplier dim
-    * is broadcast; the aggregate runs map-side first.
+    * (reference: getTradingVolume, app.service.ts:1963+).
+    *
+    * Scale shape: map-side-combinable aggregate → TakeOrdered top-10 on
+    * the aggregate ALONE → broadcast the 10-row side into the supplier
+    * lookup. The join probe is 10 rows regardless of SF; supplier is
+    * never forced into a broadcast build.
     */
   def topSellers(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val sup = Tables.supplier(spark, dir)
-    li.groupBy(col("l_suppkey"))
+    val top = li.groupBy(col("l_suppkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
            count(lit(1)).as("n_sales"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .orderBy(col("revenue").desc, col("l_suppkey"))
+      .limit(10)
+    sup.join(broadcast(top), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("revenue"), col("n_sales"))
       .orderBy(col("revenue").desc, col("s_suppkey"))
-      .limit(10)
   }
 
   /** b3: marketplace listing — filter + sort + paginate + lookup
@@ -53,9 +63,17 @@ object MarketOps {
     * orders by price desc, customer name looked up via broadcast join.
     */
   def marketplaceListing(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+    // Truncate FIRST: page 2 needs only the global top-40 open orders
+    // (TakeOrdered = per-partition top-K, tiny result at any SF), then
+    // the ≤40-row side broadcasts into the customer lookup.
+    val top = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("o_orderdate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(40)
     val c = Tables.customer(spark, dir)
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    c.join(broadcast(top), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("o_totalprice"), col("c_name"),
               col("o_orderdate").cast("date").as("order_date"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -63,20 +81,27 @@ object MarketOps {
   }
 
   /** b4: latest order per customer — the `$lookup` + `$sort` +
-    * `$group {$first}` pattern (app.service.ts:172-179) as a window.
+    * `$group {$first}` pattern (app.service.ts:172-179).
+    *
+    * Implemented as a `max_by(struct, struct)` partial aggregate rather
+    * than a window rn=1: the map side combines down to one row per
+    * customer BEFORE the shuffle (~10× less shuffle IO on a fact-scale
+    * orders table). The join against customer is one-row-per-customer
+    * vs customer — same cardinality both sides — so no hint: sort-merge
+    * at scale, broadcast if AQE sees it fits.
     */
   def latestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    val latest = o.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-    latest.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    val latest = o.groupBy(col("o_custkey"))
+      .agg(max_by(
+             struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+             struct(col("o_orderdate"), col("o_orderkey"))).as("last"))
+    latest.join(c, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"),
-              col("o_orderkey").as("last_orderkey"),
-              col("o_orderdate").cast("date").as("last_order_date"),
-              col("o_totalprice").as("last_totalprice"))
+              col("last.o_orderkey").as("last_orderkey"),
+              col("last.o_orderdate").cast("date").as("last_order_date"),
+              col("last.o_totalprice").as("last_totalprice"))
       .orderBy(col("c_custkey"))
   }
 
@@ -86,9 +111,10 @@ object MarketOps {
     * db.service.ts:256).
     */
   def collectionStats(spark: SparkSession, dir: String): DataFrame = {
+    // part grows with SF — no forced broadcast; AQE picks the strategy.
     val li = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir)
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("items"),
            countDistinct(col("l_suppkey")).as("owners"),
@@ -98,7 +124,13 @@ object MarketOps {
   }
 
   /** b6: revenue by nation within one region — 5-way join rollup.
-    * All dims broadcast; only the lineitem↔orders join shuffles.
+    *
+    * Scale shape: only the fixed-cardinality dims broadcast (region 5
+    * rows, nation 25). The ASIA nation keys (5 rows after the region
+    * filter) broadcast INTO customer first, pruning customer ~80%
+    * before it ever reaches the orders join; customer⋈orders and
+    * lineitem⋈orders are shuffle joins — the only sane strategy when
+    * both sides grow with SF.
     */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -106,10 +138,13 @@ object MarketOps {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val asiaNations = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val asiaCust = c.join(broadcast(asiaNations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
            count(lit(1)).as("n_items"))
@@ -121,7 +156,7 @@ object MarketOps {
     */
   def keywordSearch(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
-      .filter(col("p_name").contains("gre"))
+      .filter(col("p_name").contains("gear"))
       .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))
       .orderBy(col("p_partkey"))
       .limit(50)
@@ -153,15 +188,18 @@ object MarketOps {
     * getEarnedByAddress app.service.ts:276-344).
     */
   def earnedByCustomer(spark: SparkSession, dir: String): DataFrame = {
+    // Top-20 computed on the aggregate alone, then the 20-row side
+    // broadcasts into the customer lookup (same shape as b2).
     val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
     val c = Tables.customer(spark, dir)
-    o.groupBy(col("o_custkey"))
+    val top = o.groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice")), 2).as("earned"),
            count(lit(1)).as("n_filled"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .orderBy(col("earned").desc, col("o_custkey"))
+      .limit(20)
+    c.join(broadcast(top), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("earned"), col("n_filled"))
       .orderBy(col("earned").desc, col("c_custkey"))
-      .limit(20)
   }
 
   /** b11: daily volume + running cumulative sum — price-history style
@@ -220,13 +258,19 @@ object MarketOps {
     * getRecentOnSale app.service.ts:361).
     */
   def recentListings(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
-    val c = Tables.customer(spark, dir)
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    // TakeOrdered top-30 on orders alone, then broadcast the 30-row
+    // side into the customer lookup.
+    val top = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
       .select(col("o_orderkey"),
               col("o_orderdate").cast("date").as("order_date"),
-              col("o_totalprice"), col("c_name"))
+              col("o_totalprice"), col("o_custkey"))
       .orderBy(col("order_date").desc, col("o_orderkey").desc)
       .limit(30)
+    val c = Tables.customer(spark, dir)
+    c.join(broadcast(top), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("order_date"),
+              col("o_totalprice"), col("c_name"))
+      .orderBy(col("order_date").desc, col("o_orderkey").desc)
   }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.MarketOps
+import graft.sources.Tables
+
+/** Module B specs — non-trivial operators checked against naive
+  * recomputations of the same semantics (collect-side, small SF).
+  */
+class MarketOpsSpec extends SparkSpec {
+
+  test("b3 pagination returns exactly rows 21-40 of the global ordering") {
+    val got = rows(MarketOps.marketplaceListing(spark, sf))
+    assert(got.size == 20)
+    // naive: full ordering of open orders by (price desc, orderkey)
+    val full = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "O")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val expected = full.slice(20, 40).toSeq
+    assert(got.map(_.getAs[Long]("o_orderkey")) == expected)
+  }
+
+  test("b4 latest-per-key matches naive groupBy-max recomputation") {
+    val got = MarketOps.latestOrderPerCustomer(spark, sf)
+      .select("c_custkey", "last_orderkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_orderdate").collect()
+      .groupBy(_.getLong(0))
+      .map { case (ck, rs) =>
+        val best = rs.maxBy { r =>
+          val ts = r.getAs[java.time.LocalDateTime](2)
+          (ts.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + ts.getNano,
+           r.getLong(1))
+        }
+        ck -> best.getLong(1)
+      }
+    assert(got == naive)
+  }
+
+  test("b14 shares sum to 1 and match hand-computed ratios") {
+    val got = rows(MarketOps.priorityShare(spark, sf))
+    assert(got.size == 5)
+    val shareSum = got.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3)
+    val vols = got.map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Double]("volume")).toMap
+    val total = vols.values.sum
+    got.foreach { r =>
+      val expect = vols(r.getAs[String]("o_orderpriority")) / total
+      assert(math.abs(r.getAs[Double]("share") - expect) < 1e-4)
+    }
+  }
+
+  test("b7 keyword search is non-empty and every hit contains the keyword") {
+    val got = rows(MarketOps.keywordSearch(spark, sf))
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[String]("p_name").contains("gear")))
+  }
+
+  test("b2 top sellers matches naive revenue ranking") {
+    val got = rows(MarketOps.topSellers(spark, sf))
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Double]("revenue")))
+    val naive = Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_extendedprice", "l_discount").collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) =>
+        val rev = rs.map(r => r.getDouble(1) * (1.0 - r.getDouble(2))).sum
+        k -> BigDecimal(rev).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toSeq.sortBy { case (k, rev) => (-rev, k) }.take(10)
+    assert(got == naive)
+  }
+}
