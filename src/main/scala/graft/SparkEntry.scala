@@ -14,6 +14,15 @@ object SparkEntry {
     MarketOps.pricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. event ingestion & organization
+    "a1_latest_event_per_user"  -> EventOps.latestEventPerUser _,
+    "a2_last_height_per_type"   -> EventOps.lastHeightPerType _,
+    "a3_event_counts_by_type"   -> EventOps.eventCountsByType _,
+    "a4_hourly_rollup"          -> EventOps.hourlyRollup _,
+    "a5_sessionize"             -> EventOps.sessionize _,
+    "a6_state_fold"             -> EventOps.stateFold _,
+    "a7_funnel"                 -> EventOps.funnel _,
+    "a8_dedup_events"           -> EventOps.dedupEvents _,
     // B. marketplace/analytics
     "b1_pricing_summary"        -> MarketOps.pricingSummary _,
     "b2_top_sellers"            -> MarketOps.topSellers _,
@@ -33,6 +42,83 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // A-module rule: ALL time logic on epoch-ms longs in both engines
+    // (epoch_ms(ts) here ≡ unix_millis(cast) in Spark) — the parquet ns
+    // precision never reaches a comparison. Sort key ms*1000000+event_id
+    // is unique and identical on both sides.
+    "a1_latest_event_per_user" ->
+      """SELECT user_id,
+         arg_max(event_id, epoch_ms(ts) * 1000000 + event_id) AS last_event_id,
+         arg_max(event_type, epoch_ms(ts) * 1000000 + event_id) AS last_event_type,
+         arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS last_value,
+         max(epoch_ms(ts)) AS last_ms
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "a2_last_height_per_type" ->
+      """SELECT event_type, max(event_id) AS last_height,
+         max(epoch_ms(ts)) AS last_ms, count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "a3_event_counts_by_type" ->
+      """SELECT event_type, count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+         round(sum(value), 2) AS total_value,
+         round(avg(value), 4) AS avg_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "a4_hourly_rollup" ->
+      """SELECT CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) * 3600000 AS hour_ms,
+         count(*) AS n_events, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1 ORDER BY hour_ms""",
+    "a5_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                    OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+         ), y AS (
+           SELECT *, sum(new_session) OVER (PARTITION BY user_id
+             ORDER BY ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM x
+         )
+         SELECT user_id, session_id,
+           min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+           count(*) AS n_events, round(sum(value), 2) AS session_value
+         FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "a6_state_fold" ->
+      """SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+         count(*) FILTER (WHERE event_type = 'view') AS n_view,
+         count(*) FILTER (WHERE event_type = 'click') AS n_click,
+         count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+         count(*) FILTER (WHERE event_type = 'error') AS n_error,
+         round(sum(value), 2) AS total_value,
+         arg_max(event_type, epoch_ms(ts) * 1000000 + event_id) AS current_state,
+         max(epoch_ms(ts)) AS state_ms
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "a7_funnel" ->
+      """WITH s AS (SELECT user_id, min(epoch_ms(ts)) AS signup_ms
+                    FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         v AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS view_ms
+               FROM events e JOIN s ON e.user_id = s.user_id
+               WHERE e.event_type = 'view' AND epoch_ms(e.ts) > s.signup_ms
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS purchase_ms
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > v.view_ms
+               GROUP BY e.user_id)
+         SELECT s.user_id, signup_ms, view_ms, purchase_ms,
+           CAST(1 + CASE WHEN view_ms IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN purchase_ms IS NOT NULL THEN 1 ELSE 0 END
+                AS INTEGER) AS stage
+         FROM s LEFT JOIN v ON s.user_id = v.user_id
+                LEFT JOIN p ON s.user_id = p.user_id
+         ORDER BY s.user_id""",
+    "a8_dedup_events" ->
+      """SELECT min(event_id) AS event_id, user_id, event_type,
+         epoch_ms(ts) AS ms, count(*) AS dup_count
+         FROM events GROUP BY user_id, event_type, epoch_ms(ts)
+         ORDER BY event_id""",
     "b1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

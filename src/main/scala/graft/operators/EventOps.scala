@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event ingestion & organization — the Spark re-expression of the
+  * reference's layer 1 (SURVEY.md §2.A): contract-event checkpointing,
+  * latest-state-per-key, event→entity state folds, sessionization,
+  * funnels and idempotent ingest dedup.
+  *
+  * Reference analogs: checkpoint heights
+  * (src/modules/database/db.service.ts:27-85), latest-per-key
+  * `$sort`+`$group{$first}` (src/modules/app/app.service.ts:162-179),
+  * order state machine fold
+  * (src/modules/tasks/tasks.service.ts:599-796), time-series rollups
+  * (app.service.ts:345, 1220).
+  *
+  * Precision rule: every time comparison/grouping happens on epoch
+  * MILLISECOND longs (`ms` below), computed identically here and in the
+  * DuckDB oracle (`epoch_ms(ts)`). The raw parquet timestamps are ns;
+  * Spark truncates to µs, DuckDB keeps ns — comparing at ms in BOTH
+  * engines removes the precision mismatch from every code path.
+  *
+  * Scale notes: a1/a2/a6 are max_by/agg partial-aggregable folds (map-
+  * side combine, one shuffle on the key — no window over the raw fact);
+  * a5's window shuffles once on user_id with per-user bounded state;
+  * a7 joins per-user aggregates (key-partitioned, no broadcast of
+  * scale-growing sides); a8 is a single groupBy over the dedup key.
+  */
+object EventOps {
+
+  /** Events with a canonical epoch-ms column. `ts` arrives as a raw
+    * nanosecond long (nanosAsLong — see GraftSession); integer `div`
+    * keeps the arithmetic exact (a double division would lose precision
+    * above 2^53 ≈ 9e15 ns).
+    */
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("ms", expr("ts div 1000000"))
+
+  /** Unique, order-preserving sort key: (ms, event_id) packed into one
+    * long — event_id is a row index, far below 1e6 per ms bucket.
+    * The same expression appears in the oracle SQL (`epoch_ms(ts) *
+    * 1000000 + event_id`) so both engines order identically.
+    */
+  private val ordKey = col("ms") * 1000000L + col("event_id")
+
+  /** a1: latest event per user — `$sort`+`$group{$first:$$ROOT}`
+    * (app.service.ts:162-179) as a max_by partial aggregate: the map
+    * side combines to one row per user before the single shuffle.
+    */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(col("event_id"), ordKey).as("last_event_id"),
+        max_by(col("event_type"), ordKey).as("last_event_type"),
+        max_by(col("value"), ordKey).as("last_value"),
+        max(col("ms")).as("last_ms"))
+      .orderBy(col("user_id"))
+
+  /** a2: ingestion checkpoint — last processed height (event_id) and
+    * timestamp per event type (db.service.ts:27-85's
+    * getXxxEventLastHeight family, one row per event collection).
+    */
+  def lastHeightPerType(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("event_id")).as("last_height"),
+        max(col("ms")).as("last_ms"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** a3: event volume stats per type (listTransactions counts,
+    * app.service.ts:802-965).
+    */
+  def eventCountsByType(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("total_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("event_type"))
+
+  /** a4: hourly rollup — time-bucketed counts/volume (price-history
+    * series, app.service.ts:345). Bucket = floor(ms / 3600000), one
+    * partial-aggregable groupBy.
+    */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy((floor(col("ms") / 3600000L) * 3600000L).as("hour_ms"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("hour_ms"))
+
+  /** a5: sessionize — 30-minute-gap sessions per user: lag to detect
+    * boundaries, running sum to number sessions, then per-session agg.
+    * One shuffle on user_id; window state is bounded per user.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val gap = col("ms") - lag(col("ms"), 1).over(w)
+    ev(spark, dir)
+      .withColumn("new_session",
+        when(gap.isNull || gap > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ms")).as("session_start_ms"),
+        max(col("ms")).as("session_end_ms"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** a6: event→entity state fold — the order state machine
+    * (tasks.service.ts:599-796) generalized: per-user pivoted event
+    * counts + latest-event-wins state, as ONE partial-aggregable pass
+    * (conditional counts + max_by; no window, no join).
+    */
+  def stateFold(spark: SparkSession, dir: String): DataFrame = {
+    def n(t: String) = count(when(col("event_type") === t, 1)).as(s"n_$t")
+    ev(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        n("signup"), n("view"), n("click"), n("purchase"), n("error"),
+        round(sum(col("value")), 2).as("total_value"),
+        max_by(col("event_type"), ordKey).as("current_state"),
+        max(col("ms")).as("state_ms"))
+      .orderBy(col("user_id"))
+  }
+
+  /** a7: ordered funnel signup→view→purchase: first signup, first view
+    * AFTER that signup, first purchase AFTER that view. Three filtered
+    * partial aggregates joined on user_id (key-partitioned shuffles;
+    * every joined side is already one-row-per-user).
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(col("user_id"), col("event_type"), col("ms"))
+    val s = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("signup_ms"))
+    val v = e.filter(col("event_type") === "view")
+      .join(s, "user_id")
+      .filter(col("ms") > col("signup_ms"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("view_ms"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("ms") > col("view_ms"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("purchase_ms"))
+    s.join(v, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(
+        col("user_id"), col("signup_ms"), col("view_ms"), col("purchase_ms"),
+        (lit(1) + when(col("view_ms").isNotNull, 1).otherwise(0)
+                + when(col("purchase_ms").isNotNull, 1).otherwise(0))
+          .cast("int").as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  /** a8: idempotent ingest — dedup by (user_id, event_type, ms) keeping
+    * the lowest event_id (the reference re-reads overlapping block
+    * ranges; ingest must be idempotent — tasks.service.ts checkpoint
+    * overlap). Emits every surviving event + its duplicate count.
+    */
+  def dedupEvents(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("user_id"), col("event_type"), col("ms"))
+      .agg(
+        min(col("event_id")).as("event_id"),
+        count(lit(1)).as("dup_count"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ms"), col("dup_count"))
+      .orderBy(col("event_id"))
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+import graft.sources.Tables
+
+/** Module A specs — operators checked against naive collect-side
+  * recomputations of the same semantics at sf0.001.
+  */
+class EventOpsSpec extends SparkSpec {
+
+  /** (user_id, event_id, type, ms, value) collected once per suite. */
+  private lazy val raw: Seq[(Long, Long, String, Long, Double)] =
+    Tables.events(spark, sf)
+      .withColumn("ms", expr("ts div 1000000"))
+      .select("user_id", "event_id", "event_type", "ms", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+
+  test("a1 latest-per-user matches naive argmax over (ms, event_id)") {
+    val got = EventOps.latestEventPerUser(spark, sf)
+      .select("user_id", "last_event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = raw.groupBy(_._1).map { case (u, es) =>
+      u -> es.maxBy(e => (e._4, e._2))._2
+    }
+    assert(got == naive)
+  }
+
+  test("a5 sessionize: sessions split exactly at >30min gaps") {
+    val got = EventOps.sessionize(spark, sf).collect()
+    // naive per-user session assembly
+    val naive = raw.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      var sid = 0L
+      var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || e._4 - prev > 1800000L) sid += 1
+        prev = e._4
+        (u, sid, e._4)
+      }
+    }.groupBy(t => (t._1, t._2)).map { case ((u, s), ts) =>
+      (u, s) -> (ts.map(_._3).min, ts.map(_._3).max, ts.size.toLong)
+    }
+    assert(got.length == naive.size)
+    got.foreach { r =>
+      val key = (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"))
+      val (start, end, n) = naive(key)
+      assert(r.getAs[Long]("session_start_ms") == start, s"start $key")
+      assert(r.getAs[Long]("session_end_ms") == end, s"end $key")
+      assert(r.getAs[Long]("n_events") == n, s"n $key")
+    }
+  }
+
+  test("a7 funnel: stages respect event ordering per user") {
+    val got = EventOps.funnel(spark, sf).collect()
+    val byUser = raw.groupBy(_._1)
+    got.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val es = byUser(u)
+      val signup = es.filter(_._3 == "signup").map(_._4).min
+      assert(r.getAs[Long]("signup_ms") == signup)
+      val viewOpt = es.filter(e => e._3 == "view" && e._4 > signup)
+        .map(_._4).minOption
+      assert(Option(r.getAs[java.lang.Long]("view_ms")).map(_.toLong) == viewOpt)
+      val purchOpt = viewOpt.flatMap(v =>
+        es.filter(e => e._3 == "purchase" && e._4 > v).map(_._4).minOption)
+      assert(Option(r.getAs[java.lang.Long]("purchase_ms")).map(_.toLong) == purchOpt)
+      val stage = 1 + viewOpt.size + purchOpt.size
+      assert(r.getAs[Int]("stage") == stage)
+    }
+  }
+
+  test("a6 state fold: pivoted counts sum to per-user totals; state is last event") {
+    val got = EventOps.stateFold(spark, sf).collect()
+    val byUser = raw.groupBy(_._1)
+    got.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val es = byUser(u)
+      val total = Seq("signup", "view", "click", "purchase", "error")
+        .map(t => r.getAs[Long](s"n_$t")).sum
+      assert(total == es.size)
+      assert(r.getAs[String]("current_state") == es.maxBy(e => (e._4, e._2))._3)
+    }
+  }
+
+  test("a8 dedup preserves all rows when no duplicates exist") {
+    val got = EventOps.dedupEvents(spark, sf)
+    assert(got.count() == raw.size)  // synthetic data has unique (u,t,ms)
+    assert(got.filter(col("dup_count") > 1).count() == 0)
+  }
+}
