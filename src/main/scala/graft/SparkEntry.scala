@@ -23,6 +23,7 @@ object SparkEntry {
     "a6_state_fold"             -> EventOps.stateFold _,
     "a7_funnel"                 -> EventOps.funnel _,
     "a8_dedup_events"           -> EventOps.dedupEvents _,
+    "a9_stream_hourly"          -> graft.streaming.EventStream.streamHourly _,
     // B. marketplace/analytics
     "b1_pricing_summary"        -> MarketOps.pricingSummary _,
     "b2_top_sellers"            -> MarketOps.topSellers _,
@@ -119,6 +120,11 @@ object SparkEntry {
          epoch_ms(ts) AS ms, count(*) AS dup_count
          FROM events GROUP BY user_id, event_type, epoch_ms(ts)
          ORDER BY event_id""",
+    // a9 streams the same rollup a4 computes in batch — same oracle.
+    "a9_stream_hourly" ->
+      """SELECT CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) * 3600000 AS hour_ms,
+         count(*) AS n_events, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1 ORDER BY hour_ms""",
     "b1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

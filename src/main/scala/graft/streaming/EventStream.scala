@@ -1,0 +1,149 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming re-expression of the reference's event listener
+  * (src/modules/tasks/tasks.service.ts): the contract-event subscription
+  * becomes a file-source stream, the per-entity update callbacks become
+  * a `flatMapGroupsWithState` fold, and the periodic rollups become
+  * watermarked window aggregates.
+  *
+  * Scale notes: the state store is keyed by user_id (entity id at the
+  * reference) so state is bounded by entity count, not event count; the
+  * watermark bounds window state for the rollup; `Trigger.AvailableNow`
+  * gives incremental batch ingest — the same query runs continuous or
+  * catch-up without code changes, mirroring the reference's
+  * checkpoint-and-resume loop (tasks.service.ts block-height cursor).
+  */
+object EventStream {
+
+  /** events.parquet schema under nanosAsLong: ts is a raw ns long. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events table with a proper event-time
+    * column (µs precision — the most a Spark TimestampType holds).
+    *
+    * The file stream source requires a DIRECTORY (at production scale
+    * the event feed is one — files land and the source picks them up
+    * incrementally); the test data ships a single file, so it is
+    * exposed through a temp directory via symlink.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val d = Files.createTempDirectory("graft-events-stream")
+    Files.createSymbolicLink(d.resolve("events.parquet"),
+                             Paths.get(s"$dir/events.parquet"))
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(d.toString)
+      .withColumn("ms", expr("ts div 1000000"))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked hourly rollup — the streaming twin of
+    * EventOps.hourlyRollup. Append-mode-capable: with a watermark the
+    * state store evicts closed windows, so state is bounded by the
+    * watermark delay regardless of stream length.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("total_value"))
+      .select(unix_millis(col("window.start")).as("hour_ms"),
+              col("n_events"), col("total_value"))
+
+  // ---- stateful entity fold (order state machine, Spark-native) ----
+
+  case class Ev(event_id: Long, user_id: Long, event_type: String,
+                ms: Long, value: Double)
+
+  /** Per-entity folded state — the Spark analog of the reference's
+    * order/token documents updated by updateOrder/updateToken
+    * (db.service.ts:87-200): pivoted event counts + last-event-wins
+    * current state.
+    */
+  case class UserState(user_id: Long, n_signup: Long, n_view: Long,
+                       n_click: Long, n_purchase: Long, n_error: Long,
+                       total_value: Double, current_state: String,
+                       state_ms: Long, state_ord: Long)
+
+  private def fold(st: UserState, e: Ev): UserState = {
+    val ord = e.ms * 1000000L + e.event_id
+    val newer = ord > st.state_ord
+    st.copy(
+      n_signup = st.n_signup + (if (e.event_type == "signup") 1 else 0),
+      n_view = st.n_view + (if (e.event_type == "view") 1 else 0),
+      n_click = st.n_click + (if (e.event_type == "click") 1 else 0),
+      n_purchase = st.n_purchase + (if (e.event_type == "purchase") 1 else 0),
+      n_error = st.n_error + (if (e.event_type == "error") 1 else 0),
+      total_value = st.total_value + e.value,
+      current_state = if (newer) e.event_type else st.current_state,
+      state_ms = if (newer) e.ms else st.state_ms,
+      state_ord = if (newer) ord else st.state_ord)
+  }
+
+  /** flatMapGroupsWithState fold of the event stream into per-user
+    * state. Events inside a micro-batch arrive unordered — they are
+    * sorted by (ms, event_id) before folding, mirroring the reference's
+    * block-height ordering; across batches the fold is
+    * order-insensitive for counts/sums and uses the packed sort key for
+    * last-event-wins fields, so replays/out-of-order batches converge
+    * to the same state (idempotent-by-construction, the property the
+    * reference gets from its Mongo upserts).
+    */
+  def userStateStream(spark: SparkSession, events: DataFrame): Dataset[UserState] = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ms"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserState](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserState]) =>
+          val init = state.getOption.getOrElse(
+            UserState(uid, 0, 0, 0, 0, 0, 0.0, "", Long.MinValue, Long.MinValue))
+          val next = evs.toSeq.sortBy(e => (e.ms, e.event_id)).foldLeft(init)(fold)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  private val runId = new AtomicInteger(0)
+
+  /** Runs a streaming DataFrame to completion over the currently
+    * available data (AvailableNow) into a memory sink and returns the
+    * materialized result — the verification entry point for streaming
+    * queries (a9). `complete` mode so the result equals the batch twin.
+    */
+  def runToBatch(spark: SparkSession, streamed: DataFrame,
+                 mode: String = "complete"): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** a9: the hourly rollup computed through the streaming path. */
+  def streamHourly(spark: SparkSession, dir: String): DataFrame =
+    runToBatch(spark, hourlyRollup(readEvents(spark, dir)))
+      .orderBy(col("hour_ms"))
+}

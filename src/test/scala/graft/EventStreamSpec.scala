@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+import graft.streaming.EventStream
+
+/** Streaming specs: the streaming paths must converge to their batch
+  * twins over the same data (AvailableNow = catch-up ingest).
+  */
+class EventStreamSpec extends SparkSpec {
+
+  test("a9 streamed hourly rollup equals the batch rollup (complete mode)") {
+    val streamed = EventStream.streamHourly(spark, sf)
+      .select("hour_ms", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val batch = EventOps.hourlyRollup(spark, sf)
+      .select("hour_ms", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(streamed == batch)
+  }
+
+  test("append-mode rollup emits exactly the watermark-closed windows") {
+    val appended = EventStream.runToBatch(
+      spark, EventStream.hourlyRollup(EventStream.readEvents(spark, sf)),
+      mode = "append")
+      .select("hour_ms").collect().map(_.getLong(0)).toSet
+    val batch = EventOps.hourlyRollup(spark, sf)
+      .select("hour_ms").collect().map(_.getLong(0)).toSet
+    // Append emits only windows the final watermark closed: a subset
+    // missing at most the trailing watermark-delay's worth (1h delay +
+    // 1h window = at most 2 trailing buckets with this data).
+    assert(appended.subsetOf(batch))
+    assert((batch -- appended).size <= 2)
+    assert((batch -- appended).forall(h => h >= batch.max - 2 * 3600000L))
+  }
+
+  test("stateful user fold converges to the batch state fold") {
+    val events = EventStream.readEvents(spark, sf)
+    val states = EventStream.runToBatch(
+        spark, EventStream.userStateStream(spark, events).toDF(), mode = "update")
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("*")), col("state_ord")).as("s"))
+      .select(col("s.*"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_signup"), r.getAs[Long]("n_purchase"),
+         r.getAs[String]("current_state"), r.getAs[Long]("state_ms"),
+         BigDecimal(r.getAs[Double]("total_value"))
+           .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .toMap
+    val batch = EventOps.stateFold(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_signup"), r.getAs[Long]("n_purchase"),
+         r.getAs[String]("current_state"), r.getAs[Long]("state_ms"),
+         BigDecimal(r.getAs[Double]("total_value"))
+           .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .toMap
+    assert(states == batch)
+  }
+
+  test("state fold is replay-idempotent for last-event-wins fields") {
+    // Feed the same data twice through fold state: counts double but
+    // current_state/state_ms stay fixed (the reference gets this from
+    // Mongo upserts; we get it from the packed ord key).
+    val events = EventStream.readEvents(spark, sf)
+    val once = EventStream.runToBatch(
+        spark, EventStream.userStateStream(spark, events).toDF(), mode = "update")
+      .groupBy(col("user_id"))
+      .agg(max_by(col("current_state"), col("state_ord")).as("cs"),
+           max(col("state_ord")).as("ord"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val twice = EventStream.runToBatch(
+        spark, EventStream.userStateStream(spark, events).toDF(), mode = "update")
+      .groupBy(col("user_id"))
+      .agg(max_by(col("current_state"), col("state_ord")).as("cs"),
+           max(col("state_ord")).as("ord"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(once == twice)
+  }
+}
