@@ -24,6 +24,11 @@ object SparkEntry {
     "a7_funnel"                 -> EventOps.funnel _,
     "a8_dedup_events"           -> EventOps.dedupEvents _,
     "a9_stream_hourly"          -> graft.streaming.EventStream.streamHourly _,
+    // E. text analysis
+    "e1_token_stats"            -> TextOps.tokenStats _,
+    "e2_quality_score"          -> TextOps.qualityScore _,
+    "e3_lang_id"                -> TextOps.langId _,
+    "e4_fingerprint"            -> TextOps.fingerprint _,
     // B. marketplace/analytics
     "b1_pricing_summary"        -> MarketOps.pricingSummary _,
     "b2_top_sellers"            -> MarketOps.topSellers _,
@@ -125,6 +130,49 @@ object SparkEntry {
       """SELECT CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) * 3600000 AS hour_ms,
          count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events GROUP BY 1 ORDER BY hour_ms""",
+    // E-module rule: token logic = string_split(text,' ') in DuckDB ≡
+    // split(text," ") in Spark; identical IEEE double expressions on
+    // both sides before the final round().
+    "e1_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS total_tokens,
+         round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+         sum(len(regexp_extract_all(text, '[a-zA-Z0-9]+'))) AS total_re_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "e2_quality_score" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                    FROM documents)
+         SELECT doc_id, len(toks) AS n_tokens,
+           round(len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE
+                 / len(toks), 6) AS stopword_ratio,
+           round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+                 / length(text), 6) AS punct_ratio,
+           round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS type_token_ratio,
+           round(0.25 * least(len(toks) / 100.0, 1.0)
+               + 0.25 * (1.0 - len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
+               + 0.25 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text))
+               + 0.25 * len(list_distinct(toks))::DOUBLE / len(toks), 4) AS quality
+         FROM t ORDER BY doc_id""",
+    "e3_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id, lang,
+           len(list_filter(toks, t -> t IN ('the','a')))::DOUBLE / len(toks) AS en_s,
+           len(list_filter(toks, t -> t IN ('data','table','row')))::DOUBLE / len(toks) AS da_s,
+           len(list_filter(toks, t -> t IN ('query','join','group')))::DOUBLE / len(toks) AS qu_s
+           FROM t)
+         SELECT doc_id, lang AS labeled_lang,
+           round(en_s, 6) AS en_score, round(da_s, 6) AS data_score,
+           round(qu_s, 6) AS query_score,
+           CASE WHEN en_s >= da_s AND en_s >= qu_s THEN 'en'
+                WHEN da_s >= qu_s THEN 'data-ish'
+                ELSE 'query-ish' END AS guessed_lang
+         FROM s ORDER BY doc_id""",
+    "e4_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp,
+         md5(array_to_string(string_split(text, ' '), ' ')) AS fp_norm,
+         length(text) AS n_chars_actual
+         FROM documents ORDER BY doc_id""",
     "b1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.E)
+  * — the LLM-training-pipeline layer the north star adds on top of the
+  * reference's query surface: token accounting, quality scoring,
+  * language heuristics and content fingerprinting.
+  *
+  * Everything is per-row native expression work (whole-stage codegen,
+  * no UDFs, no shuffle except the final aggregates), so throughput
+  * scales linearly with executors at 100 TB — the scan is the cost.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  /** e1: per-language token accounting — whitespace tokens and
+    * BPE-ish alnum-run tokens per doc, aggregated per lang.
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"),
+              size(TextFns.tokens(col("text"))).as("ws"),
+              size(TextFns.reTokens(col("text"))).as("re"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("ws")).as("total_tokens"),
+           round(avg(col("ws")), 4).as("avg_tokens"),
+           sum(col("re")).as("total_re_tokens"))
+      .orderBy(col("lang"))
+
+  /** e2: per-doc quality score from length / stopword ratio / punct
+    * ratio / type-token ratio — the usual pretraining-corpus filters.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin("the", "a", "of", "to", "and")))
+      .cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+      .cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = nStop / nTok
+    val punctRatio = nPunct / length(col("text")).cast("double")
+    val score = lit(0.25) * least(nTok / 100.0, lit(1.0)) +
+      lit(0.25) * (lit(1.0) - stopRatio) +
+      lit(0.25) * (lit(1.0) - punctRatio) +
+      lit(0.25) * ttr
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(ttr, 6).as("type_token_ratio"),
+      round(score, 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** e3: language-ID heuristic — stopword-profile scoring. The corpus
+    * is synthetic (same vocabulary for every lang label), so this
+    * demonstrates the MECHANISM — per-profile ratio scoring with a
+    * deterministic argmax — not real-world accuracy; on natural text
+    * the profiles would be per-language stopword lists.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    def ratio(words: String*) =
+      size(filter(toks, t => t.isin(words: _*))).cast("double") / nTok
+    val enScore = ratio("the", "a")
+    val dataScore = ratio("data", "table", "row")
+    val queryScore = ratio("query", "join", "group")
+    docs(spark, dir).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      round(enScore, 6).as("en_score"),
+      round(dataScore, 6).as("data_score"),
+      round(queryScore, 6).as("query_score"),
+      when(enScore >= dataScore && enScore >= queryScore, "en")
+        .when(dataScore >= queryScore, "data-ish")
+        .otherwise("query-ish").as("guessed_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** e4: content fingerprint — md5 of the exact text plus a
+    * whitespace-normalized md5 (near-identical whitespace variants
+    * collapse to the same normalized fingerprint).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      md5(col("text")).as("fp"),
+      md5(concat_ws(" ", TextFns.tokens(col("text")))).as("fp_norm"),
+      length(col("text")).cast("long").as("n_chars_actual"))
+      .orderBy(col("doc_id"))
+}
