@@ -24,6 +24,12 @@ object SparkEntry {
     "a7_funnel"                 -> EventOps.funnel _,
     "a8_dedup_events"           -> EventOps.dedupEvents _,
     "a9_stream_hourly"          -> graft.streaming.EventStream.streamHourly _,
+    // C. deduplication
+    "c1_dedup_exact"            -> DedupOps.dedupExact _,
+    "c2_dedup_minhash"          -> ((s: SparkSession, d: String) => DedupOps.dedupMinhash(s, d)),
+    "c3_dedup_simhash"          -> ((s: SparkSession, d: String) => DedupOps.dedupSimhash(s, d)),
+    "c4_ngram_jaccard"          -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
+    "c5_dedup_embedding"        -> ((s: SparkSession, d: String) => DedupOps.dedupEmbedding(s, d)),
     // E. text analysis
     "e1_token_stats"            -> TextOps.tokenStats _,
     "e2_quality_score"          -> TextOps.qualityScore _,
@@ -130,6 +136,14 @@ object SparkEntry {
       """SELECT CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) * 3600000 AS hour_ms,
          count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events GROUP BY 1 ORDER BY hour_ms""",
+    // c1 is the only SQL-expressible dedup op; c2-c5 involve seeded
+    // xxhash64 signatures / LSH banding DuckDB cannot reproduce, so the
+    // driver records rows-only and DedupOpsSpec carries correctness.
+    "c1_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS fp,
+         count(*) OVER (PARTITION BY md5(text)) AS dup_count,
+         (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical
+         FROM documents ORDER BY doc_id""",
     // E-module rule: token logic = string_split(text,' ') in DuckDB ≡
     // split(text," ") in Spark; identical IEEE double expressions on
     // both sides before the final round().

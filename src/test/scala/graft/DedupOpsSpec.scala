@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.DedupOps
+import graft.sources.Tables
+
+/** Module C specs — the non-oracle dedup operators verified against
+  * naive Scala recomputations of the same definitions (the synthetic
+  * corpus plants ~28 near-dup pairs at sf0.001, so ranked outputs have
+  * real signal to check).
+  */
+class DedupOpsSpec extends SparkSpec {
+
+  private lazy val texts: Map[Long, String] =
+    Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def shingleSet(t: String): Set[String] =
+    t.split(" ", -1).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+
+  private def exactJaccard(a: Long, b: Long): Double = {
+    val (sa, sb) = (shingleSet(texts(a)), shingleSet(texts(b)))
+    if (sa.isEmpty && sb.isEmpty) 0.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("c1 exact dedup: all docs canonical when no exact dups exist") {
+    val got = DedupOps.dedupExact(spark, sf).collect()
+    assert(got.length == texts.size)
+    assert(got.forall(_.getAs[Long]("dup_count") == 1L))
+    assert(got.forall(_.getAs[Boolean]("is_canonical")))
+  }
+
+  test("c2 minhash: top candidates are true near-dups; estimate tracks exact jaccard") {
+    val got = DedupOps.dedupMinhash(spark, sf).collect()
+    assert(got.nonEmpty)
+    // est within [0,1], sorted desc
+    val ests = got.map(_.getAs[Double]("est_jaccard"))
+    assert(ests.forall(e => e >= 0.0 && e <= 1.0))
+    assert(ests.sameElements(ests.sortBy(-_)))
+    // for the high-confidence head (est >= 0.5), the 128-perm estimate
+    // must track exact jaccard within ~4 sigma of the minhash stderr
+    got.filter(_.getAs[Double]("est_jaccard") >= 0.5).foreach { r =>
+      val exact = exactJaccard(r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      assert(math.abs(r.getAs[Double]("est_jaccard") - exact) < 0.2,
+        s"pair ${r.getAs[Long]("a_id")},${r.getAs[Long]("b_id")}: est=${r.getAs[Double]("est_jaccard")} exact=$exact")
+    }
+    // the planted near-identical pairs (exact j >= 0.9) must be found
+    val found = got.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val planted = texts.keys.toSeq.sorted.combinations(2).collect {
+      case Seq(a, b) if exactJaccard(a, b) >= 0.9 => (a, b)
+    }.toSet
+    assert(planted.nonEmpty && planted.subsetOf(found),
+      s"missing ${planted -- found}")
+  }
+
+  test("c3 simhash: hamming values are exact and pairs share a band") {
+    val got = DedupOps.dedupSimhash(spark, sf).collect()
+    assert(got.nonEmpty)
+    val sigs = Tables.documents(spark, sf).select(
+        col("doc_id"), TextFns.simhash64(TextFns.tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      val ham = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+      assert(r.getAs[Int]("hamming") == ham)
+      val shares = (0 until 8).exists(i =>
+        ((sigs(a) >>> (8 * i)) & 0xFF) == ((sigs(b) >>> (8 * i)) & 0xFF))
+      assert(shares, s"pair $a,$b shares no 8-bit band")
+    }
+    val hams = got.map(_.getAs[Int]("hamming"))
+    assert(hams.sameElements(hams.sorted))
+  }
+
+  test("c4 ngram jaccard: values exactly match naive capped-vocabulary jaccard") {
+    val got = DedupOps.ngramJaccard(spark, sf).collect()
+    assert(got.nonEmpty)
+    // replicate the df<=100 cap (multiset df: one count per occurrence
+    // in each doc's distinct shingle set)
+    val allShingles = texts.toSeq.flatMap { case (id, t) => shingleSet(t).map(_ -> id) }
+    val df = allShingles.groupBy(_._1).view.mapValues(_.size).toMap
+    val kept: Map[Long, Set[String]] = texts.map { case (id, t) =>
+      id -> shingleSet(t).filter(s => df(s) <= 100)
+    }
+    got.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      val inter = kept(a).intersect(kept(b)).size
+      val expected = inter.toDouble / (kept(a).size + kept(b).size - inter)
+      assert(math.abs(r.getAs[Double]("jaccard") - expected) < 1e-5,
+        s"pair $a,$b: got ${r.getAs[Double]("jaccard")} expected $expected")
+    }
+  }
+
+  test("c5 embedding cosine: values exact vs JVM recompute; pairs from real buckets") {
+    val got = DedupOps.dedupEmbedding(spark, sf).collect()
+    assert(got.nonEmpty)
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.foreach { r =>
+      val expected = cos(embs(r.getAs[Long]("a_id")), embs(r.getAs[Long]("b_id")))
+      assert(math.abs(r.getAs[Double]("cosine") - expected) < 1e-5)
+    }
+    val cosines = got.map(_.getAs[Double]("cosine"))
+    assert(cosines.sameElements(cosines.sortBy(-_)))
+  }
+}
