@@ -30,6 +30,10 @@ object SparkEntry {
     "c3_dedup_simhash"          -> ((s: SparkSession, d: String) => DedupOps.dedupSimhash(s, d)),
     "c4_ngram_jaccard"          -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
     "c5_dedup_embedding"        -> ((s: SparkSession, d: String) => DedupOps.dedupEmbedding(s, d)),
+    // D. similarity search
+    "d1_ann_bruteforce"         -> ((s: SparkSession, d: String) => SimOps.annBruteforce(s, d)),
+    "d2_ann_lsh"                -> ((s: SparkSession, d: String) => SimOps.annLsh(s, d)),
+    "d3_embedding_stats"        -> SimOps.embeddingStats _,
     // E. text analysis
     "e1_token_stats"            -> TextOps.tokenStats _,
     "e2_quality_score"          -> TextOps.qualityScore _,
@@ -144,6 +148,28 @@ object SparkEntry {
          count(*) OVER (PARTITION BY md5(text)) AS dup_count,
          (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical
          FROM documents ORDER BY doc_id""",
+    // D-module: exact double cosine reproduced in DuckDB via
+    // list_zip/list_transform/list_sum over ::DOUBLE[] casts — the same
+    // sequential fold Spark's aggregate() runs, so values match to the
+    // 6dp round. d2's LSH banding is signature-dependent → rows-only.
+    "d1_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                    FROM embeddings WHERE vec_id % 50 = 0),
+         p AS (SELECT q.query_id, e.vec_id AS cand_id,
+           list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qe::DOUBLE[]),
+                                   x -> x[1] * x[2]))
+           / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v * v)))
+            * sqrt(list_sum(list_transform(q.qe::DOUBLE[], v -> v * v)))) AS cos
+           FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id) AS rnk FROM p)
+         SELECT query_id, cand_id, rnk, round(cos, 6) AS cosine
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "d3_embedding_stats" ->
+      """SELECT label, count(*) AS n_vecs,
+         round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v * v)))), 4) AS avg_norm,
+         round(avg(list_sum(embedding::DOUBLE[]) / len(embedding)), 6) AS avg_component_mean
+         FROM embeddings GROUP BY label ORDER BY label""",
     // E-module rule: token logic = string_split(text,' ') in DuckDB ≡
     // split(text," ") in Spark; identical IEEE double expressions on
     // both sides before the final round().

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (SURVEY §2.D):
+  * exact brute-force ANN as the correctness baseline, hyperplane-LSH
+  * bucketed ANN as the scale path, per-label stats.
+  *
+  * Scale notes: the query side is always the small side — it is
+  * broadcast, so the fact-scale candidate set is scanned exactly once,
+  * map-side, with no shuffle of candidates. Top-k uses `row_number() <=
+  * k`, which Spark's InferWindowGroupLimit rewrites into a partial
+  * per-partition top-k BEFORE the shuffle (check the plan for
+  * WindowGroupLimit) — the full candidate ranking never materializes.
+  */
+object SimOps {
+
+  /** Query set: every `qmod`-th vector (a deterministic small sample —
+    * at real scale this is the user-supplied query batch).
+    */
+  private def queriesOf(emb: DataFrame, qmod: Int): DataFrame =
+    emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+
+  /** d1: exact cosine top-10 per query — broadcast-nested-loop of the
+    * tiny query batch against every candidate, exact double cosine,
+    * group-limited rank.
+    */
+  def annBruteforce(spark: SparkSession, dir: String,
+                    k: Int = 10, qmod: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = queriesOf(emb, qmod)
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+              VectorFns.cosine(col("embedding"), col("qe")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"),
+              round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** d2: LSH-bucketed ANN — 16 hyperplanes, 4 bands × 4 bits; a
+    * candidate is scored only if it shares ≥1 band with the query.
+    * The bucket join replaces the full scan: at 100 TB each band bucket
+    * holds ~N/16 candidates and only matching buckets are read.
+    * Approximate by construction; recall vs d1 is measured in
+    * SimOpsSpec.
+    */
+  def annLsh(spark: SparkSession, dir: String,
+             k: Int = 10, qmod: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              VectorFns.lshSig(col("embedding"), 16).as("sig"))
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"), VectorFns.lshBand(col("sig"), b, 4).as("bkey"))
+    }
+    def explodeBands(df: DataFrame, idCol: String, vecCol: String) = df
+      .select(col("vec_id").as(idCol), col("embedding").as(vecCol),
+              explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col(vecCol), col("bk.band"), col("bk.bkey"))
+    val cands = explodeBands(emb, "cand_id", "ce")
+    val qs = explodeBands(
+      emb.filter(pmod(col("vec_id"), lit(qmod)) === 0), "query_id", "qe")
+    val scored = cands
+      .join(broadcast(qs),
+        cands("band") === qs("band") && cands("bkey") === qs("bkey") &&
+          col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), col("qe"), col("ce"))
+      .distinct()
+      .select(col("query_id"), col("cand_id"),
+              VectorFns.cosine(col("ce"), col("qe")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"),
+              round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** d3: per-label embedding stats — count, average L2 norm, average
+    * component mean. Pure partial-aggregable scan.
+    */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+              VectorFns.norm(col("embedding")).as("nrm"),
+              (aggregate(col("embedding"), lit(0.0), (a, x) => a + x) /
+                size(col("embedding"))).as("cmean"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           round(avg(col("nrm")), 4).as("avg_norm"),
+           round(avg(col("cmean")), 6).as("avg_component_mean"))
+      .orderBy(col("label"))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SimOps
+import graft.sources.Tables
+
+/** Module D specs — d1 against a naive JVM top-k, d2 recall vs d1. */
+class SimOpsSpec extends SparkSpec {
+
+  private lazy val embs: Map[Long, Array[Float]] =
+    Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def naiveTopK(q: Long, k: Int): Seq[Long] =
+    embs.toSeq.filter(_._1 != q)
+      .map { case (id, v) => (id, cos(embs(q), v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+
+  test("d1 brute-force matches naive exact top-10 for every query") {
+    val got = SimOps.annBruteforce(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("cand_id")).toSeq }
+    assert(got.nonEmpty)
+    got.foreach { case (q, cands) => assert(cands == naiveTopK(q, 10), s"query $q") }
+  }
+
+  test("d2 LSH ANN: scores exact, candidates only from shared buckets, recall>0") {
+    val got = SimOps.annLsh(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val expected = cos(embs(r.getAs[Long]("query_id")), embs(r.getAs[Long]("cand_id")))
+      assert(math.abs(r.getAs[Double]("cosine") - expected) < 1e-5)
+    }
+    // recall vs exact top-10, averaged over queries (approximate by
+    // design; must beat random-bucket floor)
+    val byQ = got.groupBy(_.getAs[Long]("query_id"))
+    val recalls = byQ.map { case (q, rs) =>
+      val lsh = rs.map(_.getAs[Long]("cand_id")).toSet
+      val exact = naiveTopK(q, 10).toSet
+      lsh.intersect(exact).size.toDouble / exact.size
+    }
+    val avgRecall = recalls.sum / recalls.size
+    info(f"d2 avg recall@10 vs exact: $avgRecall%.3f over ${recalls.size} queries")
+    assert(avgRecall > 0.1)
+  }
+
+  test("d3 per-label stats match naive aggregation") {
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = SimOps.embeddingStats(spark, sf).collect()
+    val byLabel = embs.groupBy { case (id, _) => labels(id) }
+    got.foreach { r =>
+      val vs = byLabel(r.getAs[Int]("label")).values
+      assert(r.getAs[Long]("n_vecs") == vs.size)
+      val avgNorm = vs.map(v => math.sqrt(v.map(x => x.toDouble * x).sum)).sum / vs.size
+      assert(math.abs(r.getAs[Double]("avg_norm") - avgNorm) < 1e-3)
+    }
+  }
+}
