@@ -34,6 +34,8 @@ object SparkEntry {
     "d1_ann_bruteforce"         -> ((s: SparkSession, d: String) => SimOps.annBruteforce(s, d)),
     "d2_ann_lsh"                -> ((s: SparkSession, d: String) => SimOps.annLsh(s, d)),
     "d3_embedding_stats"        -> SimOps.embeddingStats _,
+    // F. multimodal plumbing (stubbed decoder; rows-only + spec)
+    "f1_multimodal_meta"        -> MultimodalOps.multimodalMeta _,
     // E. text analysis
     "e1_token_stats"            -> TextOps.tokenStats _,
     "e2_quality_score"          -> TextOps.qualityScore _,

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.MultimodalOps
+import graft.sources.Tables
+
+/** Module F spec — the plumbing is real (schema, payload bytes,
+  * partition-wise decode, determinism); only the decoder is fake.
+  */
+class MultimodalOpsSpec extends SparkSpec {
+
+  test("f1 schema is the typed metadata contract") {
+    val got = MultimodalOps.multimodalMeta(spark, sf)
+    assert(got.schema.fieldNames.toSeq ==
+      Seq("doc_id", "media_type", "n_bytes", "width", "height",
+          "channels", "duration_ms", "checksum"))
+  }
+
+  test("f1 covers every document, n_bytes = utf8 length, deterministic") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = MultimodalOps.multimodalMeta(spark, sf).collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_bytes") == t.getBytes("UTF-8").length)
+    }
+    // determinism across runs (and across the repartitioned plan —
+    // decode output must not depend on partitioning)
+    val again = MultimodalOps.mediaTable(spark, sf).repartition(7)
+    val sp = spark; import sp.implicits._
+    val reGot = again.as[MultimodalOps.MediaRecord]
+      .mapPartitions(_.map(identity))
+    assert(reGot.count() == texts.size)
+    val checksums1 = got.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("checksum")).toMap
+    val got2 = MultimodalOps.multimodalMeta(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("checksum")).toMap
+    assert(checksums1 == got2)
+  }
+
+  test("f1 modality tags partition the corpus into the three media types") {
+    val types = MultimodalOps.multimodalMeta(spark, sf)
+      .groupBy("media_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types.keySet.subsetOf(Set("image", "audio", "video")))
+    assert(types.values.sum == Tables.documents(spark, sf).count())
+    // image records carry dimensions, audio carries duration
+    val img = MultimodalOps.multimodalMeta(spark, sf)
+      .filter(col("media_type") === "image")
+    if (img.count() > 0) {
+      assert(img.filter(col("width") < 16 || col("height") < 16).count() == 0)
+    }
+  }
+}
