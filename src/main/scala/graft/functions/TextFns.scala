@@ -35,14 +35,34 @@ object TextFns {
     */
   def h64(c: Column): Column = xxhash64(c)
 
-  /** MinHash signature: for permutation seeds 0..(k-1), the minimum of
-    * xxhash64(shingle, seed) over the doc's shingle set. Returns an
-    * array<long> of length k. Hot path is native transform/aggregate —
-    * fully codegen'd, no UDF.
+  /** MinHash permutation field: 31-bit so the universal hash a*h+b
+    * stays below 2^62 — no overflow under ANSI mode.
     */
-  def minhash(shingleArr: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shingleArr, s => xxhash64(s, seed))))
+  val MinhashM: Long = 1L << 31
+
+  /** Deterministic (a, b) constants for k universal-hash permutations
+    * (a*h+b) mod MinhashM — a odd, both 31-bit, fixed seed so every
+    * executor/session/scale regenerates identical permutations. The
+    * mod is what makes each map non-monotonic (a plain linear map keeps
+    * one global argmin — degenerate signatures).
+    */
+  def minhashPerms(k: Int): IndexedSeq[(Long, Long)] =
+    (0 until k).map { i =>
+      val r = new scala.util.Random(0x9E3779B9L + i)
+      ((r.nextLong() & 0x7FFFFFFFL) | 1L, r.nextLong() & 0x7FFFFFFFL)
+    }
+
+  /** The k partial-aggregable MinHash measures over a 31-bit shingle
+    * hash column: min((a_i*h + b_i) mod m). Used with an
+    * explode+groupBy plan — each shingle string is hashed ONCE per row
+    * and the mins combine map-side. (A nested array-transform variant
+    * re-evaluated the string hashing once per permutation after
+    * Catalyst inlined the shared subexpression: ~100× slower.)
+    */
+  def minhashAggs(h: Column, k: Int): Seq[Column] =
+    minhashPerms(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(h * a + b, lit(MinhashM))).as(s"mh_$i")
+    }
 
   /** SimHash-64 over token hashes: for each of the 64 bits, sum the
     * +1/-1 contributions of every token's hash bit; bit set iff the sum

@@ -17,23 +17,27 @@ object VectorFns {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 folded into [-1, 1]. No RNG state — the same plane is
-    * regenerated identically on every executor, session, and scale.
+  /** Deterministic hyperplane for plane index p: components in [-1, 1]
+    * from a fixed-seed PRNG, embedded in the plan as LITERAL arrays —
+    * computed once at plan build, not per row (the first version
+    * derived each component from xxhash64 per row: 768 hashes/row).
+    * Identical on every executor, session, and scale.
     */
-  private def planeComponent(p: Int, d: Column): Column =
-    (pmod(xxhash64(lit(p), d), lit(2001L)) - lit(1000L)).cast("double") / 1000.0
+  private def plane(p: Int, dims: Int): Column = {
+    val rnd = new scala.util.Random(0xC0FFEE + p)
+    array(Seq.fill(dims)(lit(rnd.nextDouble() * 2.0 - 1.0)): _*)
+  }
 
   /** Random-hyperplane LSH signature: bit p = sign(vec · plane_p),
     * packed into a long. For unit-ish vectors, P(bit differs) =
-    * angle/π, so near-duplicate vectors share most bits.
+    * angle/π, so near-duplicate vectors share most bits. `dims` must
+    * match the embedding dimensionality.
     */
-  def lshSig(vec: Column, nPlanes: Int): Column = {
+  def lshSig(vec: Column, nPlanes: Int, dims: Int = 64): Column = {
     require(nPlanes <= 64)
-    val dims = sequence(lit(0), size(vec) - 1)
     (0 until nPlanes).map { p =>
       val proj = aggregate(
-        zip_with(vec, dims, (x, d) => x * planeComponent(p, d)),
+        zip_with(vec, plane(p, dims), (x, c) => x * c),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, x) => a.bitwiseOR(x))

@@ -32,12 +32,18 @@ object SimOps {
     */
   def annBruteforce(spark: SparkSession, dir: String,
                     k: Int = 10, qmod: Int = 50): DataFrame = {
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // Norms materialize once per side (the join is the barrier); the
+    // per-pair work is one dot product + a division, not 3 vector folds.
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              VectorFns.norm(col("embedding")).as("nrm"))
     val q = queriesOf(emb, qmod)
+      .withColumn("qnrm", VectorFns.norm(col("qe")))
     val scored = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
-              VectorFns.cosine(col("embedding"), col("qe")).as("cos"))
+              (VectorFns.dot(col("embedding"), col("qe")) /
+               (col("nrm") * col("qnrm"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rnk", row_number().over(w))
