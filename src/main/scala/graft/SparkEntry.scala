@@ -57,6 +57,11 @@ object SparkEntry {
     "b13_attribute_facets"      -> MarketOps.attributeFacets _,
     "b14_priority_share"        -> MarketOps.priorityShare _,
     "b15_recent_listings"       -> MarketOps.recentListings _,
+    "b16_token_history"         -> ((s: SparkSession, d: String) => MarketOps.tokenHistory(s, d)),
+    "b17_user_transactions"     -> ((s: SparkSession, d: String) => MarketOps.userTransactions(s, d)),
+    "b18_price_history_token"   -> ((s: SparkSession, d: String) => MarketOps.priceHistoryToken(s, d)),
+    "b19_customer_profile"      -> MarketOps.customerProfile _,
+    "b20_supplier_portfolio"    -> MarketOps.supplierPortfolio _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -315,5 +320,50 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_orderstatus = 'O'
          ORDER BY order_date DESC, o_orderkey DESC LIMIT 30""",
+    "b16_token_history" ->
+      """SELECT l_orderkey AS orderkey, l_linenumber,
+         CAST(l_shipdate AS DATE) AS ship_day,
+         l_extendedprice AS price, l_quantity AS qty,
+         o_custkey AS buyer, o_orderstatus AS status
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_partkey = 42
+         ORDER BY ship_day DESC, orderkey DESC, l_linenumber""",
+    "b17_user_transactions" ->
+      """SELECT orderkey, day, kind, amount FROM (
+           SELECT o_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS day,
+                  'order' AS kind, o_totalprice AS amount
+           FROM orders WHERE o_custkey = 7
+           UNION ALL
+           SELECT l_orderkey, CAST(l_shipdate AS DATE), 'ship', l_extendedprice
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_custkey = 7
+         ) ORDER BY day DESC, kind, orderkey DESC, amount DESC LIMIT 25""",
+    "b18_price_history_token" ->
+      """SELECT CAST(l_shipdate AS DATE) AS day,
+         round(min(l_extendedprice), 2) AS low,
+         round(avg(l_extendedprice), 4) AS avg_price,
+         round(max(l_extendedprice), 2) AS high,
+         count(*) AS n_sales
+         FROM lineitem WHERE l_partkey = 42 GROUP BY 1 ORDER BY day""",
+    "b19_customer_profile" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
+         round(sum(o_totalprice), 2) AS lifetime_value,
+         min(CAST(o_orderdate AS DATE)) AS first_order_day,
+         max(CAST(o_orderdate AS DATE)) AS last_order_day
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "b20_supplier_portfolio" ->
+      """SELECT s_suppkey, s_name, n_parts, n_sales, revenue
+         FROM supplier JOIN (
+           SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+                  count(*) AS n_sales,
+                  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           FROM lineitem GROUP BY l_suppkey
+           ORDER BY revenue DESC, l_suppkey LIMIT 25
+         ) ON l_suppkey = s_suppkey
+         ORDER BY revenue DESC, s_suppkey""",
   )
 }

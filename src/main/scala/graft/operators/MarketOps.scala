@@ -254,6 +254,117 @@ object MarketOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** b16: per-token transaction history (reference:
+    * getTransHistoryByTokenId app.service.ts:241,
+    * getTransactionsByToken app.service.ts:1016) — every sale event of
+    * one part joined with its order context, newest first. The partkey
+    * filter pushes to the parquet scan; the orders side is joined only
+    * for the few matching rows (broadcast of the filtered side).
+    */
+  def tokenHistory(spark: SparkSession, dir: String,
+                   partkey: Long = 42L): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_partkey") === partkey)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+              col("l_extendedprice"), col("l_quantity"),
+              col("l_shipdate").cast("date").as("ship_day"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    o.join(broadcast(li), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("orderkey"), col("l_linenumber"),
+              col("ship_day"), col("l_extendedprice").as("price"),
+              col("l_quantity").as("qty"), col("o_custkey").as("buyer"),
+              col("o_orderstatus").as("status"))
+      .orderBy(col("ship_day").desc, col("orderkey").desc, col("l_linenumber"))
+  }
+
+  /** b17: per-user transaction history (reference: listTransactionsOfUser
+    * app.service.ts:2028) — union of a customer's order events and the
+    * ship events of their orders, newest first, first page. Both
+    * branches filter to one key before any join.
+    */
+  def userTransactions(spark: SparkSession, dir: String,
+                       custkey: Long = 7L): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") === custkey)
+    val orderEvents = o.select(
+      col("o_orderkey").as("orderkey"),
+      col("o_orderdate").cast("date").as("day"),
+      lit("order").as("kind"), col("o_totalprice").as("amount"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+    val shipEvents = li
+      .join(broadcast(o.select(col("o_orderkey"))),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("orderkey"),
+              col("l_shipdate").cast("date").as("day"),
+              lit("ship").as("kind"), col("l_extendedprice").as("amount"))
+    orderEvents.unionByName(shipEvents)
+      .orderBy(col("day").desc, col("kind"), col("orderkey").desc,
+               col("amount").desc)
+      .limit(25)
+  }
+
+  /** b18: per-token price history time series (reference:
+    * getPriceHistoryOfToken app.service.ts:1220, getTokenPriceHistory
+    * app.service.ts:345) — daily min/avg/max sale price of one part.
+    */
+  def priceHistoryToken(spark: SparkSession, dir: String,
+                        partkey: Long = 42L): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") === partkey)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(round(min(col("l_extendedprice")), 2).as("low"),
+           round(avg(col("l_extendedprice")), 4).as("avg_price"),
+           round(max(col("l_extendedprice")), 2).as("high"),
+           count(lit(1)).as("n_sales"))
+      .orderBy(col("day"))
+
+  /** b19: per-customer profile/statistics (reference: getStatisticsOfUser
+    * app.service.ts:1999, getStatisticsByWalletAddr app.service.ts:1629)
+    * — status-pivoted order counts + lifetime totals for EVERY customer
+    * in one partial-aggregable pass (the per-address lookup is a filter
+    * on this view; computing all rows is the scale-friendly batch form).
+    */
+  def customerProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def n(s: String, name: String) =
+      count(when(col("o_orderstatus") === s, 1)).as(name)
+    val stats = o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           n("O", "n_open"), n("F", "n_filled"), n("P", "n_pending"),
+           round(sum(col("o_totalprice")), 2).as("lifetime_value"),
+           min(col("o_orderdate").cast("date")).as("first_order_day"),
+           max(col("o_orderdate").cast("date")).as("last_order_day"))
+    stats.join(Tables.customer(spark, dir),
+               col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_orders"),
+              col("n_open"), col("n_filled"), col("n_pending"),
+              col("lifetime_value"),
+              col("first_order_day"), col("last_order_day"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** b20: per-supplier portfolio (reference:
+    * getOwnedCollectiblesByWalletAddr app.service.ts:1727 — holdings of
+    * one wallet, here the top-25 suppliers by revenue with their
+    * distinct-part holdings). Truncate-before-join: the aggregate is
+    * ranked and limited BEFORE the supplier lookup.
+    */
+  def supplierPortfolio(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val top = li.groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           count(lit(1)).as("n_sales"),
+           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+             .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_suppkey"))
+      .limit(25)
+    Tables.supplier(spark, dir)
+      .join(broadcast(top), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts"),
+              col("n_sales"), col("revenue"))
+      .orderBy(col("revenue").desc, col("s_suppkey"))
+  }
+
   /** b15: latest 30 open listings with customer lookup (reference:
     * getRecentOnSale app.service.ts:361).
     */

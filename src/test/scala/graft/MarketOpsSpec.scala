@@ -58,6 +58,35 @@ class MarketOpsSpec extends SparkSpec {
     assert(got.forall(_.getAs[String]("p_name").contains("gear")))
   }
 
+  test("b16/b18 per-token views agree with each other and the raw table") {
+    val hist = MarketOps.tokenHistory(spark, sf).collect()
+    val series = MarketOps.priceHistoryToken(spark, sf).collect()
+    val raw = Tables.lineitem(spark, sf)
+      .filter(col("l_partkey") === 42).count()
+    assert(hist.length == raw)
+    assert(series.map(_.getAs[Long]("n_sales")).sum == raw)
+    // daily extremes bound every sale of that day
+    val byDay = hist.groupBy(_.getAs[java.sql.Date]("ship_day").toString)
+    series.foreach { r =>
+      val sales = byDay(r.getAs[java.sql.Date]("day").toString)
+        .map(_.getAs[Double]("price"))
+      assert(r.getAs[Double]("low") <= sales.min + 1e-9)
+      assert(r.getAs[Double]("high") >= sales.max - 1e-9)
+    }
+  }
+
+  test("b19 profile: status pivot sums to order count per customer") {
+    val got = MarketOps.customerProfile(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val total = r.getAs[Long]("n_open") + r.getAs[Long]("n_filled") +
+        r.getAs[Long]("n_pending")
+      assert(total == r.getAs[Long]("n_orders"))
+      assert(!r.getAs[java.sql.Date]("first_order_day")
+        .after(r.getAs[java.sql.Date]("last_order_day")))
+    }
+  }
+
   test("b2 top sellers matches naive revenue ranking") {
     val got = rows(MarketOps.topSellers(spark, sf))
       .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Double]("revenue")))
