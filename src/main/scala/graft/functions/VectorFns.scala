@@ -10,8 +10,23 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product — the custom codegen'd FloatVecDot expression (one
+    * tight loop over the unsafe array data; no intermediate array).
+    * Bit-identical to [[dotFold]], which stays as the composable
+    * reference form the specs cross-validate.
+    */
+  def dot(a: Column, b: Column): Column = FloatVecDot(a, b)
+
+  /** Reference implementation via zip_with + aggregate (same
+    * left-to-right double fold; used to cross-check FloatVecDot).
+    * Elements are widened to double BEFORE the multiply — a bare
+    * float*float would multiply in float precision, diverging from
+    * both FloatVecDot and the DuckDB oracle's ::DOUBLE[] math.
+    */
+  def dotFold(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
