@@ -25,6 +25,20 @@ object Warehouse {
     * spark.sql.warehouse.dir). Idempotent via overwrite.
     */
   def build(spark: SparkSession, dir: String): Unit = {
+    // idempotent across JVMs: drop catalog entries AND any orphaned
+    // location a previous session left behind (a managed-table location
+    // that exists without a catalog entry fails CREATE TABLE AS SELECT)
+    Seq("graft_orders_b", "graft_lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = new java.io.File(wh, t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     Tables.orders(spark, dir)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
