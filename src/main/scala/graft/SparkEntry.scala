@@ -24,6 +24,7 @@ object SparkEntry {
     "a7_funnel"                 -> EventOps.funnel _,
     "a8_dedup_events"           -> EventOps.dedupEvents _,
     "a9_stream_hourly"          -> graft.streaming.EventStream.streamHourly _,
+    "a10_stream_state"          -> graft.streaming.EventStream.streamState _,
     // C. deduplication
     "c1_dedup_exact"            -> DedupOps.dedupExact _,
     "c2_dedup_minhash"          -> ((s: SparkSession, d: String) => DedupOps.dedupMinhash(s, d)),
@@ -62,6 +63,9 @@ object SparkEntry {
     "b18_price_history_token"   -> ((s: SparkSession, d: String) => MarketOps.priceHistoryToken(s, d)),
     "b19_customer_profile"      -> MarketOps.customerProfile _,
     "b20_supplier_portfolio"    -> MarketOps.supplierPortfolio _,
+    "b21_latest_bids"           -> MarketOps.latestBids _,
+    "b22_collection_directory"  -> MarketOps.collectionDirectory _,
+    "b23_platform_counts"       -> MarketOps.platformCounts _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -142,11 +146,23 @@ object SparkEntry {
          epoch_ms(ts) AS ms, count(*) AS dup_count
          FROM events GROUP BY user_id, event_type, epoch_ms(ts)
          ORDER BY event_id""",
-    // a9 streams the same rollup a4 computes in batch — same oracle.
+    // a9/a10 stream the same results a4/a6 compute in batch — the
+    // streaming paths verify against the identical oracles.
     "a9_stream_hourly" ->
       """SELECT CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) * 3600000 AS hour_ms,
          count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events GROUP BY 1 ORDER BY hour_ms""",
+    "a10_stream_state" ->
+      """SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+         count(*) FILTER (WHERE event_type = 'view') AS n_view,
+         count(*) FILTER (WHERE event_type = 'click') AS n_click,
+         count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+         count(*) FILTER (WHERE event_type = 'error') AS n_error,
+         round(sum(value), 2) AS total_value,
+         arg_max(event_type, epoch_ms(ts) * 1000000 + event_id) AS current_state,
+         max(epoch_ms(ts)) AS state_ms
+         FROM events GROUP BY user_id ORDER BY user_id""",
     // c1 is the only SQL-expressible dedup op; c2-c5 involve seeded
     // xxhash64 signatures / LSH banding DuckDB cannot reproduce, so the
     // driver records rows-only and DedupOpsSpec carries correctness.
@@ -355,6 +371,26 @@ object SparkEntry {
          max(CAST(o_orderdate AS DATE)) AS last_order_day
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "b21_latest_bids" ->
+      """SELECT l_orderkey AS orderkey, l_linenumber,
+         CAST(l_shipdate AS DATE) AS day, l_partkey,
+         l_extendedprice AS bid
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'O'
+         ORDER BY day DESC, orderkey DESC, l_linenumber LIMIT 20""",
+    "b22_collection_directory" ->
+      """SELECT p_brand, count(DISTINCT p_partkey) AS n_items,
+         round(sum(l_extendedprice), 2) AS volume,
+         round(min(l_extendedprice), 2) AS floor_price
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY volume DESC, p_brand LIMIT 10""",
+    "b23_platform_counts" ->
+      """SELECT (SELECT count(*) FROM orders) AS n_orders,
+         (SELECT count(*) FROM lineitem) AS n_lineitems,
+         (SELECT count(*) FROM customer) AS n_customers,
+         (SELECT count(*) FROM part) AS n_parts,
+         (SELECT count(*) FROM supplier) AS n_suppliers,
+         (SELECT round(sum(o_totalprice), 2) FROM orders) AS total_volume""",
     "b20_supplier_portfolio" ->
       """SELECT s_suppkey, s_name, n_parts, n_sales, revenue
          FROM supplier JOIN (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -363,6 +363,53 @@ object MarketOps {
       .select(col("s_suppkey"), col("s_name"), col("n_parts"),
               col("n_sales"), col("revenue"))
       .orderBy(col("revenue").desc, col("s_suppkey"))
+  }
+
+  /** b21: latest bids — most recent sale lines against open orders
+    * (reference: getLatestBids app.service.ts:203, getBidsHistory
+    * app.service.ts:2367). The status filter prunes orders before the
+    * fact join; TakeOrdered truncates after.
+    */
+  def latestBids(spark: SparkSession, dir: String): DataFrame = {
+    val open = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O").select(col("o_orderkey"))
+    Tables.lineitem(spark, dir)
+      .join(open, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("orderkey"), col("l_linenumber"),
+              col("l_shipdate").cast("date").as("day"),
+              col("l_partkey"), col("l_extendedprice").as("bid"))
+      .orderBy(col("day").desc, col("orderkey").desc, col("l_linenumber"))
+      .limit(20)
+  }
+
+  /** b22: collection directory page — brands ranked by trading volume
+    * (reference: listCollections app.service.ts:534 with its
+    * sort-by-volume option). Aggregate first, rank, page.
+    */
+  def collectionDirectory(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(countDistinct(col("p_partkey")).as("n_items"),
+           round(sum(col("l_extendedprice")), 2).as("volume"),
+           round(min(col("l_extendedprice")), 2).as("floor_price"))
+      .orderBy(col("volume").desc, col("p_brand"))
+      .limit(10)
+
+  /** b23: platform-wide counts dashboard (reference: getTokensCount
+    * app.service.ts:2320 and the getItems/getTransactions/getOwners
+    * stats tasks app.service.ts:1938-1963) — one row, each table
+    * reduced map-side to a single count before the trivial joins.
+    */
+  def platformCounts(spark: SparkSession, dir: String): DataFrame = {
+    def one(df: DataFrame, c: Column) = df.agg(c)
+    one(Tables.orders(spark, dir), count(lit(1)).as("n_orders"))
+      .crossJoin(one(Tables.lineitem(spark, dir), count(lit(1)).as("n_lineitems")))
+      .crossJoin(one(Tables.customer(spark, dir), count(lit(1)).as("n_customers")))
+      .crossJoin(one(Tables.part(spark, dir), count(lit(1)).as("n_parts")))
+      .crossJoin(one(Tables.supplier(spark, dir), count(lit(1)).as("n_suppliers")))
+      .crossJoin(one(Tables.orders(spark, dir),
+        round(sum(col("o_totalprice")), 2).as("total_volume")))
   }
 
   /** b15: latest 30 open listings with customer lookup (reference:

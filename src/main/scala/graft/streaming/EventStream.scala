@@ -146,4 +146,26 @@ object EventStream {
   def streamHourly(spark: SparkSession, dir: String): DataFrame =
     runToBatch(spark, hourlyRollup(readEvents(spark, dir)))
       .orderBy(col("hour_ms"))
+
+  /** a10: the per-user state fold computed through the streaming path —
+    * final state per user (latest update wins via state_ord), projected
+    * to the a6 batch shape so the SAME oracle verifies both paths.
+    */
+  def streamState(spark: SparkSession, dir: String): DataFrame = {
+    val updates = runToBatch(
+      spark, userStateStream(spark, readEvents(spark, dir)).toDF(), "update")
+    updates
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("*")), col("state_ord")).as("s"))
+      .select(col("user_id"),
+              col("s.n_signup").as("n_signup"),
+              col("s.n_view").as("n_view"),
+              col("s.n_click").as("n_click"),
+              col("s.n_purchase").as("n_purchase"),
+              col("s.n_error").as("n_error"),
+              round(col("s.total_value"), 2).as("total_value"),
+              col("s.current_state").as("current_state"),
+              col("s.state_ms").as("state_ms"))
+      .orderBy(col("user_id"))
+  }
 }
