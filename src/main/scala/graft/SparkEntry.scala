@@ -25,6 +25,7 @@ object SparkEntry {
     "a8_dedup_events"           -> EventOps.dedupEvents _,
     "a9_stream_hourly"          -> graft.streaming.EventStream.streamHourly _,
     "a10_stream_state"          -> graft.streaming.EventStream.streamState _,
+    "a11_props_stats"           -> EventOps.propsStats _,
     // C. deduplication
     "c1_dedup_exact"            -> DedupOps.dedupExact _,
     "c2_dedup_minhash"          -> ((s: SparkSession, d: String) => DedupOps.dedupMinhash(s, d)),
@@ -236,6 +237,13 @@ object SparkEntry {
          md5(array_to_string(string_split(text, ' '), ' ')) AS fp_norm,
          length(text) AS n_chars_actual
          FROM documents ORDER BY doc_id""",
+    "a11_props_stats" ->
+      """SELECT event_type,
+         CAST(floor(CAST(props->>'k' AS BIGINT) / 10) AS BIGINT) * 10 AS k_decile,
+         count(*) AS n_events,
+         round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+         round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY event_type, k_decile""",
     "b1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

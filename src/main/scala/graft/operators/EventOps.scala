@@ -164,6 +164,22 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** a11: event-payload parsing — the reference decodes each contract
+    * event's JSON args before folding them into entity state
+    * (tasks.service.ts handleOrderEventData; the `props` column plays
+    * the args payload). Extract the typed field per event, aggregate
+    * per (type, payload-decile). get_json_object evaluates inside
+    * codegen; the JSON never leaves the executor.
+    */
+  def propsStats(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"), (floor(col("k") / 10) * 10).as("k_decile"))
+      .agg(count(lit(1)).as("n_events"),
+           round(avg(col("k")), 4).as("avg_k"),
+           round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"), col("k_decile"))
+
   /** a8: idempotent ingest — dedup by (user_id, event_type, ms) keeping
     * the lowest event_id (the reference re-reads overlapping block
     * ranges; ingest must be idempotent — tasks.service.ts checkpoint
