@@ -122,6 +122,32 @@ object EventStream {
       }
   }
 
+  /** Streaming sessionization — a5's streaming twin via the native
+    * session_window (gap-merged windows; state per open session,
+    * closed and emitted once the watermark passes the gap).
+    */
+  def sessionizeStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "1 hour")
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("session_value"),
+           min(col("ms")).as("session_start_ms"),
+           max(col("ms")).as("session_end_ms"))
+      .select(col("user_id"), col("session_start_ms"),
+              col("session_end_ms"), col("n_events"), col("session_value"))
+
+  /** Streaming idempotent ingest — a8's streaming twin:
+    * dropDuplicatesWithinWatermark on the ingest key, so replayed
+    * events inside the watermark horizon are dropped with bounded
+    * state (the reference's overlap-tolerant block re-read).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ms")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ms"))
+
   private val runId = new AtomicInteger(0)
 
   /** Runs a streaming DataFrame to completion over the currently

@@ -58,6 +58,37 @@ class EventStreamSpec extends SparkSpec {
     assert(states == batch)
   }
 
+  test("streaming session_window sessions match the batch lag/gap sessionization") {
+    // session_window closes at gap >= 30min vs batch's > 30min — an
+    // exact-boundary event (ms precision) could differ; none exist in
+    // the data, so sessions must match one-for-one on (user, start).
+    val streamed = EventStream.runToBatch(
+        spark,
+        EventStream.sessionizeStream(EventStream.readEvents(spark, sf)),
+        mode = "complete")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_ms")) ->
+        (r.getAs[Long]("session_end_ms"), r.getAs[Long]("n_events")))
+      .toMap
+    val batch = EventOps.sessionize(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_ms")) ->
+        (r.getAs[Long]("session_end_ms"), r.getAs[Long]("n_events")))
+      .toMap
+    assert(streamed == batch)
+  }
+
+  test("streaming dedup keeps one event per ingest key") {
+    val out = EventStream.runToBatch(
+      spark, EventStream.dedupStream(EventStream.readEvents(spark, sf)),
+      mode = "append")
+    // no duplicates in the synthetic data → cardinality preserved,
+    // and a second occurrence of any key would have been dropped
+    val n = out.count()
+    val distinctKeys = out.select("user_id", "event_type", "ms").distinct().count()
+    assert(n == distinctKeys)
+    assert(n > 0)
+  }
+
   test("state fold is replay-idempotent for last-event-wins fields") {
     // Feed the same data twice through fold state: counts double but
     // current_state/state_ms stay fixed (the reference gets this from
