@@ -67,6 +67,9 @@ object SparkEntry {
     "b21_latest_bids"           -> MarketOps.latestBids _,
     "b22_collection_directory"  -> MarketOps.collectionDirectory _,
     "b23_platform_counts"       -> MarketOps.platformCounts _,
+    // b24 is sketch-based (HLL++/quantile) — approximate by design, so
+    // no SQL oracle; accuracy vs exact b5 is bounded in MarketOpsSpec.
+    "b24_collection_stats_sketch" -> MarketOps.collectionStatsApprox _,
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -412,6 +412,29 @@ object MarketOps {
         round(sum(col("o_totalprice")), 2).as("total_volume")))
   }
 
+  /** b24: sketch-based collection stats — b5's dashboard recomputed
+    * with HLL++ distinct counts and quantile sketches. At 100 TB the
+    * exact `countDistinct` shuffles every (brand, owner) pair; the
+    * sketch form is one map-side-mergeable pass with fixed-size state,
+    * the standard trade for refresh-style dashboards (the reference
+    * recomputes its stats on a timer — tasks.service.ts stats jobs —
+    * exactly the workload sketches exist for). Accuracy bounds are
+    * spec-checked against the exact b5.
+    */
+  def collectionStatsApprox(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("items"),
+           approx_count_distinct(col("l_suppkey"), 0.02).as("owners_approx"),
+           round(sum(col("l_extendedprice")), 2).as("volume"),
+           round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)), 2)
+             .as("median_price_approx"),
+           round(min(col("l_extendedprice")), 2).as("floor_price"))
+      .orderBy(col("p_brand"))
+  }
+
   /** b15: latest 30 open listings with customer lookup (reference:
     * getRecentOnSale app.service.ts:361).
     */

@@ -87,6 +87,23 @@ class MarketOpsSpec extends SparkSpec {
     }
   }
 
+  test("b24 sketch stats track exact b5 within HLL/quantile error bounds") {
+    val exact = rows(MarketOps.collectionStats(spark, sf))
+      .map(r => r.getAs[String]("p_brand") ->
+        (r.getAs[Long]("items"), r.getAs[Long]("owners"), r.getAs[Double]("volume")))
+      .toMap
+    val approx = rows(MarketOps.collectionStatsApprox(spark, sf))
+    assert(approx.size == exact.size)
+    approx.foreach { r =>
+      val (items, owners, volume) = exact(r.getAs[String]("p_brand"))
+      assert(r.getAs[Long]("items") == items)           // exact agg unchanged
+      assert(r.getAs[Double]("volume") == volume)
+      val est = r.getAs[Long]("owners_approx").toDouble
+      assert(math.abs(est - owners) <= math.max(2.0, owners * 0.1),
+        s"${r.getAs[String]("p_brand")}: hll $est vs exact $owners")
+    }
+  }
+
   test("b2 top sellers matches naive revenue ranking") {
     val got = rows(MarketOps.topSellers(spark, sf))
       .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Double]("revenue")))
