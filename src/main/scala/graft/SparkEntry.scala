@@ -36,6 +36,7 @@ object SparkEntry {
     "d1_ann_bruteforce"         -> ((s: SparkSession, d: String) => SimOps.annBruteforce(s, d)),
     "d2_ann_lsh"                -> ((s: SparkSession, d: String) => SimOps.annLsh(s, d)),
     "d3_embedding_stats"        -> SimOps.embeddingStats _,
+    "d4_ann_topk_agg"           -> ((s: SparkSession, d: String) => SimOps.annTopKAgg(s, d)),
     // F. multimodal plumbing (stubbed decoder; rows-only + spec)
     "f1_multimodal_meta"        -> MultimodalOps.multimodalMeta _,
     // E. text analysis
@@ -180,6 +181,21 @@ object SparkEntry {
     // sequential fold Spark's aggregate() runs, so values match to the
     // 6dp round. d2's LSH banding is signature-dependent → rows-only.
     "d1_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                    FROM embeddings WHERE vec_id % 50 = 0),
+         p AS (SELECT q.query_id, e.vec_id AS cand_id,
+           list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qe::DOUBLE[]),
+                                   x -> x[1] * x[2]))
+           / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v * v)))
+            * sqrt(list_sum(list_transform(q.qe::DOUBLE[], v -> v * v)))) AS cos
+           FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id) AS rnk FROM p)
+         SELECT query_id, cand_id, rnk, round(cos, 6) AS cosine
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    // d4 shares d1's oracle verbatim — the custom TopKAggregator must
+    // reproduce the window top-k bit-for-bit.
+    "d4_ann_topk_agg" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                     FROM embeddings WHERE vec_id % 50 = 0),
          p AS (SELECT q.query_id, e.vec_id AS cand_id,

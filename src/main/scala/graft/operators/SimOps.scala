@@ -92,6 +92,35 @@ object SimOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** d4: d1's exact top-10, computed through the custom TopKAggregator
+    * instead of a window — each map partition ships at most k rows per
+    * query into the shuffle (a true partial top-k aggregate, the shape
+    * that survives a query key with millions of candidates). Verified
+    * against the SAME oracle as d1: a hash match proves the custom
+    * aggregate bit-equivalent to the window form.
+    */
+  def annTopKAgg(spark: SparkSession, dir: String,
+                 k: Int = 10, qmod: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              VectorFns.norm(col("embedding")).as("nrm"))
+    val q = queriesOf(emb, qmod)
+      .withColumn("qnrm", VectorFns.norm(col("qe")))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+              (graft.functions.FloatVecDot(col("embedding"), col("qe")) /
+               (col("nrm") * col("qnrm"))).as("cos"))
+    val topk = graft.functions.TopKAgg.topK(k)
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("cand_id"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.cand_id").as("cand_id"),
+              (col("pos") + 1).cast("int").as("rnk"),
+              round(col("col.cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** d3: per-label embedding stats — count, average L2 norm, average
     * component mean. Pure partial-aggregable scan.
     */

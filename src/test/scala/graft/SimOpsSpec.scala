@@ -53,6 +53,16 @@ class SimOpsSpec extends SparkSpec {
     assert(avgRecall > 0.1)
   }
 
+  test("d4 custom top-k aggregate reproduces d1's window top-k exactly") {
+    val viaAgg = SimOps.annTopKAgg(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+                 r.getAs[Long]("cand_id"), r.getAs[Double]("cosine"))).toSeq
+    val viaWindow = SimOps.annBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+                 r.getAs[Long]("cand_id"), r.getAs[Double]("cosine"))).toSeq
+    assert(viaAgg == viaWindow && viaAgg.nonEmpty)
+  }
+
   test("d3 per-label stats match naive aggregation") {
     val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
