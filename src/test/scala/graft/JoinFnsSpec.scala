@@ -29,6 +29,28 @@ class JoinFnsSpec extends SparkSpec {
     assert(two == plain)
   }
 
+  test("salting splits a hot key across reducers") {
+    val sp = spark; import sp.implicits._
+    // synthetic skew: one key with 50k rows, 100 uniform keys
+    val hot = sp.range(50000).select(lit(1L).as("k"), col("id").as("v"))
+    val tail = sp.range(5000).select((col("id") % 100 + 2).as("k"), col("id").as("v"))
+    val skewed = hot.unionByName(tail)
+    val dim = sp.range(102).select(col("id").as("k"), (col("id") * 10).as("w"))
+
+    val joined = JoinFns.saltedJoin(skewed, dim, "k", salts = 8)
+    assert(joined.count() == 55000)
+
+    // the hot key's rows must occupy ALL 8 salt buckets, roughly evenly
+    val saltDist = skewed
+      .withColumn("_salt",
+        pmod(xxhash64(struct(skewed.columns.map(col).toIndexedSeq: _*)), lit(8)))
+      .filter(col("k") === 1)
+      .groupBy("_salt").count().collect().map(r => r.getLong(1))
+    assert(saltDist.length == 8)
+    assert(saltDist.min > 50000 / 8 / 2,
+      s"salt buckets should be roughly even, got ${saltDist.mkString(",")}")
+  }
+
   test("float_vec_dot is callable from SQL via GraftExtensions") {
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb_sql_test")
     val r = spark.sql(
