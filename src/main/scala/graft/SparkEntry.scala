@@ -37,8 +37,10 @@ object SparkEntry {
     "d2_ann_lsh"                -> ((s: SparkSession, d: String) => SimOps.annLsh(s, d)),
     "d3_embedding_stats"        -> SimOps.embeddingStats _,
     "d4_ann_topk_agg"           -> ((s: SparkSession, d: String) => SimOps.annTopKAgg(s, d)),
+    "d5_ann_ivf"                -> ((s: SparkSession, d: String) => SimOps.annIvf(s, d)),
     // F. multimodal plumbing (stubbed decoder; rows-only + spec)
     "f1_multimodal_meta"        -> MultimodalOps.multimodalMeta _,
+    "f2_frame_sample"           -> ((s: SparkSession, d: String) => MultimodalOps.frameSample(s, d)),
     // E. text analysis
     "e1_token_stats"            -> TextOps.tokenStats _,
     "e2_quality_score"          -> TextOps.qualityScore _,

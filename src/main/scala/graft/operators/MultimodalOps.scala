@@ -71,6 +71,49 @@ object MultimodalOps {
         (pmod(xxhash64(col("source")), lit(3)) + 1).cast("int")).as("media_type"),
       col("text").cast("binary").as("payload"))
 
+  /** One sampled frame: parent id + frame index/timestamp + a frame
+    * feature vector (stubbed — a real decoder emits pixels/features).
+    */
+  case class Frame(doc_id: Long, frame_idx: Int, ts_ms: Long,
+                   feature: Array[Float])
+
+  /** STUB frame sampler: yields one Frame per second of fake duration
+    * (capped), features derived from the payload hash. The ITERATOR
+    * shape is the real part: frames stream out of mapPartitions
+    * lazily via flatMap — a 2-hour video never materializes all its
+    * frames in memory at once.
+    */
+  private def sampleFramesStub(r: MediaRecord, maxFrames: Int): Iterator[Frame] = {
+    val meta = decodeStub(r)
+    val n = math.min(math.max(1L, meta.duration_ms / 1000L), maxFrames.toLong).toInt
+    Iterator.tabulate(n) { i =>
+      val seed = meta.checksum ^ (i.toLong * 0x9E3779B97F4A7C15L)
+      val feat = Array.tabulate(8)(d =>
+        (((seed >>> (d * 8)) & 0xFF).toInt - 128) / 128.0f)
+      Frame(r.doc_id, i, i * 1000L, feat)
+    }
+  }
+
+  /** f2: frame sampling — explode each media object into sampled
+    * frames with per-frame features, then aggregate per parent. The
+    * flatMap-through-mapPartitions shape is what a real video pipeline
+    * needs at scale: decoder state per partition, lazy frame streams,
+    * and a declarative plan on both sides of the boundary.
+    */
+  def frameSample(spark: SparkSession, dir: String,
+                  maxFrames: Int = 16): DataFrame = {
+    import spark.implicits._
+    val frames = mediaTable(spark, dir)
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap(sampleFramesStub(_, maxFrames)))
+    frames.toDF()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+           max(col("ts_ms")).as("last_frame_ms"),
+           round(avg(element_at(col("feature"), 1)), 6).as("avg_feat0"))
+      .orderBy(col("doc_id"))
+  }
+
   /** f1: decode → typed metadata. mapPartitions keeps the decode
     * batched per partition; everything before/after stays a declarative
     * plan (scan prunes to the 3 needed columns; the result is a normal

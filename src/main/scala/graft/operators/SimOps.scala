@@ -121,6 +121,59 @@ object SimOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** d5: IVF-flat ANN — the inverted-file scale path: a small sampled
+    * centroid set partitions the corpus into cells (one broadcast
+    * assignment pass); each query probes only its `nProbe` nearest
+    * cells and scores just those lists. At 100 TB the cell lists are
+    * the partitioning: a query touches nProbe/nCells of the data
+    * instead of all of it. Centroids here are a deterministic sample
+    * (IVF with sampled centroids is the standard no-training baseline;
+    * a k-means refinement drops in without changing the plan shape).
+    * Approximate — recall vs d1 is measured in SimOpsSpec.
+    */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 10,
+             qmod: Int = 50, centroidMod: Int = 16, nProbe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              VectorFns.norm(col("embedding")).as("nrm"))
+    // deterministic sampled centroids (≈ N/centroidMod cells)
+    val cents = emb.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+              col("nrm").as("cnrm"))
+    def nearestCells(side: DataFrame, idCol: String, vecCol: String,
+                     nrmCol: String, n: Int): DataFrame = {
+      val scored = side.crossJoin(broadcast(cents))
+        .select(col(idCol), col(vecCol), col(nrmCol), col("cent_id"),
+                (graft.functions.FloatVecDot(col(vecCol), col("ce")) /
+                 (col(nrmCol) * col("cnrm"))).as("csim"))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("csim").desc, col("cent_id"))
+      scored.withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") <= n)
+        .select(col(idCol), col(vecCol), col(nrmCol), col("cent_id"))
+    }
+    // corpus: each vector lives in ONE cell; queries probe nProbe cells
+    val lists = nearestCells(emb, "vec_id", "embedding", "nrm", 1)
+    val probes = nearestCells(
+      emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+                col("nrm").as("qnrm")),
+      "query_id", "qe", "qnrm", nProbe)
+    val scored = lists
+      .join(probes, lists("cent_id") === probes("cent_id") &&
+                    col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+              (graft.functions.FloatVecDot(col("embedding"), col("qe")) /
+               (col("nrm") * col("qnrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"),
+              round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** d3: per-label embedding stats — count, average L2 norm, average
     * component mean. Pure partial-aggregable scan.
     */

@@ -38,6 +38,21 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(checksums1 == got2)
   }
 
+  test("f2 frame sampling: counts bounded, covers every doc, deterministic") {
+    val got = MultimodalOps.frameSample(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(got.length == nDocs)
+    got.foreach { r =>
+      val n = r.getAs[Long]("n_frames")
+      assert(n >= 1 && n <= 16)
+      assert(r.getAs[Long]("last_frame_ms") == (n - 1) * 1000L)
+    }
+    val again = MultimodalOps.frameSample(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_feat0")).toMap
+    got.foreach(r =>
+      assert(again(r.getAs[Long]("doc_id")) == r.getAs[Double]("avg_feat0")))
+  }
+
   test("f1 modality tags partition the corpus into the three media types") {
     val types = MultimodalOps.multimodalMeta(spark, sf)
       .groupBy("media_type").count().collect()

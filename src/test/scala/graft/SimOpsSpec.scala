@@ -63,6 +63,25 @@ class SimOpsSpec extends SparkSpec {
     assert(viaAgg == viaWindow && viaAgg.nonEmpty)
   }
 
+  test("d5 IVF ANN: scores exact, recall beats the probe-fraction floor") {
+    val got = SimOps.annIvf(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val expected = cos(embs(r.getAs[Long]("query_id")), embs(r.getAs[Long]("cand_id")))
+      assert(math.abs(r.getAs[Double]("cosine") - expected) < 1e-5)
+    }
+    val byQ = got.groupBy(_.getAs[Long]("query_id"))
+    val recalls = byQ.map { case (q, rs) =>
+      val ivf = rs.map(_.getAs[Long]("cand_id")).toSet
+      val exact = naiveTopK(q, 10).toSet
+      ivf.intersect(exact).size.toDouble / exact.size
+    }
+    val avgRecall = recalls.sum / recalls.size
+    info(f"d5 avg recall@10 vs exact: $avgRecall%.3f over ${recalls.size} queries")
+    // probing 4 of ~31 cells blind would give ~13%; the quantizer must do better
+    assert(avgRecall > 0.15)
+  }
+
   test("d3 per-label stats match naive aggregation") {
     val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
