@@ -46,6 +46,7 @@ object SparkEntry {
     "e2_quality_score"          -> TextOps.qualityScore _,
     "e3_lang_id"                -> TextOps.langId _,
     "e4_fingerprint"            -> TextOps.fingerprint _,
+    "e5_rolling_fingerprint"    -> TextOps.rollingFingerprint _,
     // B. marketplace/analytics
     "b1_pricing_summary"        -> MarketOps.pricingSummary _,
     "b2_top_sellers"            -> MarketOps.topSellers _,
@@ -257,6 +258,17 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp,
          md5(array_to_string(string_split(text, ' '), ' ')) AS fp_norm,
          length(text) AS n_chars_actual
+         FROM documents ORDER BY doc_id""",
+    // e5: same left fold — list_reduce has no init arg, so the seed 0
+    // is prepended to the value list.
+    "e5_rolling_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(string_split(text, ' '),
+                            t -> (ascii(t) * 256 + length(t))::BIGINT)),
+           (acc, v) -> (acc * 1000003 + v) % 2147483647) AS rolling_fp,
+         len(string_split(text, ' ')) AS n_tokens
          FROM documents ORDER BY doc_id""",
     "a11_props_stats" ->
       """SELECT event_type,

@@ -86,6 +86,26 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** e5: rolling-hash fingerprint — an order-sensitive polynomial hash
+    * folded left-to-right over the token stream (Rabin–Karp style):
+    * h = (h·B + v(token)) mod M. Unlike the order-insensitive md5-set
+    * forms, a token swap changes this fingerprint, and the fold is
+    * incremental — a streaming ingester can extend it token by token.
+    * 31-bit modulus keeps h·B + v below 2^52 (ANSI-safe).
+    */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val vals = transform(toks, t =>
+      (ascii(t) * 256 + length(t)).cast("long"))
+    val rolled = aggregate(vals, lit(0L),
+      (acc, v) => pmod(acc * 1000003L + v, lit(2147483647L)))
+    docs(spark, dir).select(
+      col("doc_id"),
+      rolled.as("rolling_fp"),
+      size(toks).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** e4: content fingerprint — md5 of the exact text plus a
     * whitespace-normalized md5 (near-identical whitespace variants
     * collapse to the same normalized fingerprint).

@@ -50,6 +50,25 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("e5 rolling fingerprint matches JVM fold and is order-sensitive") {
+    val got = TextOps.rollingFingerprint(spark, sf).collect()
+    def roll(tokens: Array[String]): Long =
+      tokens.foldLeft(0L)((acc, t) =>
+        ((acc * 1000003L + (t.headOption.map(_.toLong).getOrElse(0L) * 256 + t.length))
+          % 2147483647L + 2147483647L) % 2147483647L)
+    got.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id")).split(" ", -1)
+      assert(r.getAs[Long]("rolling_fp") == roll(t))
+    }
+    // order sensitivity: swapping two distinct tokens changes the hash
+    val sample = texts.values.find(t => t.split(" ").distinct.length > 2).get
+    val a = sample.split(" ")
+    val b = a.clone()
+    val i = b.indices.find(i => b(i) != b(0)).get
+    val tmp = b(0); b(0) = b(i); b(i) = tmp
+    assert(roll(a) != roll(b))
+  }
+
   test("e4 fingerprint matches JVM md5 of the text") {
     val got = TextOps.fingerprint(spark, sf).collect()
     got.foreach { r =>
