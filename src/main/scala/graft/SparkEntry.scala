@@ -74,6 +74,7 @@ object SparkEntry {
     // b24 is sketch-based (HLL++/quantile) — approximate by design, so
     // no SQL oracle; accuracy vs exact b5 is bounded in MarketOpsSpec.
     "b24_collection_stats_sketch" -> MarketOps.collectionStatsApprox _,
+    "b25_global_search"         -> ((s: SparkSession, d: String) => MarketOps.globalSearch(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -432,6 +433,17 @@ object SparkEntry {
          (SELECT count(*) FROM part) AS n_parts,
          (SELECT count(*) FROM supplier) AS n_suppliers,
          (SELECT round(sum(o_totalprice), 2) FROM orders) AS total_volume""",
+    "b25_global_search" ->
+      """SELECT src, id, name FROM (
+           SELECT 'part' AS src, p_partkey AS id, p_name AS name
+           FROM part WHERE p_name LIKE '%42%'
+           UNION ALL
+           SELECT 'customer', c_custkey, c_name
+           FROM customer WHERE c_name LIKE '%42%'
+           UNION ALL
+           SELECT 'supplier', s_suppkey, s_name
+           FROM supplier WHERE s_name LIKE '%42%'
+         ) ORDER BY src, id LIMIT 100""",
     "b20_supplier_portfolio" ->
       """SELECT s_suppkey, s_name, n_parts, n_sales, revenue
          FROM supplier JOIN (

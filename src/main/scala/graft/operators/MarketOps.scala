@@ -435,6 +435,28 @@ object MarketOps {
       .orderBy(col("p_brand"))
   }
 
+  /** b25: global search — one keyword across every searchable entity
+    * collection with a source tag (reference: quickSearch
+    * app.service.ts:1274 + searchTokens:1366 + searchMarketplace:1386,
+    * which fan the keyword across tokens/collections/accounts). Each
+    * branch is a pushed-down contains filter on its own scan; the
+    * union is filter-first, so at scale each table contributes only
+    * its matches.
+    */
+  def globalSearch(spark: SparkSession, dir: String,
+                   keyword: String = "42"): DataFrame = {
+    def branch(df: DataFrame, src: String, id: Column, name: Column) =
+      df.filter(name.contains(keyword))
+        .select(lit(src).as("src"), id.as("id"), name.as("name"))
+    branch(Tables.part(spark, dir), "part", col("p_partkey"), col("p_name"))
+      .unionByName(branch(Tables.customer(spark, dir), "customer",
+                          col("c_custkey"), col("c_name")))
+      .unionByName(branch(Tables.supplier(spark, dir), "supplier",
+                          col("s_suppkey"), col("s_name")))
+      .orderBy(col("src"), col("id"))
+      .limit(100)
+  }
+
   /** b15: latest 30 open listings with customer lookup (reference:
     * getRecentOnSale app.service.ts:361).
     */
