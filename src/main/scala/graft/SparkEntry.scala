@@ -26,6 +26,7 @@ object SparkEntry {
     "a9_stream_hourly"          -> graft.streaming.EventStream.streamHourly _,
     "a10_stream_state"          -> graft.streaming.EventStream.streamState _,
     "a11_props_stats"           -> EventOps.propsStats _,
+    "a12_asof_attribution"      -> EventOps.asofAttribution _,
     // C. deduplication
     "c1_dedup_exact"            -> DedupOps.dedupExact _,
     "c2_dedup_minhash"          -> ((s: SparkSession, d: String) => DedupOps.dedupMinhash(s, d)),
@@ -278,6 +279,20 @@ object SparkEntry {
          round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
          round(sum(value), 2) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY event_type, k_decile""",
+    // a12: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    // union+window as-of re-expression (greatest view_ms <= purchase_ms
+    // per purchase row; right side pre-deduped per (user, ms) so the
+    // match is deterministic in both engines).
+    "a12_asof_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms
+                    FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, epoch_ms(ts) AS view_ms,
+                      arg_max(value, event_id) AS view_value
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.purchase_ms, v.view_ms, v.view_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND v.view_ms <= p.purchase_ms
+         ORDER BY p.event_id""",
     "b1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

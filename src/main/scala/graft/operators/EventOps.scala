@@ -180,6 +180,44 @@ object EventOps {
            round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("event_type"), col("k_decile"))
 
+  /** a12: as-of join — last-touch attribution: each purchase event
+    * joined to the same user's most recent view at-or-before it (the
+    * reference folds each OrderFilled into the order's latest prior
+    * state one document at a time — tasks.service.ts:599-796; this is
+    * the set-oriented equivalent). Spark has no ASOF JOIN operator and
+    * a range join (v.ms <= p.ms) explodes to O(views × purchases) per
+    * user — instead both sides are unioned and ONE window pass per
+    * user carries the latest view forward (`last(..., ignoreNulls)`
+    * over a running frame): one shuffle on user_id, linear per-user
+    * state, no range explosion, scale-independent of the view:purchase
+    * ratio. Views sort before purchases at equal ms (`side` ordinal)
+    * to give <= semantics; the view side is pre-deduped to one row per
+    * (user, ms) — max event_id wins — so ties are deterministic in
+    * both engines. Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ms"))
+      .agg(max_by(col("value"), col("event_id")).as("v_value"))
+      .select(col("user_id"), col("ms"), lit(0).as("side"),
+              lit(null).cast("long").as("event_id"), col("v_value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms"), lit(1).as("side"), col("event_id"),
+              lit(null).cast("double").as("v_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    views.unionByName(purchases)
+      .withColumn("view_value", last(col("v_value"), ignoreNulls = true).over(w))
+      .withColumn("view_ms",
+        last(when(col("side") === 0, col("ms")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ms").as("purchase_ms"),
+              col("view_ms"), col("view_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** a8: idempotent ingest — dedup by (user_id, event_type, ms) keeping
     * the lowest event_id (the reference re-reads overlapping block
     * ranges; ingest must be idempotent — tasks.service.ts checkpoint

@@ -85,6 +85,27 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("a12 as-of join: each purchase gets the user's latest view at-or-before it") {
+    val got = EventOps.asofAttribution(spark, sf).collect()
+    assert(got.length == raw.count(_._3 == "purchase"))
+    val byUser = raw.groupBy(_._1)
+    var matched = 0
+    got.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val pms = r.getAs[Long]("purchase_ms")
+      val views = byUser(u).filter(e => e._3 == "view" && e._4 <= pms)
+      if (views.isEmpty) {
+        assert(r.isNullAt(r.fieldIndex("view_ms")), s"user $u at $pms")
+      } else {
+        val best = views.maxBy(e => (e._4, e._2))
+        assert(r.getAs[Long]("view_ms") == best._4, s"user $u at $pms")
+        assert(r.getAs[Double]("view_value") == best._5, s"user $u at $pms")
+        matched += 1
+      }
+    }
+    assert(matched > 0)  // non-vacuous: some purchases have a prior view
+  }
+
   test("a8 dedup preserves all rows when no duplicates exist") {
     val got = EventOps.dedupEvents(spark, sf)
     assert(got.count() == raw.size)  // synthetic data has unique (u,t,ms)
