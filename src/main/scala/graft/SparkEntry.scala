@@ -27,6 +27,7 @@ object SparkEntry {
     "a10_stream_state"          -> graft.streaming.EventStream.streamState _,
     "a11_props_stats"           -> EventOps.propsStats _,
     "a12_asof_attribution"      -> EventOps.asofAttribution _,
+    "a13_stream_join"           -> graft.streaming.EventStream.streamJoin _,
     // C. deduplication
     "c1_dedup_exact"            -> DedupOps.dedupExact _,
     "c2_dedup_minhash"          -> ((s: SparkSession, d: String) => DedupOps.dedupMinhash(s, d)),
@@ -293,6 +294,18 @@ object SparkEntry {
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND v.view_ms <= p.purchase_ms
          ORDER BY p.event_id""",
+    // a13: the stream-stream interval join's batch-SQL equivalent —
+    // all time arithmetic on epoch-ms, matching the ms-derived
+    // timestamps the streaming join compares.
+    "a13_stream_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+         p.user_id, epoch_ms(p.ts) AS purchase_ms, epoch_ms(v.ts) AS view_ms
+         FROM events p JOIN events v
+           ON p.user_id = v.user_id
+          AND p.event_type = 'purchase' AND v.event_type = 'view'
+          AND epoch_ms(v.ts) <= epoch_ms(p.ts)
+          AND epoch_ms(v.ts) >= epoch_ms(p.ts) - 1800000
+         ORDER BY purchase_id, view_id""",
     "b1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

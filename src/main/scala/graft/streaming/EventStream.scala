@@ -148,6 +148,35 @@ object EventStream {
       .dropDuplicatesWithinWatermark("user_id", "event_type", "ms")
       .select(col("event_id"), col("user_id"), col("event_type"), col("ms"))
 
+  /** Stream-stream interval join — attribution pairs: each purchase
+    * matched to the same user's views in the preceding 30 minutes (the
+    * reference correlates OrderFilled events with their originating
+    * listing events across collections; here both sides are live
+    * streams). Both sides carry watermarks and the range condition
+    * bounds the join state store — views older than watermark + range
+    * are evicted, so state is O(events in the window), not O(stream).
+    * Join keys/times compared on ms-derived timestamps so the batch
+    * oracle (epoch-ms arithmetic) sees identical boundaries.
+    */
+  def attributionJoin(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+              col("ms").as("purchase_ms"),
+              timestamp_millis(col("ms")).as("p_time"))
+      .withWatermark("p_time", "1 hour")
+    val v = views.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+              col("ms").as("view_ms"),
+              timestamp_millis(col("ms")).as("v_time"))
+      .withWatermark("v_time", "1 hour")
+    p.join(v, expr(
+        """p_user = v_user AND
+           v_time >= p_time - interval 30 minutes AND
+           v_time <= p_time"""))
+      .select(col("purchase_id"), col("view_id"),
+              col("p_user").as("user_id"), col("purchase_ms"), col("view_ms"))
+  }
+
   private val runId = new AtomicInteger(0)
 
   /** Runs a streaming DataFrame to completion over the currently
@@ -172,6 +201,15 @@ object EventStream {
   def streamHourly(spark: SparkSession, dir: String): DataFrame =
     runToBatch(spark, hourlyRollup(readEvents(spark, dir)))
       .orderBy(col("hour_ms"))
+
+  /** a13: the attribution interval join computed through the streaming
+    * path — two independent file-source streams joined stream-to-stream.
+    */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame =
+    runToBatch(spark,
+        attributionJoin(readEvents(spark, dir), readEvents(spark, dir)),
+        "append")
+      .orderBy(col("purchase_id"), col("view_id"))
 
   /** a10: the per-user state fold computed through the streaming path —
     * final state per user (latest update wins via state_ord), projected

@@ -89,6 +89,26 @@ class EventStreamSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("a13 stream-stream interval join matches the batch join pair-for-pair") {
+    val streamed = EventStream.streamJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"),
+                 r.getAs[Long]("user_id"))).toSet
+    // batch equivalent over the same ms-precision boundaries
+    val e = graft.sources.Tables.events(spark, sf)
+      .withColumn("ms", expr("ts div 1000000"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ms").as("pms"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ms").as("vms"))
+    val batch = p.join(v, Seq("user_id"))
+      .filter(col("vms") <= col("pms") && col("vms") >= col("pms") - 1800000L)
+      .collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"),
+                 r.getAs[Long]("user_id"))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("state fold is replay-idempotent for last-event-wins fields") {
     // Feed the same data twice through fold state: counts double but
     // current_state/state_ms stay fixed (the reference gets this from
