@@ -77,6 +77,9 @@ object SparkEntry {
     // no SQL oracle; accuracy vs exact b5 is bounded in MarketOpsSpec.
     "b24_collection_stats_sketch" -> MarketOps.collectionStatsApprox _,
     "b25_global_search"         -> ((s: SparkSession, d: String) => MarketOps.globalSearch(s, d)),
+    "b26_token_detail"          -> ((s: SparkSession, d: String) => MarketOps.tokenDetail(s, d)),
+    "b27_collection_browse"     -> ((s: SparkSession, d: String) => MarketOps.collectionBrowse(s, d)),
+    "b28_user_income_series"    -> ((s: SparkSession, d: String) => MarketOps.userIncomeSeries(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -472,6 +475,34 @@ object SparkEntry {
            SELECT 'supplier', s_suppkey, s_name
            FROM supplier WHERE s_name LIKE '%42%'
          ) ORDER BY src, id LIMIT 100""",
+    "b26_token_detail" ->
+      """SELECT p_partkey, p_name, p_brand, p_retailprice,
+         n_sales, total_qty, revenue, first_sale_day, last_sale_day, top_price
+         FROM part JOIN (
+           SELECT l_partkey, count(*) AS n_sales,
+                  round(sum(l_quantity), 2) AS total_qty,
+                  round(sum(l_extendedprice), 2) AS revenue,
+                  min(CAST(l_shipdate AS DATE)) AS first_sale_day,
+                  max(CAST(l_shipdate AS DATE)) AS last_sale_day,
+                  round(max(l_extendedprice), 2) AS top_price
+           FROM lineitem WHERE l_partkey = 42 GROUP BY 1
+         ) ON p_partkey = l_partkey
+         WHERE p_partkey = 42""",
+    "b27_collection_browse" ->
+      """SELECT p_partkey, p_name, p_retailprice, n_sales, revenue
+         FROM (
+           SELECT p_partkey, p_name, p_retailprice,
+                  count(*) AS n_sales,
+                  round(sum(l_extendedprice), 2) AS revenue
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#1'
+           GROUP BY 1, 2, 3
+         ) ORDER BY revenue DESC, p_partkey LIMIT 20 OFFSET 20""",
+    "b28_user_income_series" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS income
+         FROM orders WHERE o_custkey = 7
+         GROUP BY 1 ORDER BY month""",
     "b20_supplier_portfolio" ->
       """SELECT s_suppkey, s_name, n_parts, n_sales, revenue
          FROM supplier JOIN (

@@ -457,6 +457,69 @@ object MarketOps {
       .limit(100)
   }
 
+  /** b26: point lookup — one token's full detail: static info + sale
+    * aggregates (reference: getCollectibleInfo app.service.ts:990,
+    * getTokenOrderByTokenId:1105, reGetTokenDetail:2286). Both scans
+    * carry the partkey predicate — at scale this is a pushed-down
+    * point read of one key's row groups on each side, not a join of
+    * full tables.
+    */
+  def tokenDetail(spark: SparkSession, dir: String,
+                  partkey: Long = 42): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_partkey") === partkey)
+    val sales = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") === partkey)
+      .groupBy(col("l_partkey"))
+      .agg(
+        count(lit(1)).as("n_sales"),
+        round(sum(col("l_quantity")), 2).as("total_qty"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"),
+        min(col("l_shipdate").cast("date")).as("first_sale_day"),
+        max(col("l_shipdate").cast("date")).as("last_sale_day"),
+        round(max(col("l_extendedprice")), 2).as("top_price"))
+    p.join(sales, col("p_partkey") === col("l_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+              col("p_retailprice"), col("n_sales"), col("total_qty"),
+              col("revenue"), col("first_sale_day"), col("last_sale_day"),
+              col("top_price"))
+  }
+
+  /** b27: collection browse — paginated items of ONE collection with
+    * per-item sale stats (reference: getCollectiblesOfCollection
+    * app.service.ts:1525, listCollectibleOfCollection:2185). The brand
+    * filter lands on the part scan FIRST; lineitem joins against only
+    * that collection's keys (runtime filter / DPP prunes the fact side
+    * at scale), then aggregates per item — never a full-fact pre-
+    * aggregate for a one-collection page.
+    */
+  def collectionBrowse(spark: SparkSession, dir: String,
+                       brand: String = "Brand#1",
+                       page: Int = 1, pageSize: Int = 20): DataFrame = {
+    val items = Tables.part(spark, dir).filter(col("p_brand") === brand)
+    Tables.lineitem(spark, dir)
+      .join(items, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .agg(count(lit(1)).as("n_sales"),
+           round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+      .offset(page * pageSize)
+      .limit(pageSize)
+  }
+
+  /** b28: per-user income series — one wallet's monthly income from
+    * filled orders (reference: getIncomesOfUser app.service.ts:2259,
+    * getStatisticsOfUser:1680). Custkey predicate pushed to the scan;
+    * the aggregate runs over one user's orders only.
+    */
+  def userIncomeSeries(spark: SparkSession, dir: String,
+                       custkey: Long = 7): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") === custkey)
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("income"))
+      .orderBy(col("month"))
+
   /** b15: latest 30 open listings with customer lookup (reference:
     * getRecentOnSale app.service.ts:361).
     */

@@ -104,6 +104,48 @@ class MarketOpsSpec extends SparkSpec {
     }
   }
 
+  test("b26 point lookup returns one row whose aggregates match the raw table") {
+    val got = rows(MarketOps.tokenDetail(spark, sf, partkey = 7))
+    assert(got.size == 1)
+    val r = got.head
+    val raw = Tables.lineitem(spark, sf).filter(col("l_partkey") === 7)
+      .select("l_extendedprice").collect().map(_.getDouble(0))
+    assert(r.getAs[Long]("n_sales") == raw.length)
+    assert(math.abs(r.getAs[Double]("revenue") - raw.sum) < 0.011)
+    assert(r.getAs[Double]("top_price") == BigDecimal(raw.max)
+      .setScale(2, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+  }
+
+  test("b27 collection browse pages are disjoint slices of one collection") {
+    // pageSize 3 so a second page exists even at sf0.001 (7 sold items)
+    val page0 = rows(MarketOps.collectionBrowse(spark, sf, page = 0, pageSize = 3))
+      .map(_.getAs[Long]("p_partkey"))
+    val page1 = rows(MarketOps.collectionBrowse(spark, sf, page = 1, pageSize = 3))
+      .map(_.getAs[Long]("p_partkey"))
+    assert((page0.toSet & page1.toSet).isEmpty)
+    // every returned item belongs to the browsed collection, and the
+    // page sizes follow from the collection's sold-item count
+    val brandKeys = Tables.part(spark, sf).filter(col("p_brand") === "Brand#1")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert((page0 ++ page1).forall(brandKeys.contains))
+    val nSold = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_brand") === "Brand#1"),
+            col("l_partkey") === col("p_partkey"))
+      .select("p_partkey").distinct().count()
+    assert(page0.size == math.min(3, nSold))
+    assert(page1.size == math.min(3, math.max(0, nSold - 3)))
+    assert(page1.nonEmpty)  // non-vacuous second page at every test SF
+  }
+
+  test("b28 income series sums to the user's total filled volume") {
+    val got = rows(MarketOps.userIncomeSeries(spark, sf, custkey = 7))
+    assert(got.nonEmpty)
+    val total = Tables.orders(spark, sf).filter(col("o_custkey") === 7)
+      .select("o_totalprice").collect().map(_.getDouble(0)).sum
+    val seriesSum = got.map(_.getAs[Double]("income")).sum
+    assert(math.abs(seriesSum - total) < 0.011 * got.size)
+  }
+
   test("b2 top sellers matches naive revenue ranking") {
     val got = rows(MarketOps.topSellers(spark, sf))
       .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Double]("revenue")))
