@@ -497,7 +497,7 @@ object SparkEntry {
            FROM lineitem JOIN part ON l_partkey = p_partkey
            WHERE p_brand = 'Brand#1'
            GROUP BY 1, 2, 3
-         ) ORDER BY revenue DESC, p_partkey LIMIT 20 OFFSET 20""",
+         ) ORDER BY revenue DESC, p_partkey LIMIT 5 OFFSET 5""",
     "b28_user_income_series" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
          count(*) AS n_orders, round(sum(o_totalprice), 2) AS income

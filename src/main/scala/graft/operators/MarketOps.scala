@@ -494,7 +494,7 @@ object MarketOps {
     */
   def collectionBrowse(spark: SparkSession, dir: String,
                        brand: String = "Brand#1",
-                       page: Int = 1, pageSize: Int = 20): DataFrame = {
+                       page: Int = 1, pageSize: Int = 5): DataFrame = {
     val items = Tables.part(spark, dir).filter(col("p_brand") === brand)
     Tables.lineitem(spark, dir)
       .join(items, col("l_partkey") === col("p_partkey"))
