@@ -158,7 +158,17 @@ object EventStream {
     * Join keys/times compared on ms-derived timestamps so the batch
     * oracle (epoch-ms arithmetic) sees identical boundaries.
     */
-  def attributionJoin(purchases: DataFrame, views: DataFrame): DataFrame = {
+  def attributionJoin(purchases: DataFrame, views: DataFrame): DataFrame =
+    attributionJoin(purchases, views, "inner")
+
+  /** As above with a join type: "leftOuter" null-pads purchases whose
+    * 30-minute window closed with no view — the row is emitted once the
+    * watermark proves no matching view can still arrive, which is how a
+    * streaming pipeline surfaces "organic" (unattributed) purchases
+    * without a second pass.
+    */
+  def attributionJoin(purchases: DataFrame, views: DataFrame,
+                      joinType: String): DataFrame = {
     val p = purchases.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
               col("ms").as("purchase_ms"),
@@ -172,7 +182,7 @@ object EventStream {
     p.join(v, expr(
         """p_user = v_user AND
            v_time >= p_time - interval 30 minutes AND
-           v_time <= p_time"""))
+           v_time <= p_time"""), joinType)
       .select(col("purchase_id"), col("view_id"),
               col("p_user").as("user_id"), col("purchase_ms"), col("view_ms"))
   }

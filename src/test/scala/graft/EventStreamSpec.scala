@@ -109,6 +109,39 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("left-outer stream join null-pads only truly unmatched purchases") {
+    val outer = EventStream.runToBatch(
+        spark,
+        EventStream.attributionJoin(EventStream.readEvents(spark, sf),
+                                    EventStream.readEvents(spark, sf),
+                                    "leftOuter"),
+        mode = "append")
+      .collect()
+    // batch ground truth: which purchases have >=1 view in-window
+    val e = graft.sources.Tables.events(spark, sf)
+      .withColumn("ms", expr("ts div 1000000"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ms").as("pms"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ms").as("vms"))
+    val matchedPairs = p.join(v, Seq("user_id"))
+      .filter(col("vms") <= col("pms") && col("vms") >= col("pms") - 1800000L)
+      .select("purchase_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val matchedIds = matchedPairs.map(_._1)
+    // every in-window pair is emitted (inner results don't wait on the
+    // watermark)
+    val gotPairs = outer.filter(!_.isNullAt(1))
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"))).toSet
+    assert(gotPairs == matchedPairs)
+    // null-padded rows exist (watermark closed some windows) and appear
+    // ONLY for purchases with no in-window view at all
+    val padded = outer.filter(_.isNullAt(1)).map(_.getAs[Long]("purchase_id"))
+    assert(padded.nonEmpty)
+    assert(padded.toSet.intersect(matchedIds).isEmpty)
+    assert(padded.distinct.length == padded.length)  // once each
+  }
+
   test("state fold is replay-idempotent for last-event-wins fields") {
     // Feed the same data twice through fold state: counts double but
     // current_state/state_ms stay fixed (the reference gets this from
