@@ -148,6 +148,56 @@ object EventStream {
       .dropDuplicatesWithinWatermark("user_id", "event_type", "ms")
       .select(col("event_id"), col("user_id"), col("event_type"), col("ms"))
 
+  /** Output row of the streaming as-of fold (a12's streaming twin). */
+  case class AsofOut(purchase_id: Long, user_id: Long, purchase_ms: Long,
+                     view_ms: java.lang.Long, view_value: java.lang.Double)
+
+  /** Per-user as-of state: the latest view seen so far. */
+  case class ViewState(ms: Long, event_id: Long, value: Double)
+
+  /** Streaming as-of join — EventOps.asofAttribution as a
+    * flatMapGroupsWithState fold: state per user is just the latest
+    * view (O(1) per key — no buffering of the stream), each purchase
+    * emits immediately with the view state at that moment. Within a
+    * batch events are sorted (ms, views-before-purchases, event_id) —
+    * the same <=-semantics tiebreak the batch operator encodes with
+    * its `side` ordinal; across batches the state only moves forward
+    * (ordinal guard), so replays cannot regress it. Assumes cross-
+    * batch event-time order (the reference's block-height cursor
+    * guarantees this for contract events); a true out-of-order stream
+    * would need watermarked buffering instead.
+    */
+  def asofStream(spark: SparkSession, events: DataFrame): Dataset[AsofOut] = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ms"), col("value"))
+      .as[Ev]
+      .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ViewState, AsofOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[ViewState]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[AsofOut]
+          val ordered = evs.toSeq.sortBy(e =>
+            (e.ms, if (e.event_type == "view") 0 else 1, e.event_id))
+          ordered.foreach { e =>
+            if (e.event_type == "view") {
+              if (st == null || e.ms > st.ms ||
+                  (e.ms == st.ms && e.event_id > st.event_id))
+                st = ViewState(e.ms, e.event_id, e.value)
+            } else {
+              out += AsofOut(e.event_id, uid, e.ms,
+                if (st == null) null else Long.box(st.ms),
+                if (st == null) null else Double.box(st.value))
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream interval join — attribution pairs: each purchase
     * matched to the same user's views in the preceding 30 minutes (the
     * reference correlates OrderFilled events with their originating
@@ -220,6 +270,15 @@ object EventStream {
         attributionJoin(readEvents(spark, dir), readEvents(spark, dir)),
         "append")
       .orderBy(col("purchase_id"), col("view_id"))
+
+  /** a14: the as-of attribution computed through the streaming path —
+    * projected to a12's shape so the SAME oracle verifies both.
+    */
+  def streamAsof(spark: SparkSession, dir: String): DataFrame =
+    runToBatch(spark, asofStream(spark, readEvents(spark, dir)).toDF(), "update")
+      .select(col("purchase_id").as("event_id"), col("user_id"),
+              col("purchase_ms"), col("view_ms"), col("view_value"))
+      .orderBy(col("event_id"))
 
   /** a10: the per-user state fold computed through the streaming path —
     * final state per user (latest update wins via state_ord), projected

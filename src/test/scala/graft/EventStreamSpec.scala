@@ -142,6 +142,25 @@ class EventStreamSpec extends SparkSpec {
     assert(padded.distinct.length == padded.length)  // once each
   }
 
+  test("streaming as-of fold equals batch a12 purchase-for-purchase") {
+    val streamed = EventStream.runToBatch(
+        spark,
+        EventStream.asofStream(spark, EventStream.readEvents(spark, sf)).toDF(),
+        mode = "update")
+      .collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (Option(r.getAs[java.lang.Long]("view_ms")).map(_.toLong),
+         Option(r.getAs[java.lang.Double]("view_value")).map(_.toDouble)))
+      .toMap
+    val batch = EventOps.asofAttribution(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("view_ms")).map(_.toLong),
+         Option(r.getAs[java.lang.Double]("view_value")).map(_.toDouble)))
+      .toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("state fold is replay-idempotent for last-event-wins fields") {
     // Feed the same data twice through fold state: counts double but
     // current_state/state_ms stay fixed (the reference gets this from
