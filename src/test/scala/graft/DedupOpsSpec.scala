@@ -92,6 +92,55 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("planted corpus: every dedup operator recovers controlled duplicates") {
+    // Controlled ground truth: 40 random-token base docs, 4 exact-dup
+    // pairs, 6 near-dup pairs (one token edited — jaccard ≈ 0.9+).
+    val vocab = Vector("spark", "table", "row", "join", "group", "query",
+      "scan", "merge", "sort", "batch", "window", "hash", "filter", "agg",
+      "column", "vector", "stream", "key", "value", "order")
+    val rnd = new scala.util.Random(42)
+    def mkDoc(): String = Seq.fill(60)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 40).map(i => i.toLong -> mkDoc()).toMap
+    val exactPairs = (0 until 4).map(i => (i.toLong, (40 + i).toLong))
+    val nearPairs = (0 until 6).map(i => ((4 + i).toLong, (44 + i).toLong))
+    def editOneToken(t: String): String = {
+      val ts = t.split(" "); ts(30) = "edited"; ts.mkString(" ")
+    }
+    val docs = base ++
+      exactPairs.map { case (src, id) => id -> base(src) } ++
+      nearPairs.map { case (src, id) => id -> editOneToken(base(src)) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-planted").toString
+    import spark.implicits._
+    docs.toSeq.sortBy(_._1).map { case (id, t) =>
+        (id, t, "en", "planted", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // c1: exact groups have dup_count 2 and the lower id is canonical
+    val exact = DedupOps.dedupExact(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dup_count"), r.getAs[Boolean]("is_canonical"))).toMap
+    exactPairs.foreach { case (a, b) =>
+      assert(exact(a) == (2L, true) && exact(b) == (2L, false), s"exact $a,$b")
+    }
+    // c2/c3/c4: every planted pair (exact AND near) must be surfaced
+    val planted = (exactPairs ++ nearPairs).toSet
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val mh = DedupOps.dedupMinhash(spark, dir)
+    assert(planted.subsetOf(pairsOf(mh)), "minhash missed planted pairs")
+    val sh = DedupOps.dedupSimhash(spark, dir)
+    assert(planted.subsetOf(pairsOf(sh)), "simhash missed planted pairs")
+    val nj = DedupOps.ngramJaccard(spark, dir)
+    assert(planted.subsetOf(pairsOf(nj)), "ngram-jaccard missed planted pairs")
+    // near-dup pairs rank with high estimated jaccard in c2
+    val ests = mh.collect().map(r =>
+      ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
+       r.getAs[Double]("est_jaccard"))).toMap
+    exactPairs.foreach(p => assert(ests(p) == 1.0, s"exact pair $p est ${ests(p)}"))
+    nearPairs.foreach(p => assert(ests(p) >= 0.7, s"near pair $p est ${ests(p)}"))
+  }
+
   test("c5 embedding cosine: values exact vs JVM recompute; pairs from real buckets") {
     val got = DedupOps.dedupEmbedding(spark, sf).collect()
     assert(got.nonEmpty)
