@@ -114,6 +114,28 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** f3: decoded metadata joined BACK to the document table — the
+    * post-decode join every multimodal pipeline runs (pair pixels with
+    * captions/labels), aggregated per (lang, media_type). Both sides
+    * shuffle on doc_id (at warehouse scale the documents side is
+    * bucket-landed, making this join exchange-free); the decode output
+    * is an ordinary DataFrame, so Catalyst plans the join like any
+    * other — the mapPartitions boundary does not leak downstream.
+    */
+  def mediaByLang(spark: SparkSession, dir: String): DataFrame = {
+    val meta = multimodalMeta(spark, dir)
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+              col("duration_ms"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(meta, "doc_id")
+      .groupBy(col("lang"), col("media_type"))
+      .agg(count(lit(1)).as("n_media"),
+           sum(col("n_bytes")).as("total_bytes"),
+           round(avg(col("n_bytes")), 4).as("avg_bytes"),
+           sum(col("duration_ms")).as("total_duration_ms"))
+      .orderBy(col("lang"), col("media_type"))
+  }
+
   /** f1: decode → typed metadata. mapPartitions keeps the decode
     * batched per partition; everything before/after stays a declarative
     * plan (scan prunes to the 3 needed columns; the result is a normal

@@ -53,6 +53,23 @@ class MultimodalOpsSpec extends SparkSpec {
       assert(again(r.getAs[Long]("doc_id")) == r.getAs[Double]("avg_feat0")))
   }
 
+  test("f3 metadata-document join: groups cover the corpus, byte totals match") {
+    val got = MultimodalOps.mediaByLang(spark, sf).collect()
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // every document lands in exactly one (lang, media_type) group
+    assert(got.map(_.getAs[Long]("n_media")).sum == docs.length)
+    // per-lang byte totals equal utf8 text lengths (decode preserves
+    // the payload byte count)
+    val gotBytesByLang = got.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.map(_.getAs[Long]("total_bytes")).sum).toMap
+    val expBytesByLang = docs.groupBy(_._2)
+      .view.mapValues(_.map(_._3.getBytes("UTF-8").length.toLong).sum).toMap
+    assert(gotBytesByLang == expBytesByLang)
+  }
+
   test("f1 modality tags partition the corpus into the three media types") {
     val types = MultimodalOps.multimodalMeta(spark, sf)
       .groupBy("media_type").count().collect()
