@@ -87,13 +87,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // A-module rule: ALL time logic on epoch-ms longs in both engines
     // (epoch_ms(ts) here ≡ unix_millis(cast) in Spark) — the parquet ns
-    // precision never reaches a comparison. Sort key ms*1000000+event_id
-    // is unique and identical on both sides.
+    // precision never reaches a comparison. Sort key = lexicographic
+    // (ms, event_id): Spark orders a struct, DuckDB a zero-padded
+    // fixed-width string — identical order at any event_id magnitude
+    // (an arithmetic ms*K+event_id packing breaks once event_id >= K).
     "a1_latest_event_per_user" ->
       """SELECT user_id,
-         arg_max(event_id, epoch_ms(ts) * 1000000 + event_id) AS last_event_id,
-         arg_max(event_type, epoch_ms(ts) * 1000000 + event_id) AS last_event_type,
-         arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS last_value,
+         arg_max(event_id, printf('%019d|%019d', epoch_ms(ts), event_id)) AS last_event_id,
+         arg_max(event_type, printf('%019d|%019d', epoch_ms(ts), event_id)) AS last_event_type,
+         arg_max(value, printf('%019d|%019d', epoch_ms(ts), event_id)) AS last_value,
          max(epoch_ms(ts)) AS last_ms
          FROM events GROUP BY user_id ORDER BY user_id""",
     "a2_last_height_per_type" ->
@@ -119,9 +121,11 @@ object SparkEntry {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
          ), y AS (
-           SELECT *, sum(new_session) OVER (PARTITION BY user_id
+           -- CAST: DuckDB sums INTEGER into HUGEINT, which the driver's
+           -- hasher formats differently from Spark's BIGINT (r2 false-FAIL)
+           SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
              ORDER BY ms, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            FROM x
          )
          SELECT user_id, session_id,
@@ -136,7 +140,7 @@ object SparkEntry {
          count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
          count(*) FILTER (WHERE event_type = 'error') AS n_error,
          round(sum(value), 2) AS total_value,
-         arg_max(event_type, epoch_ms(ts) * 1000000 + event_id) AS current_state,
+         arg_max(event_type, printf('%019d|%019d', epoch_ms(ts), event_id)) AS current_state,
          max(epoch_ms(ts)) AS state_ms
          FROM events GROUP BY user_id ORDER BY user_id""",
     "a7_funnel" ->
@@ -176,7 +180,7 @@ object SparkEntry {
          count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
          count(*) FILTER (WHERE event_type = 'error') AS n_error,
          round(sum(value), 2) AS total_value,
-         arg_max(event_type, epoch_ms(ts) * 1000000 + event_id) AS current_state,
+         arg_max(event_type, printf('%019d|%019d', epoch_ms(ts), event_id)) AS current_state,
          max(epoch_ms(ts)) AS state_ms
          FROM events GROUP BY user_id ORDER BY user_id""",
     // c1 is the only SQL-expressible dedup op; c2-c5 involve seeded
@@ -227,11 +231,12 @@ object SparkEntry {
     // E-module rule: token logic = string_split(text,' ') in DuckDB ≡
     // split(text," ") in Spark; identical IEEE double expressions on
     // both sides before the final round().
+    // CAST: DuckDB sums INTEGER (len()) into HUGEINT — see a5 note.
     "e1_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-         sum(len(string_split(text, ' '))) AS total_tokens,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
          round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
-         sum(len(regexp_extract_all(text, '[a-zA-Z0-9]+'))) AS total_re_tokens
+         CAST(sum(len(regexp_extract_all(text, '[a-zA-Z0-9]+'))) AS BIGINT) AS total_re_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
     "e2_quality_score" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks

@@ -40,12 +40,16 @@ object EventOps {
     Tables.events(spark, dir)
       .withColumn("ms", expr("ts div 1000000"))
 
-  /** Unique, order-preserving sort key: (ms, event_id) packed into one
-    * long — event_id is a row index, far below 1e6 per ms bucket.
-    * The same expression appears in the oracle SQL (`epoch_ms(ts) *
-    * 1000000 + event_id`) so both engines order identically.
+  /** Unique, order-preserving sort key: lexicographic (ms, event_id).
+    * A struct compares field-by-field, so the ordering is exact at ANY
+    * event_id magnitude — an arithmetic packing like ms*1e6+event_id
+    * silently corrupts the order once event_id (a global row index)
+    * crosses the packing base, which a 100 TB event log certainly does.
+    * The oracle mirrors it with a zero-padded fixed-width string key
+    * (`printf('%019d|%019d', ms, event_id)`), lexicographically
+    * identical for non-negative longs.
     */
-  private val ordKey = col("ms") * 1000000L + col("event_id")
+  private val ordKey = struct(col("ms"), col("event_id"))
 
   /** a1: latest event per user — `$sort`+`$group{$first:$$ROOT}`
     * (app.service.ts:162-179) as a max_by partial aggregate: the map

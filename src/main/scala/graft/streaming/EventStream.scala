@@ -73,16 +73,22 @@ object EventStream {
   /** Per-entity folded state — the Spark analog of the reference's
     * order/token documents updated by updateOrder/updateToken
     * (db.service.ts:87-200): pivoted event counts + last-event-wins
-    * current state.
+    * current state. (state_ms, state_eid) is the lexicographic ordinal
+    * of the state-defining event — compared as a tuple, never packed
+    * into one long (packing breaks once event_id crosses the base).
+    * n_folded counts every folded event: it is strictly monotone across
+    * state updates, so downstream consumers can pick the LATEST update
+    * per key unambiguously even when an update changed only counts
+    * (out-of-order older events) and left the ordinal untouched.
     */
   case class UserState(user_id: Long, n_signup: Long, n_view: Long,
                        n_click: Long, n_purchase: Long, n_error: Long,
                        total_value: Double, current_state: String,
-                       state_ms: Long, state_ord: Long)
+                       state_ms: Long, state_eid: Long, n_folded: Long)
 
   private def fold(st: UserState, e: Ev): UserState = {
-    val ord = e.ms * 1000000L + e.event_id
-    val newer = ord > st.state_ord
+    val newer = e.ms > st.state_ms ||
+      (e.ms == st.state_ms && e.event_id > st.state_eid)
     st.copy(
       n_signup = st.n_signup + (if (e.event_type == "signup") 1 else 0),
       n_view = st.n_view + (if (e.event_type == "view") 1 else 0),
@@ -92,7 +98,8 @@ object EventStream {
       total_value = st.total_value + e.value,
       current_state = if (newer) e.event_type else st.current_state,
       state_ms = if (newer) e.ms else st.state_ms,
-      state_ord = if (newer) ord else st.state_ord)
+      state_eid = if (newer) e.event_id else st.state_eid,
+      n_folded = st.n_folded + 1)
   }
 
   /** flatMapGroupsWithState fold of the event stream into per-user
@@ -115,7 +122,7 @@ object EventStream {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[UserState]) =>
           val init = state.getOption.getOrElse(
-            UserState(uid, 0, 0, 0, 0, 0, 0.0, "", Long.MinValue, Long.MinValue))
+            UserState(uid, 0, 0, 0, 0, 0, 0.0, "", Long.MinValue, Long.MinValue, 0L))
           val next = evs.toSeq.sortBy(e => (e.ms, e.event_id)).foldLeft(init)(fold)
           state.update(next)
           Iterator.single(next)
@@ -281,15 +288,18 @@ object EventStream {
       .orderBy(col("event_id"))
 
   /** a10: the per-user state fold computed through the streaming path —
-    * final state per user (latest update wins via state_ord), projected
-    * to the a6 batch shape so the SAME oracle verifies both paths.
+    * final state per user, projected to the a6 batch shape so the SAME
+    * oracle verifies both paths. Latest update wins via n_folded, which
+    * strictly increases with every folded event — unlike the event-time
+    * ordinal, it disambiguates an update that only absorbed out-of-order
+    * OLDER events (counts moved, ordinal didn't).
     */
   def streamState(spark: SparkSession, dir: String): DataFrame = {
     val updates = runToBatch(
       spark, userStateStream(spark, readEvents(spark, dir)).toDF(), "update")
     updates
       .groupBy(col("user_id"))
-      .agg(max_by(struct(col("*")), col("state_ord")).as("s"))
+      .agg(max_by(struct(col("*")), col("n_folded")).as("s"))
       .select(col("user_id"),
               col("s.n_signup").as("n_signup"),
               col("s.n_view").as("n_view"),

@@ -39,7 +39,7 @@ class EventStreamSpec extends SparkSpec {
     val states = EventStream.runToBatch(
         spark, EventStream.userStateStream(spark, events).toDF(), mode = "update")
       .groupBy(col("user_id"))
-      .agg(max_by(struct(col("*")), col("state_ord")).as("s"))
+      .agg(max_by(struct(col("*")), col("n_folded")).as("s"))
       .select(col("s.*"))
       .collect()
       .map(r => r.getAs[Long]("user_id") ->
@@ -163,21 +163,17 @@ class EventStreamSpec extends SparkSpec {
 
   test("state fold is replay-idempotent for last-event-wins fields") {
     // Feed the same data twice through fold state: counts double but
-    // current_state/state_ms stay fixed (the reference gets this from
-    // Mongo upserts; we get it from the packed ord key).
+    // current_state/state_ms/state_eid stay fixed (the reference gets
+    // this from Mongo upserts; we get it from the (ms, event_id)
+    // lexicographic ordinal guard).
     val events = EventStream.readEvents(spark, sf)
-    val once = EventStream.runToBatch(
+    def finalStates() = EventStream.runToBatch(
         spark, EventStream.userStateStream(spark, events).toDF(), mode = "update")
       .groupBy(col("user_id"))
-      .agg(max_by(col("current_state"), col("state_ord")).as("cs"),
-           max(col("state_ord")).as("ord"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    val twice = EventStream.runToBatch(
-        spark, EventStream.userStateStream(spark, events).toDF(), mode = "update")
-      .groupBy(col("user_id"))
-      .agg(max_by(col("current_state"), col("state_ord")).as("cs"),
-           max(col("state_ord")).as("ord"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    assert(once == twice)
+      .agg(max_by(col("current_state"), col("n_folded")).as("cs"),
+           max(col("state_ms")).as("sms"), max(col("state_eid")).as("seid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(finalStates() == finalStates())
   }
 }
