@@ -82,6 +82,15 @@ object SparkEntry {
     "b26_token_detail"          -> ((s: SparkSession, d: String) => MarketOps.tokenDetail(s, d)),
     "b27_collection_browse"     -> ((s: SparkSession, d: String) => MarketOps.collectionBrowse(s, d)),
     "b28_user_income_series"    -> ((s: SparkSession, d: String) => MarketOps.userIncomeSeries(s, d)),
+    // per-wallet activity family (reference app.service.ts:1656-1935)
+    "b29_wallet_listed"         -> ((s: SparkSession, d: String) => MarketOps.walletListed(s, d)),
+    "b30_wallet_bids"           -> ((s: SparkSession, d: String) => MarketOps.walletBids(s, d)),
+    "b31_wallet_minted"         -> ((s: SparkSession, d: String) => MarketOps.walletMinted(s, d)),
+    "b32_wallet_sold"           -> ((s: SparkSession, d: String) => MarketOps.walletSold(s, d)),
+    "b33_wallet_collections"    -> ((s: SparkSession, d: String) => MarketOps.walletCollections(s, d)),
+    // pagination contracts: {total, data} and keyset cursor
+    "b34_marketplace_page"      -> MarketOps.marketplacePage _,
+    "b35_keyset_page"           -> ((s: SparkSession, d: String) => MarketOps.keysetPage(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -533,5 +542,97 @@ object SparkEntry {
            ORDER BY revenue DESC, l_suppkey LIMIT 25
          ) ON l_suppkey = s_suppkey
          ORDER BY revenue DESC, s_suppkey""",
+    // per-wallet family: wallet = suppkey 1 (seller persona) / custkey 7
+    // (buyer persona); every variant carries the reference's {total,
+    // data} contract as a `total` column on each page row.
+    "b29_wallet_listed" ->
+      """SELECT l_orderkey AS orderkey, l_linenumber,
+         CAST(l_shipdate AS DATE) AS ship_day, l_extendedprice AS price,
+         o_custkey AS buyer, p_partkey, p_name,
+         (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_suppkey = 1 AND o_orderstatus = 'O') AS total
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN part ON l_partkey = p_partkey
+         WHERE l_suppkey = 1 AND o_orderstatus = 'O'
+         ORDER BY ship_day DESC, orderkey DESC, l_linenumber, p_partkey, price
+         LIMIT 10""",
+    "b30_wallet_bids" ->
+      """SELECT l_orderkey AS orderkey, l_linenumber,
+         CAST(l_shipdate AS DATE) AS bid_day, l_extendedprice AS bid,
+         p_partkey, p_name,
+         (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_custkey = 7 AND o_orderstatus = 'O') AS total
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN part ON l_partkey = p_partkey
+         WHERE o_custkey = 7 AND o_orderstatus = 'O'
+         ORDER BY bid DESC, orderkey DESC, l_linenumber, p_partkey LIMIT 10""",
+    // b31: "minted by wallet" = parts whose lexicographically FIRST sale
+    // line (ship ts, orderkey, linenumber) belongs to the wallet; the
+    // latest-order lookup is arg_max over the same ordinal.
+    // ordinal = (ship ts, orderkey, linenumber, suppkey, price) via
+    // per-part row_number windows — the printf key can't carry the
+    // double price, and the base triple can tie in this data.
+    "b31_wallet_minted" ->
+      """WITH r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY l_partkey
+               ORDER BY epoch_ms(l_shipdate), l_orderkey, l_linenumber,
+                        l_suppkey, l_extendedprice) AS rn_first,
+             row_number() OVER (PARTITION BY l_partkey
+               ORDER BY epoch_ms(l_shipdate) DESC, l_orderkey DESC,
+                        l_linenumber DESC, l_suppkey DESC,
+                        l_extendedprice DESC) AS rn_last
+           FROM lineitem),
+         a AS (
+           SELECT l_partkey,
+             max(CASE WHEN rn_first = 1 THEN l_suppkey END) AS first_supp,
+             min(CAST(l_shipdate AS DATE)) AS mint_day,
+             count(*) AS n_sales,
+             round(max(CASE WHEN rn_last = 1 THEN l_extendedprice END), 2) AS last_price,
+             max(CAST(l_shipdate AS DATE)) AS last_sale_day
+           FROM r GROUP BY l_partkey)
+         SELECT p_partkey, p_name, p_brand, mint_day, n_sales,
+                last_price, last_sale_day
+         FROM a JOIN part ON l_partkey = p_partkey
+         WHERE first_supp = 1 ORDER BY p_partkey""",
+    "b32_wallet_sold" ->
+      """SELECT l_orderkey AS orderkey, l_linenumber,
+         CAST(l_shipdate AS DATE) AS ship_day, l_extendedprice AS price,
+         o_custkey AS buyer, p_partkey, p_name,
+         (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_suppkey = 1 AND o_orderstatus = 'F') AS total
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN part ON l_partkey = p_partkey
+         WHERE l_suppkey = 1 AND o_orderstatus = 'F'
+         ORDER BY ship_day DESC, orderkey DESC, l_linenumber, p_partkey, price
+         LIMIT 10""",
+    "b33_wallet_collections" ->
+      """WITH b AS (
+           SELECT p_brand, count(DISTINCT p_partkey) AS n_items,
+                  count(*) AS n_sales,
+                  round(sum(l_extendedprice), 2) AS volume
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_suppkey = 1 GROUP BY p_brand)
+         SELECT p_brand, n_items, n_sales, volume,
+                (SELECT count(*) FROM b) AS total
+         FROM b ORDER BY volume DESC, p_brand LIMIT 10""",
+    "b34_marketplace_page" ->
+      """SELECT o_orderkey, o_totalprice, c_name,
+         CAST(o_orderdate AS DATE) AS order_date,
+         (SELECT count(*) FROM orders WHERE o_orderstatus = 'O') AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'O'
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 20""",
+    "b35_keyset_page" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+         o_totalprice
+         FROM orders
+         WHERE o_orderstatus = 'O'
+           AND o_orderdate >= TIMESTAMP '1997-07-01'
+           AND (o_orderdate > TIMESTAMP '1997-07-01' OR o_orderkey > 0)
+         ORDER BY order_date, o_orderkey LIMIT 20""",
   )
 }

@@ -539,4 +539,205 @@ object MarketOps {
               col("o_totalprice"), col("c_name"))
       .orderBy(col("order_date").desc, col("o_orderkey").desc)
   }
+
+  // ---- per-wallet activity family (b29–b33) ----
+  //
+  // The reference's wallet tabs (app.service.ts:1656-1935) all share one
+  // contract: match on the wallet + a status/event filter, look up the
+  // token, return { data: page, total: matchCount }. The wallet
+  // predicate reaches the parquet scan FIRST in every variant, so each
+  // query touches one wallet's rows, not the fact table — the `total`
+  // window over that pre-pruned set is a few hundred rows at any SF,
+  // which is why a single-partition window is safe HERE but not for the
+  // unfiltered marketplace page (b34 uses the agg+broadcast form).
+
+  /** One wallet's sale lines in a given order status, with part lookup,
+    * total match count, and the newest-first page — the shared plan of
+    * b29 (listed = open) and b32 (sold = filled).
+    */
+  private def walletLines(spark: SparkSession, dir: String, suppkey: Long,
+                          status: String, pageSize: Int): DataFrame = {
+    val mine = Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") === suppkey)        // pushed to the scan
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+              col("l_extendedprice"),
+              col("l_shipdate").cast("date").as("ship_day"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+    // one wallet's lines are tiny at any SF → broadcast them into the
+    // orders probe (status filter applies on the streamed side)
+    val matched = o.filter(col("o_orderstatus") === status)
+      .join(broadcast(mine), col("l_orderkey") === col("o_orderkey"))
+    val withPart = Tables.part(spark, dir)
+      .join(broadcast(matched), col("l_partkey") === col("p_partkey"))
+    withPart
+      .withColumn("total", count(lit(1)).over(Window.partitionBy()))
+      .select(col("l_orderkey").as("orderkey"), col("l_linenumber"),
+              col("ship_day"), col("l_extendedprice").as("price"),
+              col("o_custkey").as("buyer"), col("p_partkey"), col("p_name"),
+              col("total"))
+      // (orderkey, linenumber) is NOT unique in this data — extend the
+      // sort key through partkey+price so the page boundary is value-
+      // deterministic in both engines (remaining ties are full-row
+      // identical, so either pick yields the same output).
+      .orderBy(col("ship_day").desc, col("orderkey").desc,
+               col("l_linenumber"), col("p_partkey"), col("price"))
+      .limit(pageSize)
+  }
+
+  /** b29: collectibles a wallet has LISTED (open orders) —
+    * `getListedCollectiblesByWalletAddr` (app.service.ts:1684):
+    * sellerAddr + OrderState.Created, token `$lookup`, `{data, total}`.
+    */
+  def walletListed(spark: SparkSession, dir: String, suppkey: Long = 1L,
+                   pageSize: Int = 10): DataFrame =
+    walletLines(spark, dir, suppkey, "O", pageSize)
+
+  /** b32: collectibles a wallet has SOLD (filled orders) —
+    * `getSoldCollectiblesByWalletAddr` (app.service.ts:1895):
+    * seller + OrderState.Filled, token `$lookup`, `{data, total}`.
+    */
+  def walletSold(spark: SparkSession, dir: String, suppkey: Long = 1L,
+                 pageSize: Int = 10): DataFrame =
+    walletLines(spark, dir, suppkey, "F", pageSize)
+
+  /** b30: a wallet's BIDS — `getBidsCollectiblesByWalletAddr`
+    * (app.service.ts:1781): buyer + OrderBid events, order + token
+    * `$lookup`s, `{data, total}`. Here: the sale lines (bid events) of
+    * the customer's open orders, highest bid first. The wallet filter
+    * prunes orders to one customer BEFORE the fact join; the tiny order
+    * set broadcasts into the lineitem probe.
+    */
+  def walletBids(spark: SparkSession, dir: String, custkey: Long = 7L,
+                 pageSize: Int = 10): DataFrame = {
+    val myOpen = Tables.orders(spark, dir)
+      .filter(col("o_custkey") === custkey && col("o_orderstatus") === "O")
+      .select(col("o_orderkey"))
+    val bids = Tables.lineitem(spark, dir)
+      .join(broadcast(myOpen), col("l_orderkey") === col("o_orderkey"))
+    val withPart = Tables.part(spark, dir)
+      .join(broadcast(bids), col("l_partkey") === col("p_partkey"))
+    withPart
+      .withColumn("total", count(lit(1)).over(Window.partitionBy()))
+      .select(col("l_orderkey").as("orderkey"), col("l_linenumber"),
+              col("l_shipdate").cast("date").as("bid_day"),
+              col("l_extendedprice").as("bid"),
+              col("p_partkey"), col("p_name"), col("total"))
+      .orderBy(col("bid").desc, col("orderkey").desc, col("l_linenumber"),
+               col("p_partkey"))
+      .limit(pageSize)
+  }
+
+  /** b31: collectibles a wallet MINTED — `getMintedCollectiblesByWalletAddr`
+    * (app.service.ts:1841): royaltyOwner match + latest-order `$lookup`.
+    * "Creator" here = the FIRST seller of the part (lexicographic
+    * min_by over (ship ts, orderkey, linenumber) — the mint event), and
+    * the latest-order lookup = max_by over the same ordinal.
+    *
+    * Scale shape: the wallet's candidate partkeys come from a pushed
+    * l_suppkey scan (tiny), broadcast back into the fact scan so the
+    * per-part aggregate runs over ONLY those parts' lines — never a
+    * full-fact group-by for a one-wallet page.
+    */
+  def walletMinted(spark: SparkSession, dir: String,
+                   suppkey: Long = 1L): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    // ordinal extended through suppkey+price: (shipdate, orderkey,
+    // linenumber) can tie in this data — rows still tied on all five
+    // carry equal arg values, so the pick is value-deterministic.
+    val ord = struct(col("l_shipdate"), col("l_orderkey"),
+                     col("l_linenumber"), col("l_suppkey"),
+                     col("l_extendedprice"))
+    val cand = li.filter(col("l_suppkey") === suppkey)
+      .select(col("l_partkey")).distinct()
+    val agg = li.join(broadcast(cand), "l_partkey")
+      .groupBy(col("l_partkey"))
+      .agg(min_by(col("l_suppkey"), ord).as("first_supp"),
+           min(col("l_shipdate").cast("date")).as("mint_day"),
+           count(lit(1)).as("n_sales"),
+           round(max_by(col("l_extendedprice"), ord), 2).as("last_price"),
+           max(col("l_shipdate").cast("date")).as("last_sale_day"))
+      .filter(col("first_supp") === suppkey)
+    Tables.part(spark, dir)
+      .join(broadcast(agg), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+              col("mint_day"), col("n_sales"), col("last_price"),
+              col("last_sale_day"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** b33: a wallet's collections — `getCollectionsByWalletAddr`
+    * (app.service.ts:1656): owner match, sorted, `{data, total}`. Here:
+    * the brands a wallet trades in, ranked by its volume in each, with
+    * the total brand count alongside the page.
+    */
+  def walletCollections(spark: SparkSession, dir: String, suppkey: Long = 1L,
+                        pageSize: Int = 10): DataFrame = {
+    val mine = Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") === suppkey)
+      .select(col("l_partkey"), col("l_extendedprice"))
+    val perBrand = Tables.part(spark, dir)
+      .join(broadcast(mine), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(countDistinct(col("p_partkey")).as("n_items"),
+           count(lit(1)).as("n_sales"),
+           round(sum(col("l_extendedprice")), 2).as("volume"))
+    perBrand
+      .withColumn("total", count(lit(1)).over(Window.partitionBy()))
+      .orderBy(col("volume").desc, col("p_brand"))
+      .limit(pageSize)
+  }
+
+  /** b34: the marketplace page WITH its total match count —
+    * `getMarketplace`'s actual `{total, data}` response contract
+    * (app.service.ts:604-758). b3 returns the page alone; real clients
+    * need the total to render pagination.
+    *
+    * Scale shape: the total over ALL open orders must NOT be a window
+    * over the filtered set (that funnels the whole fact table through
+    * one partition) — it is a map-side-combined 1-row aggregate,
+    * broadcast onto the ≤pageSize page rows. Two passes over a pruned
+    * 2-column scan beat one pass through a single-partition window at
+    * any scale.
+    */
+  def marketplacePage(spark: SparkSession, dir: String): DataFrame = {
+    val open = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+    val total = open.agg(count(lit(1)).as("total"))
+    val top = open
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("o_orderdate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(40)
+    val page = Tables.customer(spark, dir)
+      .join(broadcast(top), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_name"),
+              col("o_orderdate").cast("date").as("order_date"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(20).limit(20)
+    page.crossJoin(broadcast(total))
+  }
+
+  /** b35: keyset (cursor) pagination — `listCollectibles`'s `after`
+    * cursor (app.service.ts:413). Offset pagination re-sorts and skips
+    * everything before the page (page 1000 of a 100 TB listing reads
+    * and discards 999 pages); a keyset cursor turns the page boundary
+    * into a PREDICATE the parquet scan prunes by: `o_orderdate >=
+    * cursor` pushes down (PushedFilters, min/max row-group skipping)
+    * and the (date, key) tuple refinement keeps exact-boundary rows
+    * deterministic. Deep pages cost the same as page 1.
+    */
+  def keysetPage(spark: SparkSession, dir: String,
+                 afterDate: String = "1997-07-01", afterKey: Long = 0L,
+                 pageSize: Int = 20): DataFrame = {
+    val cursor = lit(afterDate).cast("timestamp_ntz")
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O" &&
+        col("o_orderdate") >= cursor &&        // pushdown-friendly bound
+        (col("o_orderdate") > cursor || col("o_orderkey") > afterKey))
+      .select(col("o_orderkey"),
+              col("o_orderdate").cast("date").as("order_date"),
+              col("o_totalprice"))
+      .orderBy(col("order_date"), col("o_orderkey"))
+      .limit(pageSize)
+  }
 }

@@ -158,4 +158,75 @@ class MarketOpsSpec extends SparkSpec {
       }.toSeq.sortBy { case (k, rev) => (-rev, k) }.take(10)
     assert(got == naive)
   }
+
+  test("b29/b32 wallet pages: every row is the wallet's, total = naive count") {
+    for ((df, status) <- Seq(MarketOps.walletListed(spark, sf) -> "O",
+                             MarketOps.walletSold(spark, sf) -> "F")) {
+      val got = df.collect()
+      assert(got.nonEmpty)
+      // naive ground truth for supplier 1 in this status — a MULTISET:
+      // (orderkey, linenumber) is not unique in the generated data
+      val naive = Tables.lineitem(spark, sf).filter(col("l_suppkey") === 1)
+        .join(Tables.orders(spark, sf).filter(col("o_orderstatus") === status),
+              col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      val keys = naive.toSet
+      assert(got.forall(r => r.getAs[Long]("total") == naive.length))
+      assert(got.forall(r =>
+        keys((r.getAs[Long]("orderkey"), r.getAs[Int]("l_linenumber")))))
+      assert(got.length == math.min(10, naive.length))
+    }
+  }
+
+  test("b31 minted: every returned part was first-sold by the wallet") {
+    val got = MarketOps.walletMinted(spark, sf).collect()
+    assert(got.nonEmpty)
+    // naive first-seller per part over the raw table, same 5-field
+    // ordinal as the operator (ship ts, orderkey, linenumber, suppkey,
+    // price)
+    val firstSeller = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_shipdate", "l_orderkey",
+              "l_linenumber", "l_extendedprice")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (pk, rs) =>
+        pk -> rs.minBy { r =>
+          val ts = r.getAs[java.time.LocalDateTime](2)
+          (ts.toEpochSecond(java.time.ZoneOffset.UTC) * 1000 +
+             ts.getNano / 1000000, r.getLong(3), r.getInt(4), r.getLong(1),
+           r.getDouble(5))
+        }.getLong(1)
+      }
+    val minted = firstSeller.filter(_._2 == 1L).keySet
+    assert(got.map(_.getAs[Long]("p_partkey")).toSet == minted)
+  }
+
+  test("b34 {total,data}: page equals b3's page, total counts ALL open orders") {
+    val got = MarketOps.marketplacePage(spark, sf).collect()
+    assert(got.length == 20)
+    val openCount = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "O").count()
+    assert(got.forall(_.getAs[Long]("total") == openCount))
+    val b3Keys = rows(MarketOps.marketplaceListing(spark, sf))
+      .map(_.getAs[Long]("o_orderkey"))
+    assert(got.map(_.getAs[Long]("o_orderkey")).toSeq == b3Keys)
+  }
+
+  test("b35 keyset page equals the offset form over the same ordering") {
+    val got = MarketOps.keysetPage(spark, sf).collect()
+      .map(_.getAs[Long]("o_orderkey")).toSeq
+    assert(got.nonEmpty)
+    // naive: sort ALL open orders, drop everything at-or-before the
+    // cursor, take the page — the offset-pagination equivalent.
+    val cutoff = java.time.LocalDateTime.parse("1997-07-01T00:00:00")
+    val naive = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](1), r.getLong(0)))
+      .filter { case (d, k) => d.isAfter(cutoff) || (d == cutoff && k > 0) }
+      .sortBy { case (d, k) => (d.toEpochSecond(java.time.ZoneOffset.UTC), k) }
+      .take(20).map(_._2).toSeq
+    assert(got == naive)
+  }
 }
