@@ -29,6 +29,7 @@ object SparkEntry {
     "a12_asof_attribution"      -> EventOps.asofAttribution _,
     "a13_stream_join"           -> graft.streaming.EventStream.streamJoin _,
     "a14_stream_asof"           -> graft.streaming.EventStream.streamAsof _,
+    "a15_stream_asof_ooo"       -> graft.streaming.EventStream.streamAsofOoo _,
     // C. deduplication
     "c1_dedup_exact"            -> DedupOps.dedupExact _,
     "c2_dedup_minhash"          -> ((s: SparkSession, d: String) => DedupOps.dedupMinhash(s, d)),
@@ -317,6 +318,18 @@ object SparkEntry {
     // flatMapGroupsWithState as-of fold verifies against the identical
     // ASOF JOIN oracle.
     "a14_stream_asof" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms
+                    FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, epoch_ms(ts) AS view_ms,
+                      arg_max(value, event_id) AS view_value
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.purchase_ms, v.view_ms, v.view_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND v.view_ms <= p.purchase_ms
+         ORDER BY p.event_id""",
+    // a15: the watermark-buffered OOO-tolerant as-of — same result as
+    // a12/a14 over ordered data, so the same ASOF oracle verifies it.
+    "a15_stream_asof_ooo" ->
       """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms
                     FROM events WHERE event_type = 'purchase'),
          v AS (SELECT user_id, epoch_ms(ts) AS view_ms,

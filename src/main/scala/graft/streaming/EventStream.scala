@@ -39,11 +39,22 @@ object EventStream {
     * incrementally); the test data ships a single file, so it is
     * exposed through a temp directory via symlink.
     */
+  private val streamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val d = Files.createTempDirectory("graft-events-stream")
-    Files.createSymbolicLink(d.resolve("events.parquet"),
-                             Paths.get(s"$dir/events.parquet"))
+    // One symlink dir per input dir per JVM (computeIfAbsent), marked
+    // deleteOnExit — repeated calls in a long-lived session reuse it
+    // instead of littering the temp filesystem.
+    val d = streamDirs.computeIfAbsent(dir, { dir: String =>
+      val p = Files.createTempDirectory("graft-events-stream")
+      p.toFile.deleteOnExit()
+      val link = p.resolve("events.parquet")
+      Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+      link.toFile.deleteOnExit()
+      p
+    })
     spark.readStream
       .schema(eventSchema)
       .parquet(d.toString)
@@ -205,6 +216,87 @@ object EventStream {
       }
   }
 
+  /** A buffered event awaiting the watermark (as-of OOO variant). */
+  case class PendEv(event_id: Long, ms: Long, value: Double, isView: Boolean)
+
+  /** Ev plus its event-time column: the watermarked column must stay in
+    * the Dataset all the way to the stateful operator, or the analyzer
+    * rejects the event-time timeout.
+    */
+  case class EvW(event_id: Long, user_id: Long, event_type: String,
+                 ms: Long, value: Double, event_time: java.sql.Timestamp)
+
+  /** State of the watermark-buffered as-of fold: the latest FINALIZED
+    * view (everything at-or-below the watermark collapses to one row —
+    * older views can never win an as-of match for a future purchase)
+    * plus the still-mutable buffer above the watermark.
+    */
+  case class AsofBuf(hasBest: Boolean, bestMs: Long, bestEid: Long,
+                     bestVal: Double, pend: List[PendEv])
+
+  /** Streaming as-of join, OUT-OF-ORDER tolerant — asofStream assumes
+    * cross-batch event-time order and silently skips a view delivered
+    * after a later purchase was already emitted. This variant holds
+    * events until the watermark passes them: a purchase is finalized
+    * only once no view at-or-before it can still arrive, so late views
+    * (within the watermark bound) attribute correctly no matter which
+    * micro-batch delivers them.
+    *
+    * State per user is O(1) below the watermark (one finalized view —
+    * older ones are dominated for every future purchase) + the
+    * above-watermark buffer, i.e. bounded by the watermark delay, not
+    * the stream. Emission at `ms <= watermark` mirrors Spark's own
+    * windowed-aggregate finalization contract. An event-time timeout at
+    * the earliest held purchase guarantees the buffer drains once the
+    * watermark moves past it. Long-idle keys keep one finalized view
+    * row; a production deployment would add an idle-TTL timeout to
+    * reclaim those.
+    */
+  def asofStreamBuffered(spark: SparkSession, events: DataFrame,
+                         delay: String = "0 seconds"): Dataset[AsofOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("event_time", delay)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ms"), col("value"), col("event_time"))
+      .as[EvW]
+      .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofBuf, AsofOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[EvW], state: GroupState[AsofBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(
+            AsofBuf(hasBest = false, Long.MinValue, Long.MinValue, 0.0, Nil))
+          val pend = prev.pend ++ evs.map(e =>
+            PendEv(e.event_id, e.ms, e.value, e.event_type == "view"))
+          val (ripe, hold) = pend.partition(_.ms <= wm)
+          var has = prev.hasBest
+          var bMs = prev.bestMs; var bEid = prev.bestEid; var bVal = prev.bestVal
+          val out = List.newBuilder[AsofOut]
+          // Same (ms, views-first, event_id) tiebreak as the batch
+          // operator's `side` ordinal — <= semantics at equal ms. Every
+          // ripe view is <= wm < any held purchase's ms, so folding all
+          // of them into `best` can never overshoot a held purchase.
+          ripe.sortBy(p => (p.ms, if (p.isView) 0 else 1, p.event_id)).foreach { p =>
+            if (p.isView) {
+              if (!has || p.ms > bMs || (p.ms == bMs && p.event_id > bEid)) {
+                has = true; bMs = p.ms; bEid = p.event_id; bVal = p.value
+              }
+            } else {
+              out += AsofOut(p.event_id, uid, p.ms,
+                if (has) Long.box(bMs) else null,
+                if (has) Double.box(bVal) else null)
+            }
+          }
+          state.update(AsofBuf(has, bMs, bEid, bVal, hold))
+          val heldPurchases = hold.filter(!_.isView)
+          if (heldPurchases.nonEmpty)
+            state.setTimeoutTimestamp(heldPurchases.map(_.ms).min)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream interval join — attribution pairs: each purchase
     * matched to the same user's views in the preceding 30 minutes (the
     * reference correlates OrderFilled events with their originating
@@ -283,6 +375,20 @@ object EventStream {
     */
   def streamAsof(spark: SparkSession, dir: String): DataFrame =
     runToBatch(spark, asofStream(spark, readEvents(spark, dir)).toDF(), "update")
+      .select(col("purchase_id").as("event_id"), col("user_id"),
+              col("purchase_ms"), col("view_ms"), col("view_value"))
+      .orderBy(col("event_id"))
+
+  /** a15: a12's as-of computed through the watermark-buffered OOO-
+    * tolerant path, projected to the same shape so the SAME oracle
+    * verifies all three as-of forms. Delay 0 here: the file batch
+    * delivers everything before the watermark first moves, and the
+    * trailing no-data micro-batch advances it to max event time, which
+    * drains every held purchase.
+    */
+  def streamAsofOoo(spark: SparkSession, dir: String): DataFrame =
+    runToBatch(spark,
+        asofStreamBuffered(spark, readEvents(spark, dir)).toDF(), "update")
       .select(col("purchase_id").as("event_id"), col("user_id"),
               col("purchase_ms"), col("view_ms"), col("view_value"))
       .orderBy(col("event_id"))

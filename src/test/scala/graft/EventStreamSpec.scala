@@ -161,6 +161,57 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("a15 buffered as-of equals batch a12 purchase-for-purchase") {
+    val streamed = EventStream.streamAsofOoo(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("view_ms")).map(_.toLong),
+         Option(r.getAs[java.lang.Double]("view_value")).map(_.toDouble)))
+      .toMap
+    val batch = EventOps.asofAttribution(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("view_ms")).map(_.toLong),
+         Option(r.getAs[java.lang.Double]("view_value")).map(_.toDouble)))
+      .toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("a15 absorbs a view delivered AFTER its purchase (cross-batch OOO)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[EventStream.Ev]
+    val events = in.toDF()
+      .withColumn("event_time", timestamp_millis(col("ms")))
+    val q = EventStream.asofStreamBuffered(spark, events, "30 minutes").toDF()
+      .writeStream.format("memory").queryName("a15_ooo")
+      .outputMode("update").start()
+    try {
+      // batch 1: an early view and the purchase
+      in.addData(EventStream.Ev(1, 1, "view", 1000000L, 1.0),
+                 EventStream.Ev(2, 1, "purchase", 5000000L, 0.0))
+      q.processAllAvailable()
+      // batch 2: the view BETWEEN them arrives late — after the
+      // purchase was already seen, but within the 30-minute watermark.
+      // asofStream (a14) would have emitted the purchase with the
+      // early view; the buffered fold must still be holding it.
+      in.addData(EventStream.Ev(3, 1, "view", 4000000L, 4.0))
+      q.processAllAvailable()
+      assert(spark.table("a15_ooo").count() == 0)  // purchase still held
+      // batch 3: sentinel far ahead pushes the watermark past the
+      // purchase → the event-time timeout drains it.
+      in.addData(EventStream.Ev(99, 999, "view", 5000000L + 7200000L, 9.0))
+      q.processAllAvailable()
+      q.processAllAvailable()  // let the no-data timeout batch run
+      val out = spark.table("a15_ooo").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+      assert(out.length == 1)
+      assert(out.head.getAs[Long]("purchase_id") == 2L)
+      assert(out.head.getAs[java.lang.Long]("view_ms") == 4000000L)
+      assert(out.head.getAs[java.lang.Double]("view_value") == 4.0)
+    } finally q.stop()
+  }
+
   test("state fold is replay-idempotent for last-event-wins fields") {
     // Feed the same data twice through fold state: counts double but
     // current_state/state_ms/state_eid stay fixed (the reference gets
