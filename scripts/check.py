@@ -33,7 +33,11 @@ def value_hash(df: pd.DataFrame) -> str:
         cells = []
         for v in tup:
             if isinstance(v, float):
-                cells.append(f"{v:.6g}")
+                # Full precision: every query round()s its floats
+                # upstream, so Spark and DuckDB produce bit-identical
+                # doubles — 6 sig digits would false-PASS cents on
+                # million-scale sums.
+                cells.append(f"{v:.17g}")
             else:
                 cells.append(str(v))
         rows.append("|".join(cells))
