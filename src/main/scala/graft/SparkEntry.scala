@@ -36,6 +36,7 @@ object SparkEntry {
     "c3_dedup_simhash"          -> ((s: SparkSession, d: String) => DedupOps.dedupSimhash(s, d)),
     "c4_ngram_jaccard"          -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
     "c5_dedup_embedding"        -> ((s: SparkSession, d: String) => DedupOps.dedupEmbedding(s, d)),
+    "c6_dedup_clusters"         -> ((s: SparkSession, d: String) => DedupOps.dedupClusters(s, d)),
     // D. similarity search
     "d1_ann_bruteforce"         -> ((s: SparkSession, d: String) => SimOps.annBruteforce(s, d)),
     "d2_ann_lsh"                -> ((s: SparkSession, d: String) => SimOps.annLsh(s, d)),
@@ -201,6 +202,41 @@ object SparkEntry {
          count(*) OVER (PARTITION BY md5(text)) AS dup_count,
          (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical
          FROM documents ORDER BY doc_id""",
+    // c6: connected components — DuckDB computes the same 8-token
+    // chunk-fingerprint edges, then closes them with a recursive-CTE
+    // reachability fixpoint (identity ∪ one-hop extension, UNION
+    // dedup terminates); component = min reachable id. Tiny graphs at
+    // verify SF keep the closure quadratic-in-cluster-size cheap.
+    "c6_dedup_clusters" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         chunks AS (
+           SELECT DISTINCT doc_id, cfp FROM (
+             SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(t), 8),
+                      s -> md5(array_to_string(list_slice(t, s, s + 7), ' '))))
+                      AS cfp
+             FROM toks WHERE len(t) > 0)),
+         capped AS (
+           SELECT doc_id, cfp FROM (
+             SELECT doc_id, cfp, count(*) OVER (PARTITION BY cfp) AS df
+             FROM chunks)
+           WHERE df <= 100),
+         pairs AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM capped x JOIN capped y
+             ON x.cfp = y.cfp AND x.doc_id < y.doc_id),
+         edges AS (SELECT a, b FROM pairs
+                   UNION ALL SELECT b AS a, a AS b FROM pairs),
+         reach(src, dst) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                  FROM reach GROUP BY src)
+         SELECT doc_id, cluster_id,
+                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         FROM comp ORDER BY doc_id""",
     // D-module: exact double cosine reproduced in DuckDB via
     // list_zip/list_transform/list_sum over ::DOUBLE[] casts — the same
     // sequential fold Spark's aggregate() runs, so values match to the

@@ -141,6 +141,51 @@ class DedupOpsSpec extends SparkSpec {
     nearPairs.foreach(p => assert(ests(p) >= 0.7, s"near pair $p est ${ests(p)}"))
   }
 
+  test("c6 clusters: transitive chain collapses to one component (planted)") {
+    // A~B share the first half, B~C share the second half, A and C
+    // share NOTHING — exactly the case pair operators (c2–c5) cannot
+    // express and connected components must: {A,B,C} is one cluster.
+    // Token count is a multiple of the 8-token chunk so shared halves
+    // align on chunk boundaries.
+    val h1 = (0 until 32).map(i => s"alpha$i").mkString(" ")
+    val h2 = (0 until 32).map(i => s"beta$i").mkString(" ")
+    val h3 = (0 until 32).map(i => s"gamma$i").mkString(" ")
+    val h4 = (0 until 32).map(i => s"delta$i").mkString(" ")
+    val docs = Seq(
+      0L -> s"$h1 $h2",   // A
+      1L -> s"$h1 $h3",   // B: shares h1 with A
+      2L -> s"$h4 $h3",   // C: shares h3 with B, nothing with A
+      3L -> (0 until 64).map(i => s"solo$i").mkString(" "))  // singleton
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    import spark.implicits._
+    docs.map { case (id, t) => (id, t, "en", "planted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = DedupOps.dedupClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toMap
+    assert(got(0L) == (0L, 3L))
+    assert(got(1L) == (0L, 3L))
+    assert(got(2L) == (0L, 3L), "transitive member C must join A's cluster")
+    assert(got(3L) == (3L, 1L), "singleton keeps its own label")
+  }
+
+  test("c6 clusters on the real corpus: labels are a valid CC fixpoint") {
+    val got = DedupOps.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toMap
+    assert(got.size == texts.size)
+    // cluster ids are the min member; sizes consistent with membership
+    val byCluster = got.groupBy(_._2._1)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid label isn't min member")
+      members.foreach { case (_, (_, sz)) =>
+        assert(sz == members.size, s"cluster $cid size mismatch")
+      }
+    }
+  }
+
   test("c5 embedding cosine: values exact vs JVM recompute; pairs from real buckets") {
     val got = DedupOps.dedupEmbedding(spark, sf).collect()
     assert(got.nonEmpty)
