@@ -232,7 +232,7 @@ object EventStream {
     * plus the still-mutable buffer above the watermark.
     */
   case class AsofBuf(hasBest: Boolean, bestMs: Long, bestEid: Long,
-                     bestVal: Double, pend: List[PendEv])
+                     bestVal: Double, pend: List[PendEv], lastMs: Long)
 
   /** Streaming as-of join, OUT-OF-ORDER tolerant — asofStream assumes
     * cross-batch event-time order and silently skips a view delivered
@@ -248,12 +248,20 @@ object EventStream {
     * the stream. Emission at `ms <= watermark` mirrors Spark's own
     * windowed-aggregate finalization contract. An event-time timeout at
     * the earliest held purchase guarantees the buffer drains once the
-    * watermark moves past it. Long-idle keys keep one finalized view
-    * row; a production deployment would add an idle-TTL timeout to
-    * reclaim those.
+    * watermark moves past it.
+    *
+    * `idleTtlMs` bounds TOTAL state: a key whose last event is more
+    * than the TTL below the watermark has its state removed (after any
+    * still-held work drains), so long-idle keys stop costing a state
+    * row. The semantic trade is explicit: a purchase arriving after
+    * the key was reclaimed cannot attribute to a pre-TTL view — i.e.
+    * the attribution lookback window IS the TTL. Default = no TTL
+    * (state O(active keys), the a12-equivalent semantics the oracle
+    * checks).
     */
   def asofStreamBuffered(spark: SparkSession, events: DataFrame,
-                         delay: String = "0 seconds"): Dataset[AsofOut] = {
+                         delay: String = "0 seconds",
+                         idleTtlMs: Long = Long.MaxValue): Dataset[AsofOut] = {
     import spark.implicits._
     events
       .withWatermark("event_time", delay)
@@ -267,9 +275,11 @@ object EventStream {
         (uid: Long, evs: Iterator[EvW], state: GroupState[AsofBuf]) =>
           val wm = state.getCurrentWatermarkMs()
           val prev = state.getOption.getOrElse(
-            AsofBuf(hasBest = false, Long.MinValue, Long.MinValue, 0.0, Nil))
+            AsofBuf(hasBest = false, Long.MinValue, Long.MinValue, 0.0, Nil,
+                    Long.MinValue))
           val pend = prev.pend ++ evs.map(e =>
             PendEv(e.event_id, e.ms, e.value, e.event_type == "view"))
+          val lastMs = (prev.lastMs :: pend.map(_.ms)).max
           val (ripe, hold) = pend.partition(_.ms <= wm)
           var has = prev.hasBest
           var bMs = prev.bestMs; var bEid = prev.bestEid; var bVal = prev.bestVal
@@ -289,10 +299,25 @@ object EventStream {
                 if (has) Double.box(bVal) else null)
             }
           }
-          state.update(AsofBuf(has, bMs, bEid, bVal, hold))
-          val heldPurchases = hold.filter(!_.isView)
-          if (heldPurchases.nonEmpty)
-            state.setTimeoutTimestamp(heldPurchases.map(_.ms).min)
+          // Saturating TTL deadline (lastMs + ttl can overflow).
+          val ttlAt =
+            if (idleTtlMs == Long.MaxValue) Long.MaxValue
+            else { val s = lastMs + idleTtlMs
+                   if (s < lastMs) Long.MaxValue else s }
+          if (hold.isEmpty && wm >= ttlAt) {
+            // Idle past the TTL and nothing held — reclaim the key.
+            state.remove()
+          } else {
+            state.update(AsofBuf(has, bMs, bEid, bVal, hold, lastMs))
+            val heldPurchases = hold.filter(!_.isView)
+            val deadlines = heldPurchases.map(_.ms) ++
+              (if (ttlAt != Long.MaxValue) Seq(ttlAt) else Nil)
+            if (deadlines.nonEmpty)
+              // setTimeoutTimestamp requires a future-of-watermark ts;
+              // held purchases are > wm by the partition, the TTL
+              // deadline may not be (held views present) — clamp.
+              state.setTimeoutTimestamp(math.max(deadlines.min, wm + 1))
+          }
           out.result().iterator
       }
   }

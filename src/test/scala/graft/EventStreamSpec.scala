@@ -212,6 +212,47 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a15 idle TTL reclaims state; post-TTL purchase gets null attribution") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600000L
+    // Identical event sequence through both variants: only the TTL'd
+    // one forgets the view, proving removal (not late-row filtering or
+    // ordering) causes the null.
+    def run(ttl: Long, qname: String): Option[Long] = {
+      val in = MemoryStream[EventStream.Ev]
+      val events = in.toDF()
+        .withColumn("event_time", timestamp_millis(col("ms")))
+      val q = EventStream.asofStreamBuffered(spark, events, "0 seconds", ttl)
+        .toDF()
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("update").start()
+      try {
+        in.addData(EventStream.Ev(1, 1, "view", 1000000L, 1.0))
+        q.processAllAvailable()
+        // sentinel 2h later: watermark sweeps past view + 1h TTL →
+        // the no-data timeout batch reclaims user 1 (TTL variant only)
+        in.addData(EventStream.Ev(90, 999, "view", 1000000L + 2 * H, 9.0))
+        q.processAllAvailable(); q.processAllAvailable()
+        // purchase above the watermark; then a sentinel to drain it
+        in.addData(EventStream.Ev(2, 1, "purchase", 1000000L + 3 * H, 0.0))
+        q.processAllAvailable()
+        in.addData(EventStream.Ev(91, 999, "view", 1000000L + 6 * H, 9.0))
+        q.processAllAvailable(); q.processAllAvailable()
+        val rows = spark.table(qname).collect()
+          .filter(r => r.getAs[Long]("user_id") == 1L &&
+                       r.getAs[Long]("purchase_id") == 2L)
+        assert(rows.length == 1, s"$qname: expected the purchase drained")
+        Option(rows.head.getAs[java.lang.Long]("view_ms")).map(_.toLong)
+      } finally q.stop()
+    }
+    assert(run(H, "a15_ttl") == None,
+      "TTL'd state must forget the pre-TTL view")
+    assert(run(Long.MaxValue, "a15_nottl") == Some(1000000L),
+      "without TTL the same sequence attributes the old view")
+  }
+
   test("state fold is replay-idempotent for last-event-wins fields") {
     // Feed the same data twice through fold state: counts double but
     // current_state/state_ms/state_eid stay fixed (the reference gets
