@@ -270,8 +270,13 @@ object EventStream {
       .as[EvW]
       .filter(e => e.event_type == "view" || e.event_type == "purchase")
       .groupByKey(_.user_id)
+      // Append operator mode: every emitted row is FINAL (a purchase
+      // emits exactly once, when the watermark finalizes it) — so the
+      // query can run in append mode against exactly-once file sinks,
+      // which the ordered variant (update-mode, emits immediately)
+      // cannot.
       .flatMapGroupsWithState[AsofBuf, AsofOut](
-        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, evs: Iterator[EvW], state: GroupState[AsofBuf]) =>
           val wm = state.getCurrentWatermarkMs()
           val prev = state.getOption.getOrElse(
@@ -413,7 +418,7 @@ object EventStream {
     */
   def streamAsofOoo(spark: SparkSession, dir: String): DataFrame =
     runToBatch(spark,
-        asofStreamBuffered(spark, readEvents(spark, dir)).toDF(), "update")
+        asofStreamBuffered(spark, readEvents(spark, dir)).toDF(), "append")
       .select(col("purchase_id").as("event_id"), col("user_id"),
               col("purchase_ms"), col("view_ms"), col("view_value"))
       .orderBy(col("event_id"))

@@ -185,7 +185,7 @@ class EventStreamSpec extends SparkSpec {
       .withColumn("event_time", timestamp_millis(col("ms")))
     val q = EventStream.asofStreamBuffered(spark, events, "30 minutes").toDF()
       .writeStream.format("memory").queryName("a15_ooo")
-      .outputMode("update").start()
+      .outputMode("append").start()
     try {
       // batch 1: an early view and the purchase
       in.addData(EventStream.Ev(1, 1, "view", 1000000L, 1.0),
@@ -227,7 +227,7 @@ class EventStreamSpec extends SparkSpec {
       val q = EventStream.asofStreamBuffered(spark, events, "0 seconds", ttl)
         .toDF()
         .writeStream.format("memory").queryName(qname)
-        .outputMode("update").start()
+        .outputMode("append").start()
       try {
         in.addData(EventStream.Ev(1, 1, "view", 1000000L, 1.0))
         q.processAllAvailable()

@@ -78,4 +78,63 @@ class StreamResumeSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("total_value") - v) < 1e-6)
     }
   }
+
+  test("buffered as-of resumes from checkpoint: exactly-once, equals batch a12") {
+    // The append-mode property the buffered variant buys: rows are
+    // final when emitted, so file sink + checkpoint gives exactly-once
+    // across a restart — held state (views + not-yet-finalized
+    // purchases at the split boundary) must survive into run 2.
+    val base = Files.createTempDirectory("graft-asof-resume")
+    val streamDir = Files.createDirectory(base.resolve("in"))
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val Array(lo, hi) = ev.selectExpr("min(ts)", "max(ts)").collect()(0) match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val mid = lo + (hi - lo) / 2
+    val t1 = Files.createTempDirectory("graft-asof-p1")
+    val t2 = Files.createTempDirectory("graft-asof-p2")
+    ev.filter(col("ts") <= mid).coalesce(1).write.mode("overwrite").parquet(t1.toString)
+    ev.filter(col("ts") > mid).coalesce(1).write.mode("overwrite").parquet(t2.toString)
+
+    def runOnce(): Unit = {
+      val events = spark.readStream
+        .schema(EventStream.eventSchema)
+        .parquet(streamDir.toString)
+        .withColumn("ms", expr("ts div 1000000"))
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val q = EventStream.asofStreamBuffered(spark, events).toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    copyOnly(t1, streamDir.resolve("p1.parquet"))
+    runOnce()
+    val rows1 = spark.read.parquet(outDir).count()
+    copyOnly(t2, streamDir.resolve("p2.parquet"))
+    runOnce()
+    val out = spark.read.parquet(outDir).collect()
+
+    assert(out.length > rows1, "resume must emit part-2 purchases")
+    // exactly-once: each purchase appears exactly once across both runs
+    val ids = out.map(_.getAs[Long]("purchase_id"))
+    assert(ids.distinct.length == ids.length)
+    // and the union equals the batch as-of over the full data — i.e.
+    // the restart lost no held state and re-emitted nothing
+    val got = out.map(r => r.getAs[Long]("purchase_id") ->
+      (Option(r.getAs[java.lang.Long]("view_ms")).map(_.toLong),
+       Option(r.getAs[java.lang.Double]("view_value")).map(_.toDouble))).toMap
+    val batch = graft.operators.EventOps.asofAttribution(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("view_ms")).map(_.toLong),
+         Option(r.getAs[java.lang.Double]("view_value")).map(_.toDouble))).toMap
+    assert(got == batch)
+  }
 }
