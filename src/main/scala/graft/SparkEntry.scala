@@ -47,6 +47,7 @@ object SparkEntry {
     "f1_multimodal_meta"        -> MultimodalOps.multimodalMeta _,
     "f2_frame_sample"           -> ((s: SparkSession, d: String) => MultimodalOps.frameSample(s, d)),
     "f3_media_by_lang"          -> MultimodalOps.mediaByLang _,
+    "f4_audio_windows"          -> ((s: SparkSession, d: String) => MultimodalOps.audioWindows(s, d)),
     // E. text analysis
     "e1_token_stats"            -> TextOps.tokenStats _,
     "e2_quality_score"          -> TextOps.qualityScore _,

@@ -114,6 +114,54 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** One fixed-length analysis window of an audio stream (STFT-style
+    * framing: window length + hop, overlapping when hop < window).
+    */
+  case class AudioWin(doc_id: Long, win_idx: Int, start_ms: Long, rms: Double)
+
+  /** STUB audio framer: yields the window grid a real feature
+    * extractor (mel/STFT) would compute — count from the decoded
+    * duration, 50% overlap by default, capped. RMS is hash-derived;
+    * the REAL parts are the framing arithmetic, the lazy iterator
+    * (a long stream never materializes all windows), and the
+    * modality filter running BEFORE decode.
+    */
+  private def audioWindowsStub(r: MediaRecord, winMs: Long, hopMs: Long,
+                               maxWins: Int): Iterator[AudioWin] = {
+    val meta = decodeStub(r)
+    val dur = math.max(meta.duration_ms, winMs)
+    val n = math.min((dur - winMs) / hopMs + 1L, maxWins.toLong).toInt
+    Iterator.tabulate(n) { i =>
+      val seed = meta.checksum ^ (i.toLong * 0xD6E8FEB86659FD93L)
+      AudioWin(r.doc_id, i, i * hopMs,
+               ((seed >>> 16) & 0xFFFF).toDouble / 65535.0)
+    }
+  }
+
+  /** f4: audio fixed-window framing — f2's audio twin. Modality is
+    * pruned declaratively BEFORE the decode boundary (the predicate
+    * reaches the scan; only audio payloads cross into mapPartitions),
+    * windows stream lazily, and the per-doc aggregate is an ordinary
+    * partial-aggregable plan. peak_window picks via lexicographic
+    * (rms, win_idx) max so ties are deterministic.
+    */
+  def audioWindows(spark: SparkSession, dir: String, winMs: Long = 1000L,
+                   hopMs: Long = 500L, maxWins: Int = 32): DataFrame = {
+    import spark.implicits._
+    val wins = mediaTable(spark, dir)
+      .filter(col("media_type") === "audio")
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap(audioWindowsStub(_, winMs, hopMs, maxWins)))
+    wins.toDF()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+           round(avg(col("rms")), 6).as("avg_rms"),
+           round(max(col("rms")), 6).as("peak_rms"),
+           max_by(col("win_idx"), struct(col("rms"), col("win_idx")))
+             .as("peak_window"))
+      .orderBy(col("doc_id"))
+  }
+
   /** f3: decoded metadata joined BACK to the document table — the
     * post-decode join every multimodal pipeline runs (pair pixels with
     * captions/labels), aggregated per (lang, media_type). Both sides

@@ -70,6 +70,33 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(gotBytesByLang == expBytesByLang)
   }
 
+  test("f4 audio windows: only audio docs, bounded overlapping grid, deterministic") {
+    val got = MultimodalOps.audioWindows(spark, sf).collect()
+    val audioIds = MultimodalOps.mediaTable(spark, sf)
+      .filter(col("media_type") === "audio")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exactly the audio subset crosses the decode boundary
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == audioIds)
+    assert(got.nonEmpty)
+    // duration→window-count arithmetic: n = min((dur-win)/hop+1, cap)
+    val durs = MultimodalOps.multimodalMeta(spark, sf)
+      .filter(col("media_type") === "audio")
+      .select("doc_id", "duration_ms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expN = math.min((math.max(durs(id), 1000L) - 1000L) / 500L + 1L, 32L)
+      assert(r.getAs[Long]("n_windows") == expN, s"doc $id window count")
+      assert(r.getAs[Double]("peak_rms") >= r.getAs[Double]("avg_rms"))
+      assert(r.getAs[Int]("peak_window") < expN)
+    }
+    // deterministic across runs and partitionings
+    val again = MultimodalOps.audioWindows(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("peak_rms")).toMap
+    got.foreach(r =>
+      assert(again(r.getAs[Long]("doc_id")) == r.getAs[Double]("peak_rms")))
+  }
+
   test("f1 modality tags partition the corpus into the three media types") {
     val types = MultimodalOps.multimodalMeta(spark, sf)
       .groupBy("media_type").count().collect()
