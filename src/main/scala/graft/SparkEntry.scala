@@ -48,6 +48,8 @@ object SparkEntry {
     "f2_frame_sample"           -> ((s: SparkSession, d: String) => MultimodalOps.frameSample(s, d)),
     "f3_media_by_lang"          -> MultimodalOps.mediaByLang _,
     "f4_audio_windows"          -> ((s: SparkSession, d: String) => MultimodalOps.audioWindows(s, d)),
+    // P. pipeline compositions
+    "p1_corpus_prep"            -> ((s: SparkSession, d: String) => PipelineOps.corpusPrep(s, d)),
     // E. text analysis
     "e1_token_stats"            -> TextOps.tokenStats _,
     "e2_quality_score"          -> TextOps.qualityScore _,
@@ -203,6 +205,58 @@ object SparkEntry {
          count(*) OVER (PARTITION BY md5(text)) AS dup_count,
          (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical
          FROM documents ORDER BY doc_id""",
+    // p1: the corpus-prep composition — c6's CC closure + e2's quality
+    // formula chained exactly as the Spark plan chains them. Integer
+    // sums cast to BIGINT (DuckDB sum() yields HUGEINT, which the
+    // driver's hasher formats differently).
+    "p1_corpus_prep" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         chunks AS (
+           SELECT DISTINCT doc_id, cfp FROM (
+             SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(t), 8),
+                      s -> md5(array_to_string(list_slice(t, s, s + 7), ' '))))
+                      AS cfp
+             FROM toks WHERE len(t) > 0)),
+         capped AS (
+           SELECT doc_id, cfp FROM (
+             SELECT doc_id, cfp, count(*) OVER (PARTITION BY cfp) AS df
+             FROM chunks)
+           WHERE df <= 100),
+         prs AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM capped x JOIN capped y
+             ON x.cfp = y.cfp AND x.doc_id < y.doc_id),
+         edges AS (SELECT a, b FROM prs
+                   UNION ALL SELECT b AS a, a AS b FROM prs),
+         reach(src, dst) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                  FROM reach GROUP BY src),
+         q AS (
+           SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+             round(0.25 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                 + 0.25 * (1.0 - len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the','a','of','to','and')))::DOUBLE
+                     / len(string_split(text, ' ')))
+                 + 0.25 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+                     / length(text))
+                 + 0.25 * len(list_distinct(string_split(text, ' ')))::DOUBLE
+                     / len(string_split(text, ' ')), 4) AS quality
+           FROM documents),
+         kept AS (
+           SELECT q.doc_id, q.lang, q.n_tokens, q.quality, comp.cluster_id
+           FROM q JOIN comp USING (doc_id) WHERE q.quality >= 0.72),
+         reps AS (SELECT cluster_id, min(doc_id) AS doc_id
+                  FROM kept GROUP BY cluster_id)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                round(avg(quality), 6) AS avg_quality
+         FROM kept JOIN reps USING (cluster_id, doc_id)
+         GROUP BY lang ORDER BY lang""",
     // c6: connected components — DuckDB computes the same 8-token
     // chunk-fingerprint edges, then closes them with a recursive-CTE
     // reachability fixpoint (identity ∪ one-hop extension, UNION

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.{DedupOps, PipelineOps, TextOps}
+import graft.sources.Tables
+
+/** Module P spec — the composition must equal composing the (already
+  * independently verified) pieces by hand.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("p1 equals the hand-composed quality→cluster-rep→stats chain") {
+    val quality = TextOps.qualityScore(spark, sf)
+      .select("doc_id", "n_tokens", "quality").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("quality"))).toMap
+    val cluster = DedupOps.dedupClusters(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val lang = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+
+    val kept = quality.keys.filter(id => quality(id)._2 >= 0.72).toSeq
+    val reps = kept.groupBy(cluster).map { case (_, ids) => ids.min }.toSet
+    val expected = reps.toSeq.groupBy(lang).map { case (l, ids) =>
+      val qs = ids.map(quality(_)._2)
+      l -> (ids.size.toLong, ids.map(quality(_)._1).sum,
+            BigDecimal(qs.sum / qs.size)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }
+
+    val got = PipelineOps.corpusPrep(spark, sf).collect().map { r =>
+      r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+         BigDecimal(r.getAs[Double]("avg_quality"))
+           .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }.toMap
+
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the gate has bite: fewer docs survive than exist
+    assert(got.values.map(_._1).sum < lang.size)
+  }
+}
