@@ -30,6 +30,18 @@ object PipelineOps {
     * cluster_id aggregate, and one lang aggregate.
     */
   def corpusPrep(spark: SparkSession, dir: String,
+                 minQuality: Double = 0.72): DataFrame =
+    corpusDocs(spark, dir, minQuality)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           round(avg(col("quality")), 6).as("avg_quality"))
+      .orderBy(col("lang"))
+
+  /** The prepared corpus itself (p1's pre-rollup form): one row per
+    * surviving representative document.
+    */
+  def corpusDocs(spark: SparkSession, dir: String,
                  minQuality: Double = 0.72): DataFrame = {
     val q = TextOps.qualityScore(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
@@ -40,16 +52,24 @@ object PipelineOps {
       .join(q, "doc_id")
       .filter(col("quality") >= minQuality)
       .join(clusters, "doc_id")
-    val reps = kept
+    kept
       .groupBy(col("cluster_id"))
       .agg(min_by(struct(col("doc_id"), col("lang"), col("n_tokens"),
                          col("quality")), col("doc_id")).as("r"))
       .select(col("r.*"))
-    reps
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-           sum(col("n_tokens")).as("total_tokens"),
-           round(avg(col("quality")), 6).as("avg_quality"))
-      .orderBy(col("lang"))
   }
+
+  /** Materialize the prepared corpus as lang-partitioned parquet — the
+    * sink every corpus-prep run ends in. `repartition(lang)` BEFORE
+    * `partitionBy(lang)` is the small-file guard: without it every
+    * write task opens a file per lang it happens to hold (tasks ×
+    * langs files at 100 TB); with it each lang's rows land in the
+    * task(s) owning that hash bucket, so files-per-lang is O(1) and
+    * downstream lang-filtered reads prune whole directories.
+    */
+  def writeCorpus(spark: SparkSession, dir: String, outPath: String,
+                  minQuality: Double = 0.72): Unit =
+    corpusDocs(spark, dir, minQuality)
+      .repartition(col("lang"))
+      .write.partitionBy("lang").mode("overwrite").parquet(outPath)
 }

@@ -40,4 +40,28 @@ class PipelineOpsSpec extends SparkSpec {
     // the gate has bite: fewer docs survive than exist
     assert(got.values.map(_._1).sum < lang.size)
   }
+
+  test("writeCorpus lands lang-partitioned parquet, one file per lang, round-trips") {
+    val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    PipelineOps.writeCorpus(spark, sf, out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang=")).sorted
+    assert(dirs.nonEmpty)
+    // the repartition(lang) small-file guard: one data file per lang dir
+    dirs.foreach { d =>
+      val files = new java.io.File(s"$out/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"$d has ${files.length} files")
+    }
+    // partition-pruned read returns exactly that lang's docs
+    val expected = PipelineOps.corpusDocs(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val back = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    assert(back == expected)
+    val oneLang = dirs.head.stripPrefix("lang=")
+    val pruned = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("lang") === oneLang)
+    assert(pruned.count() == expected.count(_._2 == oneLang))
+  }
 }
