@@ -7,9 +7,12 @@ import graft.sources.Tables
 /** Pipeline compositions (SURVEY §2.P): the end-to-end corpus-prep
   * flows a training-data pipeline actually ships — individual
   * operators (quality scoring, cluster dedup) chained into one
-  * declarative plan, so Catalyst sees the WHOLE flow (one scan of
-  * `documents` feeds both branches; filters push through the
-  * composition; every stage stays partial-aggregable).
+  * declarative plan, so Catalyst sees the WHOLE flow: filters push
+  * through the composition and every stage stays partial-aggregable.
+  * The branches scan `documents` separately but each scan is pruned
+  * to its 2–3 needed columns (columnar reads make repeated pruned
+  * scans cheap; a deployment that prefers one pass materializes the
+  * token array once, trading memory for IO).
   */
 object PipelineOps {
 
