@@ -140,6 +140,53 @@ object EventStream {
       }
   }
 
+  /** userStateStream with an idle-state TTL — the streaming analog of
+    * the reference's Mongo TTL indexes (its operational "forget cold
+    * entities" plumbing, here with query semantics): a user whose last
+    * event sits more than the TTL below the watermark has their state
+    * row removed, so total state is bounded by ACTIVE keys. The
+    * explicit trade: a reappearing user folds from scratch (counts
+    * reset), exactly what TTL-expiring the reference's entity row
+    * does. Default path (userStateStream) keeps NoTimeout + unbounded
+    * keys — the a10 oracle semantics.
+    */
+  def userStateStreamTtl(spark: SparkSession, events: DataFrame,
+                         delay: String = "0 seconds",
+                         idleTtlMs: Long = Long.MaxValue): Dataset[UserState] = {
+    import spark.implicits._
+    events
+      .withWatermark("event_time", delay)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ms"), col("value"), col("event_time"))
+      .as[EvW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserState](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[EvW], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val init = state.getOption.getOrElse(
+              UserState(uid, 0, 0, 0, 0, 0, 0.0, "", Long.MinValue,
+                        Long.MinValue, 0L))
+            val next = evs
+              .map(e => Ev(e.event_id, e.user_id, e.event_type, e.ms, e.value))
+              .toSeq.sortBy(e => (e.ms, e.event_id)).foldLeft(init)(fold)
+            state.update(next)
+            if (idleTtlMs != Long.MaxValue) {
+              // state_ms is the max event-time folded (last activity);
+              // saturate the add and keep the deadline future-of-watermark
+              val d = next.state_ms + idleTtlMs
+              val deadline = if (d < next.state_ms) Long.MaxValue else d
+              state.setTimeoutTimestamp(
+                math.max(deadline, state.getCurrentWatermarkMs() + 1))
+            }
+            Iterator.single(next)
+          }
+      }
+  }
+
   /** Streaming sessionization — a5's streaming twin via the native
     * session_window (gap-merged windows; state per open session,
     * closed and emitted once the watermark passes the gap).

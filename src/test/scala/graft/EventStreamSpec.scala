@@ -253,6 +253,45 @@ class EventStreamSpec extends SparkSpec {
       "without TTL the same sequence attributes the old view")
   }
 
+  test("user-state TTL: cold key is reclaimed, reappearing user folds fresh") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600000L
+    def run(ttl: Long, qname: String): Long = {
+      val in = MemoryStream[EventStream.Ev]
+      val events = in.toDF()
+        .withColumn("event_time", timestamp_millis(col("ms")))
+      val q = EventStream.userStateStreamTtl(spark, events, "0 seconds", ttl)
+        .toDF()
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("update").start()
+      try {
+        in.addData(EventStream.Ev(1, 1, "view", 1000000L, 1.0),
+                   EventStream.Ev(2, 1, "click", 1100000L, 2.0))
+        q.processAllAvailable()
+        // sentinel 3h later: watermark passes user 1's last event + 1h
+        // TTL → the timeout reclaims the state (TTL variant only)
+        in.addData(EventStream.Ev(90, 999, "view", 1000000L + 3 * H, 9.0))
+        q.processAllAvailable(); q.processAllAvailable()
+        // user 1 reappears
+        in.addData(EventStream.Ev(3, 1, "view", 1000000L + 4 * H, 5.0))
+        q.processAllAvailable()
+        // the newest update for user 1 (max state_ms = the
+        // post-reappearance fold; n_folded resets on reclaim, so it
+        // cannot order updates here)
+        val latest = spark.table(qname).collect()
+          .filter(_.getAs[Long]("user_id") == 1L)
+          .maxBy(_.getAs[Long]("state_ms"))
+        latest.getAs[Long]("n_view") + latest.getAs[Long]("n_click")
+      } finally q.stop()
+    }
+    // TTL'd: fresh fold after reclaim → 1 view, 0 clicks
+    assert(run(H, "ttl_state") == 1L)
+    // no TTL: counts accumulate across the idle gap → 2 views + 1 click
+    assert(run(Long.MaxValue, "nottl_state") == 3L)
+  }
+
   test("state fold is replay-idempotent for last-event-wins fields") {
     // Feed the same data twice through fold state: counts double but
     // current_state/state_ms/state_eid stay fixed (the reference gets
