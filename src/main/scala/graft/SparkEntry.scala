@@ -43,6 +43,7 @@ object SparkEntry {
     "d3_embedding_stats"        -> SimOps.embeddingStats _,
     "d4_ann_topk_agg"           -> ((s: SparkSession, d: String) => SimOps.annTopKAgg(s, d)),
     "d5_ann_ivf"                -> ((s: SparkSession, d: String) => SimOps.annIvf(s, d)),
+    "d6_ann_range"              -> ((s: SparkSession, d: String) => SimOps.annRange(s, d)),
     // F. multimodal plumbing (stubbed decoder; rows-only + spec)
     "f1_multimodal_meta"        -> MultimodalOps.multimodalMeta _,
     "f2_frame_sample"           -> ((s: SparkSession, d: String) => MultimodalOps.frameSample(s, d)),
@@ -324,6 +325,20 @@ object SparkEntry {
                  ORDER BY cos DESC, cand_id) AS rnk FROM p)
          SELECT query_id, cand_id, rnk, round(cos, 6) AS cosine
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    // d6: the same exact double fold, thresholded instead of ranked —
+    // the filter runs on the full-precision cosine in both engines, so
+    // the boundary decision is identical.
+    "d6_ann_range" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                    FROM embeddings WHERE vec_id % 10 = 0),
+         p AS (SELECT q.query_id, e.vec_id AS cand_id,
+           list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qe::DOUBLE[]),
+                                   x -> x[1] * x[2]))
+           / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v * v)))
+            * sqrt(list_sum(list_transform(q.qe::DOUBLE[], v -> v * v)))) AS cos
+           FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+         SELECT query_id, cand_id, round(cos, 6) AS cosine
+         FROM p WHERE cos >= 0.15 ORDER BY query_id, cand_id""",
     "d3_embedding_stats" ->
       """SELECT label, count(*) AS n_vecs,
          round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v * v)))), 4) AS avg_norm,

@@ -174,6 +174,35 @@ object SimOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** d6: range (radius) search — every (query, candidate) pair with
+    * cosine ≥ τ, the other fundamental vector-DB operation (top-k
+    * bounds the COUNT, range bounds the SIMILARITY — dedup gates and
+    * "all sufficiently similar" retrieval need the latter). Exact
+    * scan form: the threshold filter runs inside the scan stage right
+    * after the fused dot product, so only passing pairs survive into
+    * the output — no window, no rank, fully partial. The LSH/IVF
+    * bucketing of d2/d5 composes for the 100 TB path (score only
+    * bucket-mates, same filter).
+    */
+  def annRange(spark: SparkSession, dir: String,
+               tau: Double = 0.15, qmod: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              VectorFns.norm(col("embedding")).as("nrm"))
+    val q = emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+              col("nrm").as("qnrm"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+              (graft.functions.FloatVecDot(col("embedding"), col("qe")) /
+               (col("nrm") * col("qnrm"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("query_id"), col("cand_id"),
+              round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("cand_id"))
+  }
+
   /** d3: per-label embedding stats — count, average L2 norm, average
     * component mean. Pure partial-aggregable scan.
     */

@@ -63,6 +63,23 @@ class SimOpsSpec extends SparkSpec {
     assert(viaAgg == viaWindow && viaAgg.nonEmpty)
   }
 
+  test("d6 range search: exactly the pairs above the threshold, values exact") {
+    val got = SimOps.annRange(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(got.nonEmpty)
+    // completeness AND soundness vs the naive full scan
+    val queries = embs.keys.filter(_ % 10 == 0)
+    val expected = (for {
+      q <- queries; (id, v) <- embs if id != q
+      c = cos(embs(q), v) if c >= 0.15
+    } yield (q, id) -> c).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, c) =>
+      assert(math.abs(c - expected(k)) < 1e-5, s"pair $k")
+    }
+  }
+
   test("d5 IVF ANN: scores exact, recall beats the probe-fraction floor") {
     val got = SimOps.annIvf(spark, sf).collect()
     assert(got.nonEmpty)
