@@ -1,0 +1,42 @@
+package graft
+
+/** Partition-perturbation parity: a distributed plan whose output
+  * depends on partition count or AQE has a tie-break bug (the classic
+  * "passes locally, flakes on the cluster" class). Every query here
+  * ends in an ORDER BY with full tiebreaks, so its collected output
+  * must be IDENTICAL — row order included — under different shuffle
+  * partitioning and with AQE disabled.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  // tie-heavy representatives: pages with boundary ties, rank ties,
+  // max_by ties, bucket-join candidate ordering
+  private val targets = Seq(
+    "a1_latest_event_per_user", "b3_marketplace_listing",
+    "b29_wallet_listed", "b35_keyset_page",
+    "d1_ann_bruteforce", "c2_dedup_minhash")
+
+  private def snap(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+
+  private def withConf[A](kvs: (String, String)*)(body: => A): A = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("results are identical under perturbed shuffle partitioning and AQE off") {
+    targets.foreach { name =>
+      val base = snap(name)
+      assert(base.nonEmpty, s"$name: vacuous")
+      val fewParts = withConf("spark.sql.shuffle.partitions" -> "5") { snap(name) }
+      assert(fewParts == base, s"$name: differs at 5 shuffle partitions")
+      val noAqe = withConf("spark.sql.adaptive.enabled" -> "false") { snap(name) }
+      assert(noAqe == base, s"$name: differs with AQE disabled")
+    }
+  }
+}
