@@ -24,10 +24,15 @@ object TextFns {
     * a space. Native: transform over an index sequence + slice.
     */
   def shingles(toks: Column, n: Int): Column = {
-    // indices 1..(len-n+1); slice is 1-based
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    transform(sequence(lit(1), count),
-              i => concat_ws(" ", slice(toks, i, lit(n))))
+    // indices 1..(len-n+1); slice is 1-based. A doc shorter than the
+    // shingle yields NO shingles: two-arg sequence(1, 0) would pick a
+    // DESCENDING default step and emit [1, 0] — two phantom windows —
+    // so the short case returns an explicit empty array (caught by
+    // TextFnsPropertySpec on randomized short docs).
+    val count = size(toks) - (n - 1)
+    when(count < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), count),
+                           i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
   /** Deterministic 64-bit hash of a column (xxhash64 with fixed seed —

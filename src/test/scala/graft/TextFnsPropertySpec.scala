@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.functions.TextFns
+
+/** Property-based checks of the text-function kernels: the Spark
+  * column expressions evaluated on randomized inputs must agree with
+  * straightforward JVM reference models. Catches boundary classes
+  * example tests miss (empty docs, 1-token docs, doc shorter than the
+  * shingle, repeated tokens, unicode-ish content).
+  */
+class TextFnsPropertySpec extends SparkSpec {
+
+  private val token: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.stringOfN(n, Gen.oneOf(('a' to 'z') ++ ('0' to '9'))))
+  private val doc: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, token).map(_.mkString(" ")))
+
+  private def run(prop: Prop, name: String): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private def evalOnce(text: String)(
+      cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Row = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(cols: _*).collect()(0)
+  }
+
+  test("shingles == JVM sliding-window model (incl. short/empty docs)") {
+    run(Prop.forAll(doc) { t =>
+      val got = evalOnce(t)(TextFns.shingles(TextFns.tokens(col("text")), 3))
+        .getSeq[String](0)
+      val toks = t.split(" ", -1).toSeq
+      val want =
+        if (toks.size < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      got == want
+    }, "shingles")
+  }
+
+  test("rolling fingerprint == JVM Rabin-Karp fold") {
+    run(Prop.forAll(doc) { t =>
+      val vals = t.split(" ", -1).map { tok =>
+        val a = if (tok.isEmpty) 0L else tok.charAt(0).toLong
+        a * 256L + tok.length
+      }
+      val want = vals.foldLeft(0L)((acc, v) =>
+        java.lang.Math.floorMod(acc * 1000003L + v, 2147483647L))
+      val toks = TextFns.tokens(col("text"))
+      val rolled = aggregate(
+        transform(toks, x => (ascii(x) * 256 + length(x)).cast("long")),
+        lit(0L), (acc, v) => pmod(acc * 1000003L + v, lit(2147483647L)))
+      evalOnce(t)(rolled).getLong(0) == want
+    }, "rollingFp")
+  }
+
+  test("simhash64 == JVM bit-vote model") {
+    run(Prop.forAll(doc.suchThat(_.nonEmpty)) { t =>
+      val got = evalOnce(t)(TextFns.simhash64(TextFns.tokens(col("text"))))
+        .getLong(0)
+      // JVM model must reuse Spark's xxhash64 for the per-token hash —
+      // evaluate it through a column too, then vote bits in plain Scala
+      import spark.implicits._
+      val hs = t.split(" ", -1).toSeq.toDF("tok")
+        .select(xxhash64(col("tok"))).collect().map(_.getLong(0))
+      var want = 0L
+      (0 until 64).foreach { b =>
+        val vote = hs.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
+        if (vote > 0) want |= (1L << b)
+      }
+      got == want
+    }, "simhash64")
+  }
+
+  test("hamming64 == Long.bitCount of xor") {
+    run(Prop.forAll(Gen.long, Gen.long) { (a, b) =>
+      evalOnce("")(TextFns.hamming64(lit(a), lit(b))).getInt(0) ==
+        java.lang.Long.bitCount(a ^ b)
+    }, "hamming64")
+  }
+}
