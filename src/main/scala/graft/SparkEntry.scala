@@ -49,6 +49,7 @@ object SparkEntry {
     "f2_frame_sample"           -> ((s: SparkSession, d: String) => MultimodalOps.frameSample(s, d)),
     "f3_media_by_lang"          -> MultimodalOps.mediaByLang _,
     "f4_audio_windows"          -> ((s: SparkSession, d: String) => MultimodalOps.audioWindows(s, d)),
+    "f5_resize_images"          -> ((s: SparkSession, d: String) => MultimodalOps.resizeImages(s, d)),
     // P. pipeline compositions
     "p1_corpus_prep"            -> ((s: SparkSession, d: String) => PipelineOps.corpusPrep(s, d)),
     // E. text analysis

@@ -162,6 +162,47 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** One resized image record: original + target geometry, the
+    * resized payload size estimate, and the scale factor applied.
+    */
+  case class Resized(doc_id: Long, width: Int, height: Int,
+                     out_w: Int, out_h: Int, scale: Double,
+                     est_bytes: Long)
+
+  /** f5: batch thumbnail/resize plumbing — the remaining north-star
+    * verb (decode f1, features/frames f2/f4, resize here). The REAL
+    * parts: aspect-preserving fit-inside geometry (never upscale),
+    * modality pruned declaratively before the decode boundary, and the
+    * per-partition batch shape a real libvips/Pillow resizer drops
+    * into (decoder + scaler state initialized once per partition).
+    * The pixel transform itself is the stub: output byte size is
+    * estimated as scaled-area × channels.
+    */
+  def resizeImages(spark: SparkSession, dir: String,
+                   maxW: Int = 256, maxH: Int = 256): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(col("media_type") === "image")
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        // a real implementation initializes the codec/scaler HERE,
+        // once per partition, then streams records through it
+        it.map { r =>
+          val m = decodeStub(r)
+          val scale = math.min(
+            1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+          val ow = math.max(1, math.floor(m.width * scale).toInt)
+          val oh = math.max(1, math.floor(m.height * scale).toInt)
+          Resized(r.doc_id, m.width, m.height, ow, oh,
+                  BigDecimal(scale).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                    .toDouble,
+                  ow.toLong * oh.toLong * m.channels)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** f3: decoded metadata joined BACK to the document table — the
     * post-decode join every multimodal pipeline runs (pair pixels with
     * captions/labels), aggregated per (lang, media_type). Both sides

@@ -97,6 +97,27 @@ class MultimodalOpsSpec extends SparkSpec {
       assert(again(r.getAs[Long]("doc_id")) == r.getAs[Double]("peak_rms")))
   }
 
+  test("f5 resize: aspect preserved, fits inside the box, never upscales") {
+    val got = MultimodalOps.resizeImages(spark, sf).collect()
+    val imageIds = MultimodalOps.mediaTable(spark, sf)
+      .filter(col("media_type") === "image")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == imageIds)
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(ow <= 256 && oh <= 256, s"doc ${r.getAs[Long]("doc_id")} overflows box")
+      assert(ow <= w && oh <= h, "must never upscale")
+      // aspect preserved to within the floor rounding of one pixel
+      assert(math.abs(ow.toDouble / w - oh.toDouble / h) <=
+        1.0 / math.min(w, h) + 1e-9, s"aspect drift on ${r}")
+      assert(r.getAs[Long]("est_bytes") == ow.toLong * oh.toLong * 3L)
+      // an image already inside the box is untouched
+      if (w <= 256 && h <= 256) assert(ow == w && oh == h)
+    }
+  }
+
   test("f1 modality tags partition the corpus into the three media types") {
     val types = MultimodalOps.multimodalMeta(spark, sf)
       .groupBy("media_type").count().collect()
