@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.functions.{JoinFns, TextFns}
+
+/** Property checks for the remaining distributed kernels: the MinHash
+  * signature aggregate (c2's core — previously only recall-tested) and
+  * the JoinFns skew utilities (result-equivalence to their plain
+  * forms on randomized skewed data).
+  */
+class KernelPropertySpec extends SparkSpec {
+
+  private def run(prop: Prop, name: String, n: Int = 30): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("minhash signature == JVM min over (a*h+b) mod m per permutation") {
+    val token: Gen[String] = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.stringOfN(n, Gen.alphaLowerChar))
+    val doc: Gen[List[String]] = Gen.chooseNum(3, 25).flatMap(n =>
+      Gen.listOfN(n, token))
+    val perms = TextFns.minhashPerms(16)
+    run(Prop.forAll(doc) { toks =>
+      import spark.implicits._
+      val shingled = toks.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSeq
+      if (shingled.isEmpty) true
+      else {
+        // shingle hashes through Spark's xxhash64 (the engine's hash),
+        // permutation mins recomputed in plain Scala
+        val hs = shingled.toDF("s")
+          .select(pmod(xxhash64(col("s")), lit(TextFns.MinhashM)))
+          .collect().map(_.getLong(0))
+        val want = perms.map { case (a, b) =>
+          hs.map(h => java.lang.Math.floorMod(h * a + b, TextFns.MinhashM)).min
+        }
+        val aggs = TextFns.minhashAggs(col("h"), 16)
+        val got = hs.toSeq.toDF("h").agg(aggs.head, aggs.tail: _*)
+          .collect()(0).toSeq.map(_.asInstanceOf[Long])
+        got == want
+      }
+    }, "minhash", n = 25)
+  }
+
+  test("saltedJoin == plain inner join on randomized skewed data") {
+    val rows: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(1, 60)
+      hot <- Gen.chooseNum(0L, 3L)
+      // most rows pile on one hot key — the shape salting exists for
+      l <- Gen.listOfN(n, Gen.frequency(
+        4 -> Gen.const(hot), 1 -> Gen.chooseNum(0L, 9L)))
+    } yield l.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+    run(Prop.forAll(rows) { data =>
+      import spark.implicits._
+      val large = data.toDF("k", "payload")
+      val small = (0L to 9L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val plain = large.join(small, "k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      val salted = JoinFns.saltedJoin(large, small, "k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      plain == salted
+    }, "saltedJoin", n = 20)
+  }
+
+  test("twoPhaseCount == plain groupBy count") {
+    val keys: Gen[List[Long]] = Gen.chooseNum(1, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 5L)))
+    run(Prop.forAll(keys) { ks =>
+      import spark.implicits._
+      val df = ks.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "v")
+      val plain = df.groupBy("k").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val two = JoinFns.twoPhaseCount(df, "k").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      plain == two
+    }, "twoPhaseCount", n = 20)
+  }
+}
