@@ -187,6 +187,35 @@ object EventStream {
       }
   }
 
+  /** Incrementally-maintained statistics serving table — the
+    * reference's periodic stats-refresh job (tasks.service.ts:
+    * 1938-1963 recomputes items/transactions/owners/volume on a
+    * schedule) re-expressed as streaming incremental view
+    * maintenance: the event stream folds into per-type stats in
+    * COMPLETE mode (Spark keeps the running aggregate state — each
+    * micro-batch costs the new data, not a rescan), and foreachBatch
+    * atomically overwrites the serving parquet, so dashboard readers
+    * always see one consistent snapshot that is at most a trigger
+    * behind the stream. Checkpointed: a restarted maintainer resumes
+    * the aggregate instead of recomputing history.
+    */
+  def maintainTypeStats(spark: SparkSession, events: DataFrame,
+                        servePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("total_value"),
+           max(col("ms")).as("last_ms"))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(servePath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming sessionization — a5's streaming twin via the native
     * session_window (gap-merged windows; state per open session,
     * closed and emitted once the watermark passes the gap).

@@ -137,4 +137,50 @@ class StreamResumeSpec extends SparkSpec {
          Option(r.getAs[java.lang.Double]("view_value")).map(_.toDouble))).toMap
     assert(got == batch)
   }
+
+  test("maintained stats serving table tracks the stream across restarts") {
+    val base = Files.createTempDirectory("graft-maintain")
+    val streamDir = Files.createDirectory(base.resolve("in"))
+    val serve = base.resolve("serve").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val Array(lo, hi) = ev.selectExpr("min(ts)", "max(ts)").collect()(0) match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val mid = lo + (hi - lo) / 2
+    val t1 = Files.createTempDirectory("graft-m1")
+    val t2 = Files.createTempDirectory("graft-m2")
+    ev.filter(col("ts") <= mid).coalesce(1).write.mode("overwrite").parquet(t1.toString)
+    ev.filter(col("ts") > mid).coalesce(1).write.mode("overwrite").parquet(t2.toString)
+
+    def runOnce(): Unit = {
+      val events = spark.readStream
+        .schema(EventStream.eventSchema)
+        .parquet(streamDir.toString)
+        .withColumn("ms", expr("ts div 1000000"))
+      val q = EventStream.maintainTypeStats(spark, events, serve, ckpt)
+      q.awaitTermination()
+    }
+    def serving(): Map[String, (Long, Long)] =
+      spark.read.parquet(serve).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("last_ms"))).toMap
+    def expect(upToTs: Long): Map[String, (Long, Long)] =
+      ev.filter(col("ts") <= upToTs)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(expr("ts div 1000000")).as("m"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // run 1: snapshot reflects exactly the first half
+    copyOnly(t1, streamDir.resolve("p1.parquet"))
+    runOnce()
+    assert(serving() == expect(mid))
+    // run 2 (restart from checkpoint): snapshot reflects the whole
+    // stream — the complete-mode aggregate resumed, not recomputed
+    // from an empty state over only the new file
+    copyOnly(t2, streamDir.resolve("p2.parquet"))
+    runOnce()
+    assert(serving() == expect(Long.MaxValue))
+  }
 }
