@@ -98,6 +98,7 @@ object SparkEntry {
     // pagination contracts: {total, data} and keyset cursor
     "b34_marketplace_page"      -> MarketOps.marketplacePage _,
     "b35_keyset_page"           -> ((s: SparkSession, d: String) => MarketOps.keysetPage(s, d)),
+    "b36_marketplace_sorted"    -> ((s: SparkSession, d: String) => MarketOps.marketplaceSorted(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -754,5 +755,13 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1997-07-01'
            AND (o_orderdate > TIMESTAMP '1997-07-01' OR o_orderkey > 0)
          ORDER BY order_date, o_orderkey LIMIT 20""",
+    // b36: the parameterized-sort page at its default mode (4 = price
+    // ascending — b3 already exercises the descending form).
+    "b36_marketplace_sorted" ->
+      """SELECT o_orderkey, o_totalprice, c_name,
+         CAST(o_orderdate AS DATE) AS order_date
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'O'
+         ORDER BY o_totalprice ASC, o_orderkey LIMIT 20""",
   )
 }

@@ -80,6 +80,40 @@ object MarketOps {
       .offset(20).limit(20)
   }
 
+  /** b36: the marketplace page under the reference's PARAMETERIZED
+    * sort contract — `getSortOfToken` (app.service.ts:56-85) drives
+    * every list endpoint with 7 modes. Mapped to this schema:
+    * 0/2 listing date desc/asc, 1/3 token id (creation) desc/asc,
+    * 4/5 price asc/desc, 6 ending-soonest (= listing date asc under
+    * fixed-duration listings, i.e. mode 2). Every mode carries an
+    * o_orderkey tiebreak so pages are deterministic. Same
+    * truncate-before-join shape as b3 regardless of mode — the sort
+    * key changes, the plan shape does not.
+    */
+  def marketplaceSorted(spark: SparkSession, dir: String,
+                        sortMode: Int = 4, pageSize: Int = 20): DataFrame = {
+    val keys: Seq[Column] = sortMode match {
+      case 0 => Seq(col("o_orderdate").desc, col("o_orderkey").desc)
+      case 1 => Seq(col("o_orderkey").desc)
+      case 2 | 6 => Seq(col("o_orderdate").asc, col("o_orderkey"))
+      case 3 => Seq(col("o_orderkey").asc)
+      case 5 => Seq(col("o_totalprice").desc, col("o_orderkey"))
+      case _ => Seq(col("o_totalprice").asc, col("o_orderkey"))
+    }
+    val top = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("o_orderdate"))
+      .orderBy(keys: _*)
+      .limit(pageSize)
+    Tables.customer(spark, dir)
+      .join(broadcast(top), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_name"),
+              col("o_orderdate").cast("date").as("order_date"))
+      .orderBy(keys: _*)
+      .limit(pageSize)
+  }
+
   /** b4: latest order per customer — the `$lookup` + `$sort` +
     * `$group {$first}` pattern (app.service.ts:172-179).
     *

@@ -21,6 +21,34 @@ class MarketOpsSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("o_orderkey")) == expected)
   }
 
+  test("b36 every sort mode pages the same filtered set, correctly ordered") {
+    val open = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_totalprice", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+                 r.getAs[java.time.LocalDateTime](2)))
+    type Row3 = (Long, Double, java.time.LocalDateTime)
+    def lt(mode: Int)(a: Row3, b: Row3): Boolean = mode match {
+      case 0 => a._3.isAfter(b._3) || (a._3 == b._3 && a._1 > b._1)
+      case 1 => a._1 > b._1
+      case 2 | 6 => a._3.isBefore(b._3) || (a._3 == b._3 && a._1 < b._1)
+      case 3 => a._1 < b._1
+      case 5 => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+      case _ => a._2 < b._2 || (a._2 == b._2 && a._1 < b._1)
+    }
+    (0 to 6).foreach { mode =>
+      val got = MarketOps.marketplaceSorted(spark, sf, mode).collect()
+        .map(_.getAs[Long]("o_orderkey")).toSeq
+      assert(got.size == math.min(20, open.length), s"mode $mode size")
+      val expected = open.sorted(Ordering.fromLessThan(lt(mode)))
+        .take(20).map(_._1).toSeq
+      assert(got == expected, s"mode $mode order")
+    }
+    // fixed-duration listings: "ending soonest" == oldest listing
+    assert(MarketOps.marketplaceSorted(spark, sf, 6).collect().toSeq ==
+           MarketOps.marketplaceSorted(spark, sf, 2).collect().toSeq)
+  }
+
   test("b4 latest-per-key matches naive groupBy-max recomputation") {
     val got = MarketOps.latestOrderPerCustomer(spark, sf)
       .select("c_custkey", "last_orderkey").collect()
