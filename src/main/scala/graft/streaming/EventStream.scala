@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -193,11 +195,22 @@ object EventStream {
     * schedule) re-expressed as streaming incremental view
     * maintenance: the event stream folds into per-type stats in
     * COMPLETE mode (Spark keeps the running aggregate state — each
-    * micro-batch costs the new data, not a rescan), and foreachBatch
-    * atomically overwrites the serving parquet, so dashboard readers
-    * always see one consistent snapshot that is at most a trigger
-    * behind the stream. Checkpointed: a restarted maintainer resumes
-    * the aggregate instead of recomputing history.
+    * micro-batch costs the new data, not a rescan). Checkpointed: a
+    * restarted maintainer resumes the aggregate instead of
+    * recomputing history.
+    *
+    * Each snapshot lands in its own `snap_<batchId>` directory and is
+    * published by an ATOMIC pointer swap (`_latest` file, written to a
+    * temp name then renamed with ATOMIC_MOVE): a concurrent dashboard
+    * reader resolving the pointer always sees one complete, immutable
+    * snapshot — never a missing or half-written table, which a
+    * `mode("overwrite")` on a single directory (delete-then-rewrite)
+    * cannot guarantee. The previous snapshot is retained for one
+    * generation so a reader that resolved the pointer just before a
+    * swap can still finish its scan; older generations are pruned. On
+    * an object store (S3/HDFS) the same pattern holds — the pointer
+    * PUT/rename is the commit point; only the tiny pointer needs
+    * atomicity, never the multi-file table.
     */
   def maintainTypeStats(spark: SparkSession, events: DataFrame,
                         servePath: String, checkpoint: String)
@@ -209,12 +222,52 @@ object EventStream {
            max(col("ms")).as("last_ms"))
       .writeStream
       .outputMode("complete")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(servePath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val snap = s"snap_$batchId"
+        batch.write.mode("overwrite").parquet(s"$servePath/$snap")
+        publishSnapshot(servePath, snap)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Atomically repoints `servePath/_latest` at `snap` and prunes all
+    * snapshot directories except the new current and its predecessor.
+    */
+  private def publishSnapshot(servePath: String, snap: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Paths.get(servePath)
+    val prev =
+      if (Files.exists(base.resolve("_latest")))
+        Some(new String(Files.readAllBytes(base.resolve("_latest")),
+                        java.nio.charset.StandardCharsets.UTF_8).trim)
+      else None
+    val tmp = base.resolve("_latest.tmp")
+    Files.write(tmp, snap.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, base.resolve("_latest"),
+               StandardCopyOption.ATOMIC_MOVE,
+               StandardCopyOption.REPLACE_EXISTING)
+    val keep = Set(snap) ++ prev
+    val stale = Files.list(base).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("snap_") &&
+                   !keep(p.getFileName.toString))
+      .toList
+    stale.foreach { dir =>
+      Files.walk(dir).iterator().asScala.toList.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  /** Reader side of [[maintainTypeStats]]: resolves the `_latest`
+    * pointer and reads that immutable snapshot.
+    */
+  def readTypeStats(spark: SparkSession, servePath: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val snap = new String(
+      Files.readAllBytes(Paths.get(servePath).resolve("_latest")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    spark.read.parquet(s"$servePath/$snap")
+  }
 
   /** Streaming sessionization — a5's streaming twin via the native
     * session_window (gap-merged windows; state per open session,
@@ -394,10 +447,19 @@ object EventStream {
             val deadlines = heldPurchases.map(_.ms) ++
               (if (ttlAt != Long.MaxValue) Seq(ttlAt) else Nil)
             if (deadlines.nonEmpty)
-              // setTimeoutTimestamp requires a future-of-watermark ts;
-              // held purchases are > wm by the partition, the TTL
-              // deadline may not be (held views present) — clamp.
-              state.setTimeoutTimestamp(math.max(deadlines.min, wm + 1))
+              // Deadline is set one ms EARLY: Spark fires event-time
+              // timeouts only when timeoutTimestamp < watermark
+              // (STRICT), while ripeness above is ms <= wm. A deadline
+              // of exactly `ms` would need wm > ms to fire — so a key
+              // whose earliest held purchase is the globally-latest
+              // event (timeout ts == final watermark) would never
+              // drain in a bounded AvailableNow run. `ms - 1` fires at
+              // wm >= ms, agreeing with the ripeness predicate. The
+              // clamp floor is wm itself (allowed: setTimeoutTimestamp
+              // rejects only ts < wm), so a purchase held at
+              // ms == wm + 1 still gets ts = ms - 1 rather than being
+              // bumped to ms and re-stranded.
+              state.setTimeoutTimestamp(math.max(deadlines.min - 1, wm))
           }
           out.result().iterator
       }

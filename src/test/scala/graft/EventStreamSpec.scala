@@ -212,6 +212,37 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a15 drains a purchase that is the globally-latest event (final-wm edge)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[EventStream.Ev]
+    val events = in.toDF()
+      .withColumn("event_time", timestamp_millis(col("ms")))
+    // 0-second delay: the final watermark lands EXACTLY on the last
+    // purchase's ms. Timeouts fire only when ts < wm (strict), so a
+    // deadline of ms itself would never fire — the ms-1 deadline must.
+    val q = EventStream.asofStreamBuffered(spark, events, "0 seconds").toDF()
+      .writeStream.format("memory").queryName("a15_lastpurchase")
+      .outputMode("append").start()
+    try {
+      in.addData(EventStream.Ev(1, 1, "view", 1000000L, 1.0),
+                 EventStream.Ev(3, 2, "view", 2999999L, 3.0))
+      q.processAllAvailable()  // wm -> 2999999
+      // u2's purchase at ms == wm+1 (deadline clamps to wm itself);
+      // u1's purchase at ms == final watermark (the advisor's case).
+      in.addData(EventStream.Ev(4, 2, "purchase", 3000000L, 0.0),
+                 EventStream.Ev(2, 1, "purchase", 4000000L, 0.0))
+      q.processAllAvailable()
+      q.processAllAvailable()  // no-data timeout batch drains both
+      val out = spark.table("a15_lastpurchase").collect()
+        .map(r => r.getAs[Long]("purchase_id") ->
+          Option(r.getAs[java.lang.Long]("view_ms")).map(_.toLong)).toMap
+      assert(out == Map(2L -> Some(1000000L), 4L -> Some(2999999L)),
+        s"both watermark-edge purchases must drain, got $out")
+    } finally q.stop()
+  }
+
   test("a15 idle TTL reclaims state; post-TTL purchase gets null attribution") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -163,7 +163,7 @@ class StreamResumeSpec extends SparkSpec {
       q.awaitTermination()
     }
     def serving(): Map[String, (Long, Long)] =
-      spark.read.parquet(serve).collect()
+      EventStream.readTypeStats(spark, serve).collect()
         .map(r => r.getAs[String]("event_type") ->
           (r.getAs[Long]("n_events"), r.getAs[Long]("last_ms"))).toMap
     def expect(upToTs: Long): Map[String, (Long, Long)] =
@@ -182,5 +182,12 @@ class StreamResumeSpec extends SparkSpec {
     copyOnly(t2, streamDir.resolve("p2.parquet"))
     runOnce()
     assert(serving() == expect(Long.MaxValue))
+    // snapshot publication is a pointer swap: the pointer exists and at
+    // most current+previous snapshot generations survive pruning
+    assert(Files.exists(java.nio.file.Paths.get(serve, "_latest")))
+    val snaps = Files.list(java.nio.file.Paths.get(serve)).iterator()
+    val n = Iterator.continually(snaps).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString).filter(_.startsWith("snap_")).size
+    assert(n >= 1 && n <= 2, s"expected 1-2 retained snapshots, got $n")
   }
 }
