@@ -13,12 +13,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
-    // Warmup OUTSIDE the measured loop: the flagship query at the
-    // smallest SF pays the one-time JVM/codegen/noop-sink/scan-setup
-    // costs that otherwise land on whichever query alphabetically runs
-    // first and pollute round-over-round deltas.
+    // Warmup OUTSIDE the measured loop: the flagship query pays the
+    // one-time JVM/codegen/noop-sink/scan-setup costs that otherwise
+    // land on whichever query alphabetically runs first and pollute
+    // round-over-round deltas. Runs against the benchmark's own sfDir
+    // (NOT SparkEntry.entry, whose sf0.001 path is hardcoded and
+    // doesn't exist on other hosts — a silently-caught failure here
+    // would leave warmup_sec near zero and the costs re-attributed).
     val tw = System.nanoTime()
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    try SparkEntry.queries("b1_pricing_summary")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup FAILED: ${e.getMessage}")
     }
