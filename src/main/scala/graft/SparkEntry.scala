@@ -98,7 +98,8 @@ object SparkEntry {
     // pagination contracts: {total, data} and keyset cursor
     "b34_marketplace_page"      -> MarketOps.marketplacePage _,
     "b35_keyset_page"           -> ((s: SparkSession, d: String) => MarketOps.keysetPage(s, d)),
-    "b36_marketplace_sorted"    -> ((s: SparkSession, d: String) => MarketOps.marketplaceSorted(s, d)),
+    "b36_marketplace_sorted"    -> ((s: SparkSession, d: String) => MarketOps.marketplaceSorted(s, d, sortMode = 4)),
+    "b37_marketplace_default"   -> ((s: SparkSession, d: String) => MarketOps.marketplaceSorted(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -755,13 +756,22 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1997-07-01'
            AND (o_orderdate > TIMESTAMP '1997-07-01' OR o_orderkey > 0)
          ORDER BY order_date, o_orderkey LIMIT 20""",
-    // b36: the parameterized-sort page at its default mode (4 = price
-    // ascending — b3 already exercises the descending form).
+    // b36: the parameterized-sort page at mode 4 (price ascending —
+    // b3 already exercises the descending form).
     "b36_marketplace_sorted" ->
       """SELECT o_orderkey, o_totalprice, c_name,
          CAST(o_orderdate AS DATE) AS order_date
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_orderstatus = 'O'
          ORDER BY o_totalprice ASC, o_orderkey LIMIT 20""",
+    // b37: the same page through the DEFAULT sort arm — the
+    // reference's getSortOfToken default branch is listing-date
+    // descending (mode 0), which any unknown mode also degrades to.
+    "b37_marketplace_default" ->
+      """SELECT o_orderkey, o_totalprice, c_name,
+         CAST(o_orderdate AS DATE) AS order_date
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'O'
+         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 20""",
   )
 }

@@ -91,14 +91,17 @@ object MarketOps {
     * key changes, the plan shape does not.
     */
   def marketplaceSorted(spark: SparkSession, dir: String,
-                        sortMode: Int = 4, pageSize: Int = 20): DataFrame = {
+                        sortMode: Int = 0, pageSize: Int = 20): DataFrame = {
+    // The catch-all mirrors the reference: getSortOfToken's default
+    // branch is listing-date descending (mode 0), so an unknown mode
+    // degrades to the same page the reference would serve.
     val keys: Seq[Column] = sortMode match {
-      case 0 => Seq(col("o_orderdate").desc, col("o_orderkey").desc)
       case 1 => Seq(col("o_orderkey").desc)
       case 2 | 6 => Seq(col("o_orderdate").asc, col("o_orderkey"))
       case 3 => Seq(col("o_orderkey").asc)
+      case 4 => Seq(col("o_totalprice").asc, col("o_orderkey"))
       case 5 => Seq(col("o_totalprice").desc, col("o_orderkey"))
-      case _ => Seq(col("o_totalprice").asc, col("o_orderkey"))
+      case _ => Seq(col("o_orderdate").desc, col("o_orderkey").desc)
     }
     val top = Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === "O")

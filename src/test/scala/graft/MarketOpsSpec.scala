@@ -33,8 +33,10 @@ class MarketOpsSpec extends SparkSpec {
       case 1 => a._1 > b._1
       case 2 | 6 => a._3.isBefore(b._3) || (a._3 == b._3 && a._1 < b._1)
       case 3 => a._1 < b._1
+      case 4 => a._2 < b._2 || (a._2 == b._2 && a._1 < b._1)
       case 5 => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
-      case _ => a._2 < b._2 || (a._2 == b._2 && a._1 < b._1)
+      // reference default branch: listing date descending (mode 0)
+      case _ => a._3.isAfter(b._3) || (a._3 == b._3 && a._1 > b._1)
     }
     (0 to 6).foreach { mode =>
       val got = MarketOps.marketplaceSorted(spark, sf, mode).collect()
@@ -47,6 +49,10 @@ class MarketOpsSpec extends SparkSpec {
     // fixed-duration listings: "ending soonest" == oldest listing
     assert(MarketOps.marketplaceSorted(spark, sf, 6).collect().toSeq ==
            MarketOps.marketplaceSorted(spark, sf, 2).collect().toSeq)
+    // an unknown mode degrades to the reference's default branch
+    // (mode 0, listing date descending), not to some other sort
+    assert(MarketOps.marketplaceSorted(spark, sf, 42).collect().toSeq ==
+           MarketOps.marketplaceSorted(spark, sf, 0).collect().toSeq)
   }
 
   test("b4 latest-per-key matches naive groupBy-max recomputation") {
