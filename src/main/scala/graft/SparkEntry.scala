@@ -44,6 +44,7 @@ object SparkEntry {
     "d4_ann_topk_agg"           -> ((s: SparkSession, d: String) => SimOps.annTopKAgg(s, d)),
     "d5_ann_ivf"                -> ((s: SparkSession, d: String) => SimOps.annIvf(s, d)),
     "d6_ann_range"              -> ((s: SparkSession, d: String) => SimOps.annRange(s, d)),
+    "d7_ann_filtered"           -> ((s: SparkSession, d: String) => SimOps.annFiltered(s, d)),
     // F. multimodal plumbing (stubbed decoder; rows-only + spec)
     "f1_multimodal_meta"        -> MultimodalOps.multimodalMeta _,
     "f2_frame_sample"           -> ((s: SparkSession, d: String) => MultimodalOps.frameSample(s, d)),
@@ -52,12 +53,15 @@ object SparkEntry {
     "f5_resize_images"          -> ((s: SparkSession, d: String) => MultimodalOps.resizeImages(s, d)),
     // P. pipeline compositions
     "p1_corpus_prep"            -> ((s: SparkSession, d: String) => PipelineOps.corpusPrep(s, d)),
+    "p2_decontaminate"          -> ((s: SparkSession, d: String) => PipelineOps.decontaminate(s, d)),
     // E. text analysis
     "e1_token_stats"            -> TextOps.tokenStats _,
     "e2_quality_score"          -> TextOps.qualityScore _,
     "e3_lang_id"                -> TextOps.langId _,
     "e4_fingerprint"            -> TextOps.fingerprint _,
     "e5_rolling_fingerprint"    -> TextOps.rollingFingerprint _,
+    "e6_ngram_freq"             -> ((s: SparkSession, d: String) => TextOps.ngramFreq(s, d)),
+    "e7_dup_ngram_ratio"        -> ((s: SparkSession, d: String) => TextOps.dupNgramRatio(s, d)),
     // B. marketplace/analytics
     "b1_pricing_summary"        -> MarketOps.pricingSummary _,
     "b2_top_sellers"            -> MarketOps.topSellers _,

@@ -62,6 +62,38 @@ object PipelineOps {
       .select(col("r.*"))
   }
 
+  /** p2: benchmark decontamination — flag every training document that
+    * shares an 8-gram with the held-out eval set (here: doc_id ≡ 0 mod
+    * `evalMod`, standing in for the benchmark suite). This is the
+    * standard n-gram decontamination pass every pretraining pipeline
+    * runs before training: exact window overlap, not similarity.
+    *
+    * 100 TB shape: the eval set is tiny relative to the corpus (a few
+    * benchmark suites vs the crawl), so its DISTINCT n-gram set is
+    * built once and BROADCAST; the corpus side explodes each doc's
+    * distinct n-grams and probes the broadcast set map-side — the
+    * corpus is never shuffled by n-gram. The only shuffle is the final
+    * per-doc count, which partial-aggregates. A doc too short to have
+    * any window survives via explode_outer with n_shared = 0.
+    */
+  def decontaminate(spark: SparkSession, dir: String,
+                    n: Int = 8, evalMod: Int = 97): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val grams = graft.functions.TextFns.shingles(
+      graft.functions.TextFns.tokens(col("text")), n)
+    val evalNg = d.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
+      .select(explode(grams).as("ev"))
+      .distinct()
+    d.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+      .select(col("doc_id"), explode_outer(array_distinct(grams)).as("ng"))
+      .join(broadcast(evalNg), col("ng") === col("ev"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("ev")).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"),
+              (col("n_shared") > 0).cast("int").as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Materialize the prepared corpus as lang-partitioned parquet — the
     * sink every corpus-prep run ends in. `repartition(lang)` BEFORE
     * `partitionBy(lang)` is the small-file guard: without it every

@@ -203,6 +203,49 @@ object SimOps {
       .orderBy(col("query_id"), col("cand_id"))
   }
 
+  /** d7: metadata-filtered vector search — "nearest neighbors among
+    * documents WHERE lang = X", the retrieval-with-filter shape every
+    * RAG/curation pipeline needs. PRE-filter semantics: the predicate
+    * prunes the candidate set BEFORE scoring (a left-semi join from
+    * embeddings to the filtered metadata), so a selective predicate
+    * cuts scoring compute proportionally and the result always has k
+    * hits per query when k survivors exist — post-filtering a plain
+    * top-k would instead return short pages under selective filters.
+    *
+    * 100 TB shape: documents and embeddings are both fact-scale and
+    * share the id space, so bucketing both on the id keeps the semi
+    * join exchange-free; the lang predicate pushes into the documents
+    * scan (PushedFilters), which reads only (doc_id, lang). The
+    * scoring pass is then identical to d1: broadcast query batch, one
+    * map-side scan of the surviving candidates, partial top-k.
+    */
+  def annFiltered(spark: SparkSession, dir: String, k: Int = 10,
+                  qmod: Int = 50, lang: String = "en"): DataFrame = {
+    val meta = Tables.documents(spark, dir)
+      .filter(col("lang") === lang)
+      .select(col("doc_id"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              VectorFns.norm(col("embedding")).as("nrm"))
+    // queries are NOT filtered — the query batch is the caller's;
+    // only the candidate corpus passes the metadata gate
+    val q = queriesOf(emb, qmod)
+      .withColumn("qnrm", VectorFns.norm(col("qe")))
+    val cands = emb.join(meta, col("vec_id") === col("doc_id"), "left_semi")
+    val scored = cands.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+              (graft.functions.FloatVecDot(col("embedding"), col("qe")) /
+               (col("nrm") * col("qnrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"),
+              round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** d3: per-label embedding stats — count, average L2 norm, average
     * component mean. Pure partial-aggregable scan.
     */

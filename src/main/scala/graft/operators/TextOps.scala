@@ -106,6 +106,49 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** e6: corpus-level n-gram frequency — the global phrase table
+    * (boilerplate detection, template mining, corpus statistics all
+    * start here). Explode each doc's n-gram windows, count, keep the
+    * global top-N with a deterministic (count desc, ngram) tiebreak.
+    *
+    * 100 TB shape: the count is a map-side-combined aggregate over the
+    * exploded shingles (hot phrases partially collapse before the
+    * shuffle) and the top-N is a TakeOrdered — per-partition top-N,
+    * only N rows per partition travel; the full frequency table never
+    * materializes on one node.
+    */
+  def ngramFreq(spark: SparkSession, dir: String,
+                n: Int = 2, topN: Int = 50): DataFrame =
+    docs(spark, dir)
+      .select(explode(TextFns.shingles(TextFns.tokens(col("text")), n))
+                .as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(topN)
+
+  /** e7: per-doc repeated-n-gram ratio — the Gopher-style repetition
+    * quality signal (a doc whose 3-grams are mostly repeats is
+    * boilerplate/spam; pretraining filters cut on exactly this ratio).
+    * Pure per-row expression work: the windows, the distinct count and
+    * the ratio all evaluate inside the scan — no explode, no shuffle,
+    * no state. Composes with e2's quality gate as another conjunct.
+    */
+  def dupNgramRatio(spark: SparkSession, dir: String,
+                    n: Int = 3): DataFrame = {
+    val gs = TextFns.shingles(TextFns.tokens(col("text")), n)
+    val nG = size(gs)
+    val nD = size(array_distinct(gs))
+    docs(spark, dir).select(
+      col("doc_id"),
+      nG.cast("long").as("n_ngrams"),
+      nD.cast("long").as("n_distinct"),
+      round(when(nG === 0, 0.0)
+              .otherwise(lit(1.0) - nD.cast("double") / nG.cast("double")),
+            6).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** e4: content fingerprint — md5 of the exact text plus a
     * whitespace-normalized md5 (near-identical whitespace variants
     * collapse to the same normalized fingerprint).
