@@ -346,6 +346,23 @@ object SparkEntry {
            FROM embeddings e, q WHERE e.vec_id <> q.query_id)
          SELECT query_id, cand_id, round(cos, 6) AS cosine
          FROM p WHERE cos >= 0.15 ORDER BY query_id, cand_id""",
+    // d7: d1's exact fold with the metadata PRE-filter — candidates
+    // restricted to docs whose lang matches, queries unfiltered.
+    "d7_ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                    FROM embeddings WHERE vec_id % 50 = 0),
+         m AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         p AS (SELECT q.query_id, e.vec_id AS cand_id,
+           list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qe::DOUBLE[]),
+                                   x -> x[1] * x[2]))
+           / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v * v)))
+            * sqrt(list_sum(list_transform(q.qe::DOUBLE[], v -> v * v)))) AS cos
+           FROM embeddings e JOIN m ON e.vec_id = m.doc_id, q
+           WHERE e.vec_id <> q.query_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id) AS rnk FROM p)
+         SELECT query_id, cand_id, rnk, round(cos, 6) AS cosine
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
     "d3_embedding_stats" ->
       """SELECT label, count(*) AS n_vecs,
          round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v * v)))), 4) AS avg_norm,
@@ -406,6 +423,55 @@ object SparkEntry {
            (acc, v) -> (acc * 1000003 + v) % 2147483647) AS rolling_fp,
          len(string_split(text, ' ')) AS n_tokens
          FROM documents ORDER BY doc_id""",
+    // e6: the DuckDB shingle twin (generate_series + list_slice +
+    // array_to_string ≡ Spark's sequence + slice + concat_ws), counted
+    // globally with the same (count desc, ngram) tiebreak.
+    "e6_ngram_freq" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS ngram
+               FROM t WHERE len(toks) >= 2)
+         SELECT ngram, count(*) AS n_occurrences
+         FROM g GROUP BY ngram
+         ORDER BY n_occurrences DESC, ngram LIMIT 50""",
+    // e7: per-doc distinct-window ratio. Spark distinct-counts xxhash64
+    // of each window (primitive fast path); the string-side
+    // list_distinct here agrees — 64-bit collisions within a ~1k-window
+    // doc are negligible.
+    "e7_dup_ngram_ratio" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [] END AS gs
+           FROM t)
+         SELECT doc_id, len(gs) AS n_ngrams,
+           len(list_distinct(gs)) AS n_distinct,
+           round(CASE WHEN len(gs) = 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(gs))::DOUBLE / len(gs) END,
+                 6) AS dup_ratio
+         FROM g ORDER BY doc_id""",
+    // p2: 8-gram twin + eval/corpus split + left join; the [NULL]
+    // branch mirrors Spark's explode_outer keeping windowless docs
+    // with n_shared = 0.
+    "p2_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id,
+           CASE WHEN len(toks) >= 8
+                THEN list_transform(generate_series(1, len(toks) - 7),
+                       i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+                ELSE [] END AS gs
+           FROM t),
+         ev AS (SELECT DISTINCT unnest(gs) AS ng FROM g WHERE doc_id % 97 = 0),
+         corpus AS (SELECT doc_id,
+            unnest(CASE WHEN len(gs) = 0 THEN [CAST(NULL AS VARCHAR)]
+                   ELSE list_distinct(gs) END) AS ng
+            FROM g WHERE doc_id % 97 <> 0)
+         SELECT c.doc_id, count(e.ng) AS n_shared,
+           CAST(count(e.ng) > 0 AS INTEGER) AS contaminated
+         FROM corpus c LEFT JOIN ev e ON c.ng = e.ng
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
     "a11_props_stats" ->
       """SELECT event_type,
          CAST(floor(CAST(props->>'k' AS BIGINT) / 10) AS BIGINT) * 10 AS k_decile,

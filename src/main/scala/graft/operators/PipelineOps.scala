@@ -78,14 +78,27 @@ object PipelineOps {
     */
   def decontaminate(spark: SparkSession, dir: String,
                     n: Int = 8, evalMod: Int = 97): DataFrame = {
+    // tokens materialized before the 8-gram transform on BOTH branches
+    // (split inlined into the window lambda re-splits per window —
+    // O(tokens²) chars per doc; see TextOps.dupNgramRatio).
     val d = Tables.documents(spark, dir)
-    val grams = graft.functions.TextFns.shingles(
-      graft.functions.TextFns.tokens(col("text")), n)
+      .select(col("doc_id"),
+              graft.functions.TextFns.tokens(col("text")).as("toks"))
+    // Both sides probe on xxhash64 of the window, not the string:
+    // array_distinct on BIGINT runs the primitive fast path (the string
+    // form is O(n²) comparisons per doc), the broadcast set is 8 bytes
+    // per n-gram instead of ~50, and the shared-count is unchanged
+    // (64-bit collisions are negligible; the DuckDB oracle's
+    // string-side counts agree).
+    val grams = graft.functions.TextFns.shingles(col("toks"), n)
     val evalNg = d.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
       .select(explode(grams).as("ev"))
+      .select(xxhash64(col("ev")).as("ev"))
       .distinct()
     d.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
-      .select(col("doc_id"), explode_outer(array_distinct(grams)).as("ng"))
+      .select(col("doc_id"),
+              explode_outer(array_distinct(transform(grams, g => xxhash64(g))))
+                .as("ng"))
       .join(broadcast(evalNg), col("ng") === col("ev"), "left")
       .groupBy(col("doc_id"))
       .agg(count(col("ev")).as("n_shared"))

@@ -212,12 +212,15 @@ object SimOps {
     * hits per query when k survivors exist — post-filtering a plain
     * top-k would instead return short pages under selective filters.
     *
-    * 100 TB shape: documents and embeddings are both fact-scale and
-    * share the id space, so bucketing both on the id keeps the semi
-    * join exchange-free; the lang predicate pushes into the documents
-    * scan (PushedFilters), which reads only (doc_id, lang). The
-    * scoring pass is then identical to d1: broadcast query batch, one
-    * map-side scan of the surviving candidates, partial top-k.
+    * 100 TB shape: the lang predicate pushes into the documents scan
+    * (PushedFilters), which reads only (doc_id, lang). Over these
+    * plain parquet reads the id semi join is an ordinary shuffled
+    * join (both sides exchange on the id); since documents and
+    * embeddings share the id space, a deployment lands both bucketed
+    * on it — `Warehouse.annFilteredBucketed` is that layout, with a
+    * spec proving the semi join runs with NO Exchange on either side.
+    * The scoring pass is then identical to d1: broadcast query batch,
+    * one map-side scan of the surviving candidates, partial top-k.
     */
   def annFiltered(spark: SparkSession, dir: String, k: Int = 10,
                   qmod: Int = 50, lang: String = "en"): DataFrame = {

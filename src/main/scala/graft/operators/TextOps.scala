@@ -119,9 +119,14 @@ object TextOps {
     */
   def ngramFreq(spark: SparkSession, dir: String,
                 n: Int = 2, topN: Int = 50): DataFrame =
+    // Token array materialized as its OWN projection before the shingle
+    // transform: shingles() references `toks` once per window, and with
+    // split() inlined there the doc would re-split once per window —
+    // O(tokens²) chars per doc. CollapseProject keeps the stage split
+    // because the alias is non-cheap and multiply-referenced.
     docs(spark, dir)
-      .select(explode(TextFns.shingles(TextFns.tokens(col("text")), n))
-                .as("ngram"))
+      .select(TextFns.tokens(col("text")).as("toks"))
+      .select(explode(TextFns.shingles(col("toks"), n)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("ngram"))
@@ -136,16 +141,31 @@ object TextOps {
     */
   def dupNgramRatio(spark: SparkSession, dir: String,
                     n: Int = 3): DataFrame = {
-    val gs = TextFns.shingles(TextFns.tokens(col("text")), n)
-    val nG = size(gs)
-    val nD = size(array_distinct(gs))
-    docs(spark, dir).select(
-      col("doc_id"),
-      nG.cast("long").as("n_ngrams"),
-      nD.cast("long").as("n_distinct"),
-      round(when(nG === 0, 0.0)
-              .otherwise(lit(1.0) - nD.cast("double") / nG.cast("double")),
-            6).as("dup_ratio"))
+    // Three deliberate projection stages (CollapseProject keeps them
+    // apart — each alias is non-cheap and referenced more than once):
+    //   1. tokens  — split once per doc, NOT once per window (split
+    //      inlined into the shingle lambda re-splits per window:
+    //      O(tokens²) chars per doc — measured 8 s for 5k docs);
+    //   2. shingle hashes — xxhash64 each window to BIGINT so the
+    //      distinct below runs the primitive fast path instead of
+    //      O(n²) string comparisons (distinct count is unchanged:
+    //      64-bit collisions within a ~1k-window doc are negligible,
+    //      and the oracle's string-side distinct agrees);
+    //   3. the sizes/ratio — all refs to `hs` are cheap attributes.
+    val nG = size(col("hs"))
+    val nD = size(array_distinct(col("hs")))
+    docs(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+              transform(TextFns.shingles(col("toks"), n),
+                        s => xxhash64(s)).as("hs"))
+      .select(
+        col("doc_id"),
+        nG.cast("long").as("n_ngrams"),
+        nD.cast("long").as("n_distinct"),
+        round(when(nG === 0, 0.0)
+                .otherwise(lit(1.0) - nD.cast("double") / nG.cast("double")),
+              6).as("dup_ratio"))
       .orderBy(col("doc_id"))
   }
 
