@@ -54,6 +54,8 @@ object SparkEntry {
     // P. pipeline compositions
     "p1_corpus_prep"            -> ((s: SparkSession, d: String) => PipelineOps.corpusPrep(s, d)),
     "p2_decontaminate"          -> ((s: SparkSession, d: String) => PipelineOps.decontaminate(s, d)),
+    "p3_fuzzy_dedup"            -> ((s: SparkSession, d: String) => PipelineOps.fuzzyDedup(s, d)),
+    "p4_stratified_sample"      -> ((s: SparkSession, d: String) => PipelineOps.stratifiedSample(s, d)),
     // E. text analysis
     "e1_token_stats"            -> TextOps.tokenStats _,
     "e2_quality_score"          -> TextOps.qualityScore _,
@@ -62,6 +64,7 @@ object SparkEntry {
     "e5_rolling_fingerprint"    -> TextOps.rollingFingerprint _,
     "e6_ngram_freq"             -> ((s: SparkSession, d: String) => TextOps.ngramFreq(s, d)),
     "e7_dup_ngram_ratio"        -> ((s: SparkSession, d: String) => TextOps.dupNgramRatio(s, d)),
+    "e8_pii_scrub"              -> TextOps.piiScrub _,
     // B. marketplace/analytics
     "b1_pricing_summary"        -> MarketOps.pricingSummary _,
     "b2_top_sellers"            -> MarketOps.topSellers _,
@@ -104,6 +107,9 @@ object SparkEntry {
     "b35_keyset_page"           -> ((s: SparkSession, d: String) => MarketOps.keysetPage(s, d)),
     "b36_marketplace_sorted"    -> ((s: SparkSession, d: String) => MarketOps.marketplaceSorted(s, d, sortMode = 4)),
     "b37_marketplace_default"   -> ((s: SparkSession, d: String) => MarketOps.marketplaceSorted(s, d)),
+    // point lookup + burn-excluded directory (app.service.ts:758, :779)
+    "b38_order_detail"          -> ((s: SparkSession, d: String) => MarketOps.orderDetail(s, d)),
+    "b39_nft_directory"         -> ((s: SparkSession, d: String) => MarketOps.nftDirectory(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -472,6 +478,69 @@ object SparkEntry {
            CAST(count(e.ng) > 0 AS INTEGER) AS contaminated
          FROM corpus c LEFT JOIN ev e ON c.ng = e.ng
          GROUP BY c.doc_id ORDER BY c.doc_id""",
+    // e8: identical deterministic augmentation (PII derived from
+    // doc_id), identical Java∩RE2 regexes, counts + redacted md5.
+    "e8_pii_scrub" ->
+      """WITH a AS (SELECT doc_id,
+           text ||
+           CASE WHEN doc_id % 7 = 0
+                THEN ' contact u' || doc_id || '@example.com' ELSE '' END ||
+           CASE WHEN doc_id % 11 = 0
+                THEN ' call 555-123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+')) AS n_emails,
+           len(regexp_extract_all(t, '555-[0-9]{3}-[0-9]{4}')) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(t, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+', '[EMAIL]', 'g'),
+                 '555-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_fp
+         FROM a ORDER BY doc_id""",
+    // p3: edges = ALL pairs with exact 3-gram-set Jaccard >= 0.8
+    // (inverted-index candidates + list_intersect), closed with the
+    // same recursive-CTE reachability as c6. Spark generates its
+    // candidate pairs via MinHash-LSH instead — a tau=0.8 pair escapes
+    // all 32 bands with prob (1-0.8^4)^32 ~= 5e-8, and DedupOpsSpec
+    // checks candidate coverage of every >=tau pair on the test
+    // corpus, which is what makes this exact oracle reproducible.
+    "p3_fuzzy_dedup" ->
+      """WITH RECURSIVE
+         t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                THEN list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [] END) AS gs FROM t),
+         ex AS (SELECT doc_id, unnest(gs) AS s FROM g),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id),
+         j AS (SELECT a, b,
+                 len(list_intersect(ga.gs, gb.gs))::DOUBLE
+                   / (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)))
+                   AS jacc
+               FROM cand JOIN g ga ON cand.a = ga.doc_id
+                         JOIN g gb ON cand.b = gb.doc_id),
+         prs AS (SELECT a, b FROM j WHERE jacc >= 0.8),
+         edges AS (SELECT a, b FROM prs
+                   UNION ALL SELECT b AS a, a AS b FROM prs),
+         reach(src, dst) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                  FROM reach GROUP BY src)
+         SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           (doc_id = cluster_id) AS is_representative
+         FROM comp ORDER BY doc_id""",
+    // p4: md5(doc_id) is the deterministic pseudo-random order in both
+    // engines; rank-based selection meets each lang quota exactly.
+    "p4_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY md5(doc_id::VARCHAR), doc_id) AS sample_rank
+           FROM documents)
+         SELECT doc_id, lang, sample_rank FROM r
+         WHERE sample_rank <= 50 ORDER BY lang, sample_rank""",
     "a11_props_stats" ->
       """SELECT event_type,
          CAST(floor(CAST(props->>'k' AS BIGINT) / 10) AS BIGINT) * 10 AS k_decile,
@@ -834,6 +903,41 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_orderstatus = 'O'
          ORDER BY o_totalprice ASC, o_orderkey LIMIT 20""",
+    // b38: point lookup — one order + customer (left, the unwind's
+    // null-preserving form) + line rollup.
+    "b38_order_detail" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+         o_orderstatus, o_totalprice, c_name, n_lines, total_qty, lines_value
+         FROM orders
+         LEFT JOIN customer ON o_custkey = c_custkey
+         LEFT JOIN (SELECT l_orderkey, count(*) AS n_lines,
+                      round(sum(l_quantity), 2) AS total_qty,
+                      round(sum(l_extendedprice), 2) AS lines_value
+                    FROM lineitem WHERE l_orderkey = 42 GROUP BY 1)
+           ON o_orderkey = l_orderkey
+         WHERE o_orderkey = 42""",
+    // b39: owner = buyer of the part's LAST sale line (b31's five-part
+    // ordinal, rn_last=1), burn custkey excluded, createTime sort =
+    // mint day desc, {total, data}.
+    "b39_nft_directory" ->
+      """WITH r AS (SELECT l_partkey, l_orderkey, l_shipdate,
+             row_number() OVER (PARTITION BY l_partkey
+               ORDER BY epoch_ms(l_shipdate) DESC, l_orderkey DESC,
+                        l_linenumber DESC, l_suppkey DESC,
+                        l_extendedprice DESC) AS rn
+           FROM lineitem),
+         a AS (SELECT l_partkey,
+                 min(CAST(l_shipdate AS DATE)) AS mint_day,
+                 count(*) AS n_sales,
+                 max(CASE WHEN rn = 1 THEN l_orderkey END) AS last_orderkey
+               FROM r GROUP BY 1),
+         own AS (SELECT a.*, o_custkey AS owner
+                 FROM a JOIN orders ON last_orderkey = o_orderkey
+                 WHERE o_custkey <> 7)
+         SELECT p_partkey, p_name, owner, mint_day, n_sales,
+           (SELECT count(*) FROM own) AS total
+         FROM own JOIN part ON l_partkey = p_partkey
+         ORDER BY mint_day DESC, p_partkey DESC LIMIT 10""",
     // b37: the same page through the DEFAULT sort arm — the
     // reference's getSortOfToken default branch is listing-date
     // descending (mode 0), which any unknown mode also degrades to.

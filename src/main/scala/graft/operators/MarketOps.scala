@@ -777,4 +777,68 @@ object MarketOps {
       .orderBy(col("order_date"), col("o_orderkey"))
       .limit(pageSize)
   }
+
+  /** b38: point lookup of ONE marketplace order with its token lookup —
+    * `getCollectibleOfMarketplace` (app.service.ts:758-777): `$match
+    * {orderId}` + `$lookup` tokens + `$unwind preserveNullAndEmpty`.
+    * Here: one order row + its customer (left join — the unwind's
+    * null-preserving form) + its line summary. The orderkey predicate
+    * pushes into both the orders and lineitem scans (PushedFilters +
+    * row-group skipping); the joins run over 1 and ≤#lines rows.
+    */
+  def orderDetail(spark: SparkSession, dir: String,
+                  orderkey: Long = 42L): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderkey") === orderkey)
+    val lines = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") === orderkey)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+           round(sum(col("l_quantity")), 2).as("total_qty"),
+           round(sum(col("l_extendedprice")), 2).as("lines_value"))
+    o.join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
+           col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(lines), col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"),
+              col("o_orderdate").cast("date").as("order_date"),
+              col("o_orderstatus"), col("o_totalprice"), col("c_name"),
+              col("n_lines"), col("total_qty"), col("lines_value"))
+  }
+
+  /** b39: the burn-excluded token directory with `{total, data}` —
+    * `listNFTs` (app.service.ts:779-796): `tokenOwner ≠ BURN_ADDRESS`,
+    * sorted by createTime, skip/limit + total count. Mapping: a part's
+    * current owner = the buyer (o_custkey) of its LAST sale line
+    * (max_by over b31's five-part ordinal), its createTime = mint day
+    * (first ship date); the burn address is a designated custkey.
+    *
+    * Scale shape: one per-part partial aggregate (max_by/min/count
+    * combine map-side), one join to orders for the owner, the burn
+    * filter, then the same {total, data} contract as b34 — total as a
+    * 1-row broadcast aggregate, the page via TakeOrdered. No window
+    * over the directory.
+    */
+  def nftDirectory(spark: SparkSession, dir: String,
+                   burnCust: Long = 7L, pageSize: Int = 10): DataFrame = {
+    val ord = struct(col("l_shipdate"), col("l_orderkey"),
+                     col("l_linenumber"), col("l_suppkey"),
+                     col("l_extendedprice"))
+    val lastLine = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(max_by(col("l_orderkey"), ord).as("last_orderkey"),
+           min(col("l_shipdate").cast("date")).as("mint_day"),
+           count(lit(1)).as("n_sales"))
+    val owned = lastLine
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+            col("last_orderkey") === col("o_orderkey"))
+      .withColumn("owner", col("o_custkey"))
+      .filter(col("owner") =!= burnCust)
+    val total = owned.agg(count(lit(1)).as("total"))
+    Tables.part(spark, dir)
+      .join(owned, col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("owner"),
+              col("mint_day"), col("n_sales"))
+      .orderBy(col("mint_day").desc, col("p_partkey").desc)
+      .limit(pageSize)
+      .crossJoin(broadcast(total))
+  }
 }

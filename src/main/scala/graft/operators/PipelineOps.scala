@@ -107,6 +107,40 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** p3: the fuzzy-dedup flagship — see DedupOps.fuzzyDedup. Surfaced
+    * here because it is the pipeline composition (candidates → verify
+    * → clusters → representatives), not another pair ranker.
+    */
+  def fuzzyDedup(spark: SparkSession, dir: String,
+                 tau: Double = 0.8): DataFrame =
+    DedupOps.fuzzyDedup(spark, dir, tau)
+
+  /** p4: deterministic stratified sampling / data mixing — per-lang
+    * document budgets, the mixture-weighting stage every pretraining
+    * pipeline runs after cleaning. Selection key is md5(doc_id) — a
+    * content-independent pseudo-random but fully deterministic,
+    * partition-stable, reshard-stable order (no rand(): re-running on
+    * different partitioning or cluster size picks the SAME sample;
+    * `xxhash64` would do the same but md5 keeps the key reproducible
+    * in the SQL oracle). Each lang keeps exactly min(quota, n_lang)
+    * docs: rank-based selection meets the budget EXACTLY, where
+    * hash-threshold sampling (`hash % N < q`) only meets it in
+    * expectation. The row_number filter compiles to WindowGroupLimit
+    * — a partial per-partition top-k, so at 100 TB only quota rows
+    * per lang per partition enter the shuffle.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       quota: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= quota)
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+
   /** Materialize the prepared corpus as lang-partitioned parquet — the
     * sink every corpus-prep run ends in. `repartition(lang)` BEFORE
     * `partitionBy(lang)` is the small-file guard: without it every

@@ -230,8 +230,17 @@ object SimOps {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               VectorFns.norm(col("embedding")).as("nrm"))
-    // queries are NOT filtered — the query batch is the caller's;
-    // only the candidate corpus passes the metadata gate
+    annFilteredFrom(emb, meta, k, qmod)
+  }
+
+  /** d7's plan over caller-supplied sides — `emb` must carry (vec_id,
+    * embedding, nrm), `meta` the surviving doc_ids. Shared by the
+    * plain-parquet d7 above and `Warehouse.annFilteredBucketed` (the
+    * exchange-free layout). Queries are NOT filtered — the query batch
+    * is the caller's; only the candidate corpus passes the gate.
+    */
+  private[graft] def annFilteredFrom(emb: DataFrame, meta: DataFrame,
+                                     k: Int, qmod: Int): DataFrame = {
     val q = queriesOf(emb, qmod)
       .withColumn("qnrm", VectorFns.norm(col("qe")))
     val cands = emb.join(meta, col("vec_id") === col("doc_id"), "left_semi")

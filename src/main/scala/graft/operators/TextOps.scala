@@ -169,6 +169,46 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** e8: PII scrub — regexp-based email/phone detection and redaction,
+    * the standard pre-training privacy pass. Pure codegen'd per-row
+    * work: `regexp_extract_all` counts + chained `regexp_replace`
+    * redaction evaluate inside the scan, no shuffle but the final sort.
+    *
+    * The synthetic corpus contains no natural PII (no digits, no '@'),
+    * so the operator runs over a deterministically AUGMENTED copy of
+    * the text — every doc_id ≡ 0 (mod 7) gains an email, every
+    * doc_id ≡ 0 (mod 11) a phone number, both derived from doc_id —
+    * which makes detection/redaction non-vacuous AND exactly
+    * reproducible in the DuckDB oracle. On a real corpus the
+    * augmentation drops out and the scrub maps over `text` directly.
+    * Patterns are deliberately in the Java∩RE2 common subset so both
+    * engines match identically.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+    val phoneRe = "555-[0-9]{3}-[0-9]{4}"
+    val aug = concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+           concat(lit(" contact u"), col("doc_id"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+           concat(lit(" call 555-123-"),
+                  lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    docs(spark, dir)
+      .select(col("doc_id"), aug.as("t"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"),
+                           phoneRe, "[PHONE]")).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** e4: content fingerprint — md5 of the exact text plus a
     * whitespace-normalized md5 (near-identical whitespace variants
     * collapse to the same normalized fingerprint).

@@ -24,11 +24,11 @@ object Warehouse {
     * join key into the session catalog (managed tables under
     * spark.sql.warehouse.dir). Idempotent via overwrite.
     */
-  def build(spark: SparkSession, dir: String): Unit = {
-    // idempotent across JVMs: drop catalog entries AND any orphaned
-    // location a previous session left behind (a managed-table location
-    // that exists without a catalog entry fails CREATE TABLE AS SELECT)
-    Seq("graft_orders_b", "graft_lineitem_b").foreach { t =>
+  // idempotent across JVMs: drop catalog entries AND any orphaned
+  // location a previous session left behind (a managed-table location
+  // that exists without a catalog entry fails CREATE TABLE AS SELECT)
+  private def dropManaged(spark: SparkSession, tables: Seq[String]): Unit =
+    tables.foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
       val loc = new java.io.File(wh, t)
@@ -39,6 +39,9 @@ object Warehouse {
         rm(loc)
       }
     }
+
+  def build(spark: SparkSession, dir: String): Unit = {
+    dropManaged(spark, Seq("graft_orders_b", "graft_lineitem_b"))
     Tables.orders(spark, dir)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
@@ -65,4 +68,43 @@ object Warehouse {
              .as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy(col("o_orderstatus"))
+
+  /** Land documents/embeddings bucketed on their shared id space —
+    * the layout d7's metadata-filtered ANN wants: the embeddings ⋈
+    * filtered-documents semi join becomes bucket-local (no Exchange on
+    * either side; WarehouseSpec proves it).
+    */
+  def buildAnn(spark: SparkSession, dir: String): Unit = {
+    dropManaged(spark, Seq("graft_documents_b", "graft_embeddings_b"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(Buckets, "doc_id").sortBy("doc_id")
+      .format("parquet")
+      .saveAsTable("graft_documents_b")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(Buckets, "vec_id").sortBy("vec_id")
+      .format("parquet")
+      .saveAsTable("graft_embeddings_b")
+  }
+
+  def documentsB(spark: SparkSession): DataFrame = spark.table("graft_documents_b")
+  def embeddingsB(spark: SparkSession): DataFrame = spark.table("graft_embeddings_b")
+
+  /** d7 over the bucketed layout: identical semantics/output to
+    * `SimOps.annFiltered` (same shared plan body), but the candidate
+    * semi join reads co-located buckets instead of shuffling both
+    * fact-scale sides.
+    */
+  def annFilteredBucketed(spark: SparkSession, k: Int = 10, qmod: Int = 50,
+                          lang: String = "en"): DataFrame = {
+    val emb = embeddingsB(spark)
+      .select(col("vec_id"), col("embedding"),
+              graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+    val meta = documentsB(spark).filter(col("lang") === lang)
+      .select(col("doc_id"))
+    graft.operators.SimOps.annFilteredFrom(emb, meta, k, qmod)
+  }
 }

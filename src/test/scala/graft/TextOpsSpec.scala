@@ -79,4 +79,64 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_chars_actual") == t.length)
     }
   }
+
+  test("e6 ngram frequencies match naive global counts with the same tiebreak") {
+    val got = TextOps.ngramFreq(spark, sf).collect()
+      .map(r => (r.getAs[String]("ngram"), r.getAs[Long]("n_occurrences")))
+    val counts = scala.collection.mutable.Map[String, Long]()
+    texts.values.foreach { t =>
+      t.split(" ", -1).sliding(2).filter(_.size == 2)
+        .foreach(w => { val k = w.mkString(" "); counts(k) = counts.getOrElse(k, 0L) + 1 })
+    }
+    val naive = counts.toSeq.sortBy { case (g, n) => (-n, g) }.take(50)
+    assert(got.toSeq == naive)
+  }
+
+  test("e7 dup-ngram ratio matches naive per-doc distinct-window arithmetic") {
+    val got = TextOps.dupNgramRatio(spark, sf).collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val ws = texts(r.getAs[Long]("doc_id"))
+        .split(" ", -1).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      assert(r.getAs[Long]("n_ngrams") == ws.size)
+      assert(r.getAs[Long]("n_distinct") == ws.distinct.size)
+      val exp = if (ws.isEmpty) 0.0 else 1.0 - ws.distinct.size.toDouble / ws.size
+      assert(math.abs(r.getAs[Double]("dup_ratio") - exp) < 1e-6)
+    }
+  }
+
+  test("e8 pii scrub: detection matches the planting rule; redaction changes exactly the PII docs") {
+    val got = TextOps.piiScrub(spark, sf).collect()
+    assert(got.length == texts.size)
+    // reference fingerprints of the UNREDACTED augmented text: docs
+    // with no planted PII must hash identically (redaction is a no-op
+    // on them), docs with PII must hash differently.
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (hasEmail, hasPhone) = (id % 7 == 0, id % 11 == 0)
+      assert(r.getAs[Long]("n_emails") == (if (hasEmail) 1L else 0L), s"doc $id emails")
+      assert(r.getAs[Long]("n_phones") == (if (hasPhone) 1L else 0L), s"doc $id phones")
+      val aug = texts(id) +
+        (if (hasEmail) s" contact u$id@example.com" else "") +
+        (if (hasPhone) f" call 555-123-${id % 10000}%04d" else "")
+      val augMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(aug.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (hasEmail || hasPhone)
+        assert(r.getAs[String]("redacted_fp") != augMd5, s"doc $id not redacted")
+      else
+        assert(r.getAs[String]("redacted_fp") == augMd5, s"doc $id altered without PII")
+    }
+    // the redacted form itself is deterministic and matches a JVM
+    // recompute of the same regex chain on a planted doc
+    val sample = got.find(r => r.getAs[Long]("n_emails") == 1).get
+    val id = sample.getAs[Long]("doc_id")
+    val aug = texts(id) + s" contact u$id@example.com" +
+      (if (id % 11 == 0) f" call 555-123-${id % 10000}%04d" else "")
+    val redacted = aug
+      .replaceAll("[a-z0-9]+@[a-z0-9.]+\\.[a-z]+", "[EMAIL]")
+      .replaceAll("555-[0-9]{3}-[0-9]{4}", "[PHONE]")
+    val redMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(redacted.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(sample.getAs[String]("redacted_fp") == redMd5)
+  }
 }

@@ -43,4 +43,26 @@ class WarehouseSpec extends SparkSpec {
     assert(shuffleCount(joinOnly) == 0,
       "bucketed fact join should not shuffle either side")
   }
+
+  test("bucketed d7 semi join is exchange-free and result-identical to plain d7") {
+    Warehouse.buildAnn(spark, sf)
+    val bucketed = Warehouse.annFilteredBucketed(spark)
+    val raw = graft.operators.SimOps.annFiltered(spark, sf)
+    assert(bucketed.collect().toSeq == raw.collect().toSeq)
+    // the candidate semi join itself must not shuffle either side.
+    // Disable auto-broadcast so the assertion exercises the bucketed
+    // sort-merge path (at test SF the filtered documents side is small
+    // enough to broadcast, which would pass vacuously).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val semiOnly = Warehouse.embeddingsB(spark)
+        .join(Warehouse.documentsB(spark)
+                .filter(col("lang") === "en").select(col("doc_id")),
+              col("vec_id") === col("doc_id"), "left_semi")
+        .select(col("vec_id"))
+      assert(shuffleCount(semiOnly) == 0,
+        "bucketed documents-embeddings semi join should not shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
