@@ -211,14 +211,40 @@ object SparkEntry {
          arg_max(event_type, printf('%019d|%019d', epoch_ms(ts), event_id)) AS current_state,
          max(epoch_ms(ts)) AS state_ms
          FROM events GROUP BY user_id ORDER BY user_id""",
-    // c1 is the only SQL-expressible dedup op; c2-c5 involve seeded
-    // xxhash64 signatures / LSH banding DuckDB cannot reproduce, so the
-    // driver records rows-only and DedupOpsSpec carries correctness.
+    // c2/c3/c5 involve seeded xxhash64 signatures / LSH banding DuckDB
+    // cannot reproduce, so the driver records rows-only and
+    // DedupOpsSpec carries correctness. c1/c4/c6 are exact and
+    // string-based → oracled.
     "c1_dedup_exact" ->
       """SELECT doc_id, md5(text) AS fp,
          count(*) OVER (PARTITION BY md5(text)) AS dup_count,
          (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical
          FROM documents ORDER BY doc_id""",
+    // c4: exact word-3-gram Jaccard over the df-capped shingle
+    // vocabulary — the same distinct-(doc, shingle) rows, df window,
+    // inverted-index join and (rounded jaccard desc, a, b) tiebreak as
+    // the Spark plan; both engines sort on the 6dp-rounded value.
+    "c4_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                 ELSE [] END)) AS shingle
+               FROM t),
+         capped AS (SELECT doc_id, shingle FROM (
+             SELECT doc_id, shingle,
+                    count(*) OVER (PARTITION BY shingle) AS df FROM g)
+           WHERE df <= 100),
+         sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1),
+         i AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
+               FROM capped x JOIN capped y
+                 ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+               GROUP BY 1, 2)
+         SELECT a_id, b_id,
+           round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+         FROM i JOIN sizes sa ON a_id = sa.doc_id
+                JOIN sizes sb ON b_id = sb.doc_id
+         ORDER BY jaccard DESC, a_id, b_id LIMIT 50""",
     // p1: the corpus-prep composition — c6's CC closure + e2's quality
     // formula chained exactly as the Spark plan chains them. Integer
     // sums cast to BIGINT (DuckDB sum() yields HUGEINT, which the
