@@ -56,6 +56,7 @@ object SparkEntry {
     "p2_decontaminate"          -> ((s: SparkSession, d: String) => PipelineOps.decontaminate(s, d)),
     "p3_fuzzy_dedup"            -> ((s: SparkSession, d: String) => PipelineOps.fuzzyDedup(s, d)),
     "p4_stratified_sample"      -> ((s: SparkSession, d: String) => PipelineOps.stratifiedSample(s, d)),
+    "p5_stream_ingest"          -> graft.streaming.CorpusStream.streamIngest _,
     // E. text analysis
     "e1_token_stats"            -> TextOps.tokenStats _,
     "e2_quality_score"          -> TextOps.qualityScore _,
@@ -558,6 +559,18 @@ object SparkEntry {
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            (doc_id = cluster_id) AS is_representative
          FROM comp ORDER BY doc_id""",
+    // p5: the streaming corpus ingest — same enrichment formula as
+    // e2/e4 (dup-free corpus makes the dedup arm an identity; the
+    // dropping arm is MemoryStream-tested).
+    "p5_stream_ingest" ->
+      """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+                    FROM documents)
+         SELECT doc_id, lang, md5(text) AS fp, len(toks) AS n_tokens,
+           round(0.25 * least(len(toks) / 100.0, 1.0)
+               + 0.25 * (1.0 - len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
+               + 0.25 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text))
+               + 0.25 * len(list_distinct(toks))::DOUBLE / len(toks), 4) AS quality
+         FROM t ORDER BY doc_id""",
     // p4: md5(doc_id) is the deterministic pseudo-random order in both
     // engines; rank-based selection meets each lang quota exactly.
     "p4_stratified_sample" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 import graft.sources.Tables
@@ -34,32 +34,39 @@ object TextOps {
            sum(col("re")).as("total_re_tokens"))
       .orderBy(col("lang"))
 
-  /** e2: per-doc quality score from length / stopword ratio / punct
-    * ratio / type-token ratio — the usual pretraining-corpus filters.
+  /** e2's component expressions over `text` — shared by the batch
+    * operator below and the streaming ingest (CorpusStream), so both
+    * paths compute the identical formula by construction.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val nStop = size(filter(toks, t => t.isin("the", "a", "of", "to", "and")))
-      .cast("double")
-    val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
-      .cast("double")
-    val ttr = size(array_distinct(toks)).cast("double") / nTok
-    val stopRatio = nStop / nTok
-    val punctRatio = nPunct / length(col("text")).cast("double")
-    val score = lit(0.25) * least(nTok / 100.0, lit(1.0)) +
+  private[graft] object Quality {
+    val toks: Column = TextFns.tokens(col("text"))
+    private val nTok = size(toks).cast("double")
+    private val nStop =
+      size(filter(toks, t => t.isin("the", "a", "of", "to", "and"))).cast("double")
+    private val nPunct =
+      length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
+    val ttr: Column = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio: Column = nStop / nTok
+    val punctRatio: Column = nPunct / length(col("text")).cast("double")
+    val score: Column =
+      lit(0.25) * least(nTok / 100.0, lit(1.0)) +
       lit(0.25) * (lit(1.0) - stopRatio) +
       lit(0.25) * (lit(1.0) - punctRatio) +
       lit(0.25) * ttr
+  }
+
+  /** e2: per-doc quality score from length / stopword ratio / punct
+    * ratio / type-token ratio — the usual pretraining-corpus filters.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      round(punctRatio, 6).as("punct_ratio"),
-      round(ttr, 6).as("type_token_ratio"),
-      round(score, 4).as("quality"))
+      size(Quality.toks).cast("long").as("n_tokens"),
+      round(Quality.stopRatio, 6).as("stopword_ratio"),
+      round(Quality.punctRatio, 6).as("punct_ratio"),
+      round(Quality.ttr, 6).as("type_token_ratio"),
+      round(Quality.score, 4).as("quality"))
       .orderBy(col("doc_id"))
-  }
 
   /** e3: language-ID heuristic — stopword-profile scoring. The corpus
     * is synthetic (same vocabulary for every lang label), so this
