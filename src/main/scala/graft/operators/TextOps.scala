@@ -176,24 +176,37 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** e8: PII scrub — regexp-based email/phone detection and redaction,
-    * the standard pre-training privacy pass. Pure codegen'd per-row
-    * work: `regexp_extract_all` counts + chained `regexp_replace`
-    * redaction evaluate inside the scan, no shuffle but the final sort.
-    *
-    * The synthetic corpus contains no natural PII (no digits, no '@'),
-    * so the operator runs over a deterministically AUGMENTED copy of
-    * the text — every doc_id ≡ 0 (mod 7) gains an email, every
-    * doc_id ≡ 0 (mod 11) a phone number, both derived from doc_id —
-    * which makes detection/redaction non-vacuous AND exactly
-    * reproducible in the DuckDB oracle. On a real corpus the
-    * augmentation drops out and the scrub maps over `text` directly.
-    * Patterns are deliberately in the Java∩RE2 common subset so both
-    * engines match identically.
+  /** The PII patterns — deliberately in the Java∩RE2 common regex
+    * subset so Spark and the DuckDB oracle match identically.
+    */
+  val EmailRe = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+  val PhoneRe = "555-[0-9]{3}-[0-9]{4}"
+
+  /** The generic PII scrub: per-doc detection counts + redacted
+    * fingerprint over ANY (doc_id, <textCol>) frame — this is the form
+    * a user points at a real corpus. Pure codegen'd per-row work:
+    * `regexp_extract_all` counts + chained `regexp_replace` redaction
+    * evaluate inside the scan; no shuffle but the caller's sort.
+    */
+  def scrub(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(
+      col("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      md5(regexp_replace(regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+                         PhoneRe, "[PHONE]")).as("redacted_fp"))
+
+  /** e8: the scrub over the test corpus — which contains no natural
+    * PII (no digits, no '@'), so the driver query plants it first: a
+    * deterministically AUGMENTED copy of the text gains an email for
+    * every doc_id ≡ 0 (mod 7) and a phone for every doc_id ≡ 0
+    * (mod 11), both derived from doc_id — non-vacuous detection AND
+    * exactly reproducible in the DuckDB oracle. A real deployment
+    * calls `scrub` directly.
     */
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
-    val emailRe = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
-    val phoneRe = "555-[0-9]{3}-[0-9]{4}"
     val aug = concat(
       col("text"),
       when(pmod(col("doc_id"), lit(7)) === 0,
@@ -203,16 +216,7 @@ object TextOps {
            concat(lit(" call 555-123-"),
                   lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
         .otherwise(lit("")))
-    docs(spark, dir)
-      .select(col("doc_id"), aug.as("t"))
-      .select(
-        col("doc_id"),
-        size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
-          .cast("long").as("n_emails"),
-        size(regexp_extract_all(col("t"), lit(phoneRe), lit(0)))
-          .cast("long").as("n_phones"),
-        md5(regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"),
-                           phoneRe, "[PHONE]")).as("redacted_fp"))
+    scrub(docs(spark, dir).select(col("doc_id"), aug.as("t")), "t")
       .orderBy(col("doc_id"))
   }
 

@@ -139,4 +139,27 @@ class TextOpsSpec extends SparkSpec {
       .digest(redacted.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(sample.getAs[String]("redacted_fp") == redMd5)
   }
+
+  test("generic scrub finds and redacts naturally-embedded PII (no augmentation path)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at jo.doe1@mail.example.org or bob@x.io thanks"),
+      (2L, "call 555-867-5309 now or later 555-000-1111"),
+      (3L, "nothing sensitive here at all"),
+      (4L, "mixed: a@b.cd and 555-123-4567 together"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.scrub(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+         r.getAs[String]("redacted_fp"))).toMap
+    assert(got(1L)._1 == 2 && got(1L)._2 == 0)
+    assert(got(2L)._1 == 0 && got(2L)._2 == 2)
+    assert(got(3L) == (0L, 0L, got(3L)._3))
+    assert(got(4L)._1 == 1 && got(4L)._2 == 1)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(3L)._3 == md5hex("nothing sensitive here at all"),
+      "PII-free text must survive redaction byte-identical")
+    assert(got(4L)._3 == md5hex("mixed: [EMAIL] and [PHONE] together"))
+  }
 }
