@@ -751,7 +751,10 @@ object MarketOps {
               col("o_orderdate").cast("date").as("order_date"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .offset(20).limit(20)
+    // re-sort the ≤pageSize joined rows: row order through a join is
+    // not guaranteed, and the page order is part of the contract
     page.crossJoin(broadcast(total))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
   }
 
   /** b35: keyset (cursor) pagination — `listCollectibles`'s `after`
@@ -840,5 +843,9 @@ object MarketOps {
       .orderBy(col("mint_day").desc, col("p_partkey").desc)
       .limit(pageSize)
       .crossJoin(broadcast(total))
+      // the pre-limit sort is the TakeOrdered page pick; re-sorting the
+      // ≤pageSize joined rows makes the OUTPUT order contractual (row
+      // order through a join is not guaranteed) at no real cost
+      .orderBy(col("mint_day").desc, col("p_partkey").desc)
   }
 }

@@ -23,10 +23,11 @@ object Catalog {
 
   /** Register every SparkEntry query as a `graft_<name>` temp view —
     * `SELECT * FROM graft_b3_marketplace_listing` etc. Batch queries
-    * stay lazy plans; the streaming-backed ones (a9/a10/a13–a15) run
-    * their catch-up micro-batches AT REGISTRATION (their result is a
-    * materialized memory-sink table), so call this when that ~20 s
-    * cost is acceptable, or register tables only.
+    * stay lazy plans; the streaming-backed ones (a9/a10/a13–a15 and
+    * p5_stream_ingest) run their catch-up micro-batches AT
+    * REGISTRATION (their result is a materialized memory-sink table —
+    * p5's holds the whole enriched corpus in driver memory), so call
+    * this when that cost is acceptable, or register tables only.
     */
   def registerQueries(spark: SparkSession, dir: String): Unit =
     graft.SparkEntry.queries.foreach { case (name, q) =>

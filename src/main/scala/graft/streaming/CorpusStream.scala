@@ -20,28 +20,14 @@ import graft.operators.TextOps
   */
 object CorpusStream {
 
-  // The file source wants a DIRECTORY it can watch; the test data
-  // ships a single parquet file, so expose it through a per-JVM temp
-  // directory via symlink (same pattern as EventStream.readEvents).
-  private val streamDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
-
-  /** File-source stream over the documents landing path (schema pinned
-    * from a batch read — readStream requires an explicit schema). At
-    * deployment this watches the crawler's output directory;
-    * AvailableNow runs it as incremental batch ingest.
+  /** File-source stream over the documents landing path (single test
+    * file exposed via StreamFiles' symlink dir; schema pinned once from
+    * the batch footer). At deployment this watches the crawler's
+    * output directory; AvailableNow runs it as incremental batch
+    * ingest.
     */
   def readDocuments(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val d = streamDirs.computeIfAbsent(dir, { dir: String =>
-      val p = Files.createTempDirectory("graft-docs-stream")
-      p.toFile.deleteOnExit()
-      val link = p.resolve("documents.parquet")
-      Files.createSymbolicLink(link, Paths.get(s"$dir/documents.parquet"))
-      link.toFile.deleteOnExit()
-      p
-    })
+    val (d, schema) = StreamFiles.dirAndSchema(spark, dir, "documents.parquet")
     spark.readStream.schema(schema).parquet(d.toString)
   }
 

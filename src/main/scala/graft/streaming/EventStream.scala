@@ -39,24 +39,12 @@ object EventStream {
     * The file stream source requires a DIRECTORY (at production scale
     * the event feed is one — files land and the source picks them up
     * incrementally); the test data ships a single file, so it is
-    * exposed through a temp directory via symlink.
+    * exposed through StreamFiles' per-JVM symlink dir. The schema is
+    * the static eventSchema (not the cached footer read — event-time
+    * derivation below depends on these exact field types).
     */
-  private val streamDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
-
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    // One symlink dir per input dir per JVM (computeIfAbsent), marked
-    // deleteOnExit — repeated calls in a long-lived session reuse it
-    // instead of littering the temp filesystem.
-    val d = streamDirs.computeIfAbsent(dir, { dir: String =>
-      val p = Files.createTempDirectory("graft-events-stream")
-      p.toFile.deleteOnExit()
-      val link = p.resolve("events.parquet")
-      Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
-      link.toFile.deleteOnExit()
-      p
-    })
+    val (d, _) = StreamFiles.dirAndSchema(spark, dir, "events.parquet")
     spark.readStream
       .schema(eventSchema)
       .parquet(d.toString)
