@@ -57,6 +57,7 @@ object SparkEntry {
     "p3_fuzzy_dedup"            -> ((s: SparkSession, d: String) => PipelineOps.fuzzyDedup(s, d)),
     "p4_stratified_sample"      -> ((s: SparkSession, d: String) => PipelineOps.stratifiedSample(s, d)),
     "p5_stream_ingest"          -> graft.streaming.CorpusStream.streamIngest _,
+    "p6_token_budget_mix"       -> ((s: SparkSession, d: String) => PipelineOps.tokenBudgetMix(s, d)),
     // E. text analysis
     "e1_token_stats"            -> TextOps.tokenStats _,
     "e2_quality_score"          -> TextOps.qualityScore _,
@@ -571,6 +572,20 @@ object SparkEntry {
                + 0.25 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text))
                + 0.25 * len(list_distinct(toks))::DOUBLE / len(toks), 4) AS quality
          FROM t ORDER BY doc_id""",
+    // p6: the greedy token-budget cut in md5 order — the oracle's
+    // single global cumsum per lang equals Spark's block prefix-sum
+    // because the bucket is a key prefix (same total order).
+    "p6_token_budget_mix" ->
+      """WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+                    md5(doc_id::VARCHAR) AS key FROM documents),
+         c AS (SELECT doc_id, lang, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY lang
+                   ORDER BY key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+               FROM d)
+         SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= 2000 ORDER BY lang, cum_tokens""",
     // p4: md5(doc_id) is the deterministic pseudo-random order in both
     // engines; rank-based selection meets each lang quota exactly.
     "p4_stratified_sample" ->

@@ -141,6 +141,51 @@ object PipelineOps {
       .orderBy(col("lang"), col("sample_rank"))
   }
 
+  /** p6: token-budget data mixing — the OTHER mixing unit: p4 budgets
+    * documents per lang, this budgets TOKENS per lang (what mixture
+    * weights actually meter). Greedy exact cut: docs taken in
+    * md5(doc_id) order (deterministic pseudo-random, partition-stable)
+    * until the lang's cumulative token count would exceed the budget.
+    *
+    * 100 TB shape — the naive form is a single window PER LANG
+    * (cumulative sum over every doc of a language through one
+    * partition: the classic scale-killer). This runs the block
+    * prefix-sum instead: bucket = first 2 hex chars of the key (the
+    * bucket order IS the key order, it's a prefix), per-(lang, bucket)
+    * token sums make a ≤ langs×256-row offsets table (tiny window),
+    * each bucket's rows get offset + within-bucket running sum — the
+    * big windows are partitioned by (lang, bucket), 256× finer, and
+    * buckets entirely past the boundary are pruned before any window
+    * work. Exact global cumsum, no single-partition stage.
+    */
+  def tokenBudgetMix(spark: SparkSession, dir: String,
+                     budget: Long = 2000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir).select(
+        col("doc_id"), col("lang"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+          .as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("key"))
+      .withColumn("bucket", substring(col("key"), 1, 2))
+    val wB = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("offset", coalesce(sum(col("btok")).over(wB), lit(0L)))
+      .select(col("lang"), col("bucket"), col("offset"))
+    val wIn = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    d.join(broadcast(offsets), Seq("lang", "bucket"))
+      // a bucket whose offset alone reaches the budget cannot
+      // contribute (every doc has ≥1 token) — prune it pre-window
+      .filter(col("offset") < budget)
+      .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(wIn))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("lang"), col("cum_tokens"))
+  }
+
   /** Materialize the prepared corpus as lang-partitioned parquet — the
     * sink every corpus-prep run ends in. `repartition(lang)` BEFORE
     * `partitionBy(lang)` is the small-file guard: without it every

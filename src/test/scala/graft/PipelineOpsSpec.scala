@@ -68,6 +68,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(reparted.collect().toSeq == got.toSeq)
   }
 
+  test("p6 token budget equals the naive greedy cut and sits exactly at the boundary") {
+    val budget = 2000L
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val all = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+                 r.getAs[String]("text").split(" ", -1).length.toLong))
+    // naive prefix cut: per lang, the running sum over ALL docs in
+    // (md5(id), id) order; keep exactly the prefix with cum <= budget
+    // (sums are monotone — once over budget, everything after is out)
+    val expected = all.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      var cum = 0L
+      ds.sortBy { case (id, _, _) => (md5hex(id.toString), id) }.flatMap {
+        case (id, _, n) =>
+          cum += n
+          if (cum <= budget) Some((id, lang, n, cum)) else None
+      }
+    }.toSet
+    val got = PipelineOps.tokenBudgetMix(spark, sf, budget).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+                 r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // boundary bite: every lang is actually cut (some doc excluded),
+    // and the cut is maximal (next doc in key order would overshoot)
+    val langs = all.map(_._2).distinct
+    langs.foreach { lang =>
+      val kept = got.filter(_._2 == lang)
+      assert(kept.size < all.count(_._2 == lang), s"$lang: nothing cut — raise data or lower budget")
+      val keptIds = kept.map(_._1)
+      val next = all.filter(_._2 == lang).filterNot(d => keptIds(d._1))
+        .minByOption(d => (md5hex(d._1.toString), d._1))
+      // toSeq first: mapping the Set directly would collapse docs with
+      // EQUAL token counts and undercount the budget use
+      val used = kept.toSeq.map(_._3).sum
+      next.foreach { case (_, _, n) =>
+        assert(used + n > budget, s"$lang: greedy cut not maximal")
+      }
+    }
+  }
+
   test("writeCorpus lands lang-partitioned parquet, one file per lang, round-trips") {
     val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
     PipelineOps.writeCorpus(spark, sf, out)
