@@ -577,7 +577,8 @@ object SparkEntry {
     // because the bucket is a key prefix (same total order).
     "p6_token_budget_mix" ->
       """WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
-                    md5(doc_id::VARCHAR) AS key FROM documents),
+                    md5(doc_id::VARCHAR) AS key FROM documents
+                    WHERE text IS NOT NULL),
          c AS (SELECT doc_id, lang, n_tokens,
                  CAST(sum(n_tokens) OVER (PARTITION BY lang
                    ORDER BY key, doc_id

@@ -129,11 +129,21 @@ object PipelineOps {
     * — a partial per-partition top-k, so at 100 TB only quota rows
     * per lang per partition enter the shuffle.
     */
+  /** The deterministic sampling key p4 and p6 share: md5 of the doc id
+    * — content-independent, partition-stable, and reproducible in the
+    * SQL oracles as md5(doc_id::VARCHAR). p6's bucket = substring(key,
+    * 1, 2) relies on the key being THIS hex string (prefix order ==
+    * key order); change both sites and both oracles together or not at
+    * all.
+    */
+  private def sampleKey: org.apache.spark.sql.Column =
+    md5(col("doc_id").cast("string"))
+
   def stratifiedSample(spark: SparkSession, dir: String,
                        quota: Int = 50): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .orderBy(sampleKey, col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"))
       .withColumn("sample_rank", row_number().over(w))
@@ -161,11 +171,17 @@ object PipelineOps {
   def tokenBudgetMix(spark: SparkSession, dir: String,
                      budget: Long = 2000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(spark, dir).select(
+    // NULL text is excluded EXPLICITLY (here and in the oracle): the
+    // bucket prune below is only correct when every row has n_tokens
+    // >= 1 (true for any non-null text — split("") = [""]), and
+    // size(split(NULL)) would inject -1 and break cum monotonicity.
+    val d = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(
         col("doc_id"), col("lang"),
         size(graft.functions.TextFns.tokens(col("text"))).cast("long")
           .as("n_tokens"),
-        md5(col("doc_id").cast("string")).as("key"))
+        sampleKey.as("key"))
       .withColumn("bucket", substring(col("key"), 1, 2))
     val wB = Window.partitionBy(col("lang")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)

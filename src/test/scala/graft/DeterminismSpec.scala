@@ -15,7 +15,8 @@ class DeterminismSpec extends SparkSpec {
     "a1_latest_event_per_user", "b3_marketplace_listing",
     "b29_wallet_listed", "b35_keyset_page",
     "d1_ann_bruteforce", "c2_dedup_minhash",
-    "b39_nft_directory", "p4_stratified_sample", "p3_fuzzy_dedup")
+    "b39_nft_directory", "p4_stratified_sample", "p3_fuzzy_dedup",
+    "p6_token_budget_mix")
 
   private def snap(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
