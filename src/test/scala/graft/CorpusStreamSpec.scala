@@ -60,6 +60,58 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest resumes from checkpoint: a replay arriving AFTER restart is still dropped") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-ingest-resume")
+    val streamDir = Files.createDirectory(base.resolve("in"))
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    def writeDocs(docs: Seq[(Long, String, String)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-ingest-part")
+      docs.toDF("doc_id", "text", "lang")
+        .withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(f, streamDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(streamDir.toString).schema
+      val q = graft.streaming.CorpusStream.ingest(
+          spark.readStream.schema(schema).parquet(streamDir.toString))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // run 1: two distinct docs
+    writeDocs(Seq((0L, "alpha beta gamma delta", "en"),
+                  (1L, "epsilon zeta eta theta", "en")), "p1.parquet")
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 2)
+
+    // run 2 (fresh query, SAME checkpoint): doc 2 replays doc 0's
+    // exact content, doc 3 is new — the fingerprint state must have
+    // survived the restart for the replay to be dropped.
+    writeDocs(Seq((2L, "alpha beta gamma delta", "en"),
+                  (3L, "iota kappa lambda mu", "de")), "p2.parquet")
+    runOnce()
+    val out = spark.read.parquet(outDir).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(0L, 1L, 3L),
+      "cross-restart replay must be dropped; new content kept")
+    val fps = out.map(_.getAs[String]("fp"))
+    assert(fps.distinct.length == fps.length, "one row per distinct content")
+  }
+
   test("p5 over the corpus directory equals the batch enrichment (identity dedup)") {
     val streamed = CorpusStream.streamIngest(spark, sf).collect()
     val docs = graft.sources.Tables.documents(spark, sf)
