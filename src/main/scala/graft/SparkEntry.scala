@@ -560,18 +560,23 @@ object SparkEntry {
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            (doc_id = cluster_id) AS is_representative
          FROM comp ORDER BY doc_id""",
-    // p5: the streaming corpus ingest — same enrichment formula as
-    // e2/e4 (dup-free corpus makes the dedup arm an identity; the
-    // dropping arm is MemoryStream-tested).
+    // p5: the streaming corpus ingest — e2/e4's enrichment formulas,
+    // deduped to the min-doc_id row per distinct content (the
+    // deterministic winner the stateful fold keeps in its single
+    // AvailableNow batch; duplicate-robust — sf0.1 has 8 dup texts).
     "p5_stream_ingest" ->
       """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
-                    FROM documents)
-         SELECT doc_id, lang, md5(text) AS fp, len(toks) AS n_tokens,
+                    FROM documents WHERE text IS NOT NULL),
+         e AS (SELECT doc_id, lang, md5(text) AS fp, len(toks) AS n_tokens,
            round(0.25 * least(len(toks) / 100.0, 1.0)
                + 0.25 * (1.0 - len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
                + 0.25 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text))
                + 0.25 * len(list_distinct(toks))::DOUBLE / len(toks), 4) AS quality
-         FROM t ORDER BY doc_id""",
+           FROM t),
+         r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+               FROM e)
+         SELECT doc_id, lang, fp, n_tokens, quality FROM r
+         WHERE rn = 1 ORDER BY doc_id""",
     // p6: the greedy token-budget cut in md5 order — the oracle's
     // single global cumsum per lang equals Spark's block prefix-sum
     // because the bucket is a key prefix (same total order).

@@ -1,8 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.operators.TextOps
+
+/** One enriched corpus row (p5's output shape). */
+case class IngestRow(doc_id: Long, lang: String, fp: String,
+                     n_tokens: Long, quality: Double)
 
 /** Streaming corpus ingestion — the LLM-pipeline front door as a
   * Structured Streaming flow (the reference's continuous event-listener
@@ -33,30 +38,51 @@ object CorpusStream {
 
   /** Stateless per-row enrichment (content fingerprint + e2's quality
     * score + token count) + stateful exact-dedup keyed on the
-    * fingerprint (first occurrence wins, replays dropped by state).
+    * fingerprint. The winner per distinct content is DETERMINISTIC:
+    * the min-doc_id row of the first micro-batch that carries the
+    * content (a dropDuplicates would keep an arbitrary row within the
+    * batch — nondeterministic under duplicate content, which the sf0.1
+    * corpus actually has). Replays in later batches are dropped by
+    * state. NULL text is excluded explicitly (md5(NULL) would collapse
+    * every null doc onto one NULL fingerprint).
     *
     * State is one fingerprint per distinct content — unbounded over
     * the stream's life BY DESIGN: exact dedup is a global set. A
-    * deployment whose re-crawl window is bounded swaps in
-    * dropDuplicatesWithinWatermark on an ingest-time column, exactly
-    * as EventStream.dedupStream does for events.
+    * deployment whose re-crawl window is bounded swaps in a
+    * watermarked timeout on an ingest-time column, exactly as
+    * EventStream.dedupStream does for events.
     */
-  def ingest(docs: DataFrame): DataFrame =
-    docs.select(
+  def ingest(docs: DataFrame): Dataset[IngestRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col("text").isNotNull)
+      .select(
         col("doc_id"), col("lang"),
         md5(col("text")).as("fp"),
         size(TextOps.Quality.toks).cast("long").as("n_tokens"),
         round(TextOps.Quality.score, 4).as("quality"))
-      .dropDuplicates("fp")
+      .as[IngestRow]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[IngestRow], seen: GroupState[Boolean]) =>
+          if (seen.exists) Iterator.empty
+          else {
+            seen.update(true)
+            Iterator.single(rows.minBy(_.doc_id))
+          })
+  }
 
   /** p5: the ingest run over the current corpus directory
-    * (AvailableNow → memory sink). The corpus plants no exact
-    * duplicates, so the dedup arm is an identity here and the batch
-    * oracle checks the enrichment hash-exactly; the dup-DROPPING arm
-    * is MemoryStream-tested in CorpusStreamSpec (replayed content
-    * across micro-batches).
+    * (AvailableNow → memory sink, one micro-batch) — so the kept row
+    * per distinct content is exactly the global min-doc_id one, which
+    * is what the duplicate-robust oracle computes (row_number over fp
+    * ordered by doc_id). Replay-dropping across batches and across a
+    * checkpoint restart is MemoryStream/file-source-tested in
+    * CorpusStreamSpec.
     */
   def streamIngest(spark: SparkSession, dir: String): DataFrame =
-    EventStream.runToBatch(spark, ingest(readDocuments(spark, dir)), "append")
+    EventStream.runToBatch(spark, ingest(readDocuments(spark, dir)).toDF(),
+        "append")
       .orderBy(col("doc_id"))
 }

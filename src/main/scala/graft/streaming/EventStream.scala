@@ -44,7 +44,7 @@ object EventStream {
     * derivation below depends on these exact field types).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val (d, _) = StreamFiles.dirAndSchema(spark, dir, "events.parquet")
+    val d = StreamFiles.dir(dir, "events.parquet")
     spark.readStream
       .schema(eventSchema)
       .parquet(d.toString)

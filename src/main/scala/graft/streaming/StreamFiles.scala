@@ -16,19 +16,32 @@ import org.apache.spark.sql.types.StructType
   */
 private[streaming] object StreamFiles {
 
-  private val entries = new ConcurrentHashMap[(String, String), (Path, StructType)]()
+  private val dirs = new ConcurrentHashMap[(String, String), Path]()
+  private val schemas = new ConcurrentHashMap[(String, String), StructType]()
 
-  /** (watchable directory, pinned schema) for `dir/fileName`. */
-  def dirAndSchema(spark: SparkSession, dir: String,
-                   fileName: String): (Path, StructType) =
-    entries.computeIfAbsent((dir, fileName), { key: (String, String) =>
+  /** Watchable directory for `dir/fileName`. */
+  def dir(dir: String, fileName: String): Path =
+    dirs.computeIfAbsent((dir, fileName), { key: (String, String) =>
       val (d, f) = key
-      val schema = spark.read.parquet(s"$d/$f").schema
       val p = Files.createTempDirectory("graft-stream")
       p.toFile.deleteOnExit()
       val link = p.resolve(f)
       Files.createSymbolicLink(link, Paths.get(s"$d/$f"))
       link.toFile.deleteOnExit()
-      (p, schema)
+      p
     })
+
+  /** Watchable directory + footer-derived schema. The schema read is a
+    * separate cache so callers with a STATIC schema (EventStream, whose
+    * event-time derivation depends on exact field types) never pay the
+    * batch footer read.
+    */
+  def dirAndSchema(spark: SparkSession, d: String,
+                   fileName: String): (Path, StructType) = {
+    val schema = schemas.computeIfAbsent((d, fileName),
+      { key: (String, String) =>
+        spark.read.parquet(s"${key._1}/${key._2}").schema
+      })
+    (dir(d, fileName), schema)
+  }
 }

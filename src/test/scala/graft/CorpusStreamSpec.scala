@@ -22,9 +22,14 @@ class CorpusStreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("corpus_ingest")
       .outputMode("append").start()
     try {
+      // doc 9 and doc 7 carry IDENTICAL content in the SAME batch:
+      // the deterministic winner must be the min doc_id (7), not an
+      // arbitrary row
       in.addData(
         Doc(0L, "the quick spark table scans the fast row", "en"),
         Doc(1L, "join group merge sort batch window", "en"),
+        Doc(9L, "twin content lands twice in one batch", "en"),
+        Doc(7L, "twin content lands twice in one batch", "en"),
         Doc(2L, "data table row filter agg column", "de"))
       q.processAllAvailable()
       // batch 2: doc 3 replays doc 0's exact content (re-crawl), doc 4
@@ -36,13 +41,14 @@ class CorpusStreamSpec extends SparkSpec {
       q.processAllAvailable()
       val out = spark.table("corpus_ingest").collect()
         .map(r => r.getAs[Long]("doc_id") -> r).toMap
-      assert(out.keySet == Set(0L, 1L, 2L, 4L), s"got ${out.keySet}")
+      assert(out.keySet == Set(0L, 1L, 2L, 4L, 7L), s"got ${out.keySet}")
 
       // enrichment equals the batch operators on the same docs
       val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
       Seq(Doc(0L, "the quick spark table scans the fast row", "en"),
           Doc(1L, "join group merge sort batch window", "en"),
           Doc(2L, "data table row filter agg column", "de"),
+          Doc(7L, "twin content lands twice in one batch", "en"),
           Doc(4L, "stream state fold key value dup", "fr"))
         .toDF().withColumn("source", lit("t"))
         .withColumn("n_chars", length(col("text")).cast("long"))
@@ -75,8 +81,9 @@ class CorpusStreamSpec extends SparkSpec {
         .withColumn("source", lit("t"))
         .withColumn("n_chars", length(col("text")).cast("long"))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val f = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val ls = Files.list(tmp)
+      val f = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+              finally ls.close()
       Files.copy(f, streamDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
     }
 

@@ -53,8 +53,6 @@ class PipelineOpsSpec extends SparkSpec {
     }
     // selection is the md5 order, not doc order: ranks are 1..quota and
     // the picked set matches a JVM recompute of the same key
-    def md5hex(s: String): String = java.security.MessageDigest
-      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val all = Tables.documents(spark, sf).select("doc_id", "lang").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
     val expected = all.groupBy(_._2).toSeq.flatMap { case (l, ds) =>
@@ -70,8 +68,6 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("p6 token budget equals the naive greedy cut and sits exactly at the boundary") {
     val budget = 2000L
-    def md5hex(s: String): String = java.security.MessageDigest
-      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val all = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
                  r.getAs[String]("text").split(" ", -1).length.toLong))

@@ -9,6 +9,10 @@ trait SparkSpec extends AnyFunSuite {
   val sf: String = "/root/testdata/sf0.001"
 
   def rows(df: DataFrame): Seq[org.apache.spark.sql.Row] = df.collect().toSeq
+
+  /** Shared md5-hex helper (several specs recompute engine md5s). */
+  def md5hex(s: String): String = java.security.MessageDigest
+    .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }
 
 object SparkSpec {

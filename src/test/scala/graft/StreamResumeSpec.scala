@@ -16,8 +16,9 @@ import graft.streaming.EventStream
 class StreamResumeSpec extends SparkSpec {
 
   private def copyOnly(srcGlob: Path, dest: Path): Unit = {
-    val f = Files.list(srcGlob).filter(_.toString.endsWith(".parquet"))
-      .findFirst().get()
+    val ls = Files.list(srcGlob)
+    val f = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+            finally ls.close()
     Files.copy(f, dest, StandardCopyOption.REPLACE_EXISTING)
   }
 

@@ -156,8 +156,6 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L)._1 == 0 && got(2L)._2 == 2)
     assert(got(3L) == (0L, 0L, got(3L)._3))
     assert(got(4L)._1 == 1 && got(4L)._2 == 1)
-    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(got(3L)._3 == md5hex("nothing sensitive here at all"),
       "PII-free text must survive redaction byte-identical")
     assert(got(4L)._3 == md5hex("mixed: [EMAIL] and [PHONE] together"))
