@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** The whole k-permutation MinHash signature as ONE typed Aggregator —
+  * bit-identical to the k-column declarative form
+  * `min(pmod(a_i*h + b_i, m))` (every operand is positive and the
+  * product stays below 2^63, so plain `%` equals `pmod`), but the
+  * per-row update is a single JVM loop over a primitive long array.
+  *
+  * Why not the declarative form (TextFns.minhashAggs, kept as the
+  * spec-side reference): 128 separate aggregate expressions blow past
+  * the codegen field limit, so the aggregate drops out of whole-stage
+  * codegen and every row pays 128 expression-tree evaluations —
+  * an interleaved A/B at sf0.1 measures the typed loop ~2x faster
+  * (1.5-1.7 s vs 2.7-3.3 s warm). The map-side combine property is
+  * unchanged: partial buffers are per-partition element-wise mins,
+  * merged by the same loop.
+  */
+class MinhashSigAggregator(k: Int)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+
+  private val permA = TextFns.minhashPerms(k).map(_._1).toArray
+  private val permB = TextFns.minhashPerms(k).map(_._2).toArray
+
+  // Long.MaxValue sentinel never escapes: a group exists only when at
+  // least one shingle-hash row reduces into it.
+  override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    var i = 0
+    while (i < k) {
+      val v = (permA(i) * h + permB(i)) % TextFns.MinhashM
+      if (v < buf(i)) buf(i) = v
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
+    x
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+}
+
+object MinhashAgg {
+  /** Column form: `minhash_sig(h)` → array<bigint> of length k. */
+  def sig(k: Int): Column => Column = {
+    val fn = udaf(new MinhashSigAggregator(k), Encoders.scalaLong)
+    (h: Column) => fn(h)
+  }
+}

@@ -58,11 +58,14 @@ object TextFns {
     }
 
   /** The k partial-aggregable MinHash measures over a 31-bit shingle
-    * hash column: min((a_i*h + b_i) mod m). Used with an
-    * explode+groupBy plan — each shingle string is hashed ONCE per row
-    * and the mins combine map-side. (A nested array-transform variant
-    * re-evaluated the string hashing once per permutation after
-    * Catalyst inlined the shared subexpression: ~100× slower.)
+    * hash column: min((a_i*h + b_i) mod m) — the DECLARATIVE reference
+    * form, kept for the property specs. The engine itself aggregates
+    * through MinhashAgg (one typed Aggregator, bit-identical): k
+    * separate aggregate expressions exceed the codegen field limit and
+    * evaluate interpreted, ~10× slower at 128 perms. (A nested
+    * array-transform variant re-evaluated the string hashing once per
+    * permutation after Catalyst inlined the shared subexpression:
+    * ~100× slower still.)
     */
   def minhashAggs(h: Column, k: Int): Seq[Column] =
     minhashPerms(k).zipWithIndex.map { case ((a, b), i) =>

@@ -40,7 +40,12 @@ class KernelPropertySpec extends SparkSpec {
         val aggs = TextFns.minhashAggs(col("h"), 16)
         val got = hs.toSeq.toDF("h").agg(aggs.head, aggs.tail: _*)
           .collect()(0).toSeq.map(_.asInstanceOf[Long])
-        got == want
+        // and the typed aggregator the engine actually runs must be
+        // bit-identical to both
+        val gotAgg = hs.toSeq.toDF("h")
+          .agg(graft.functions.MinhashAgg.sig(16)(col("h")).as("sig"))
+          .collect()(0).getSeq[Long](0)
+        got == want && gotAgg == want
       }
     }, "minhash", n = 25)
   }
