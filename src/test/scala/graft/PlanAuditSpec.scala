@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** The release plan sweep (SURVEY §6) as a regression test: no query
+  * may plan a cartesian product, and BroadcastNestedLoopJoin may
+  * appear ONLY where it is the documented broadcast-small-side design
+  * (1-row totals, scalar-subquery dashboards, broadcast query batches
+  * / centroid probes). A new query that accidentally plans an
+  * unconstrained join fails here instead of surviving until a manual
+  * Explain audit.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // streaming-backed queries EXECUTE their catch-up run at plan-build
+  // time (memory-sink materialization) — audited via their own specs
+  private val streamingBacked = Set(
+    "a9_stream_hourly", "a10_stream_state", "a13_stream_join",
+    "a14_stream_asof", "a15_stream_asof_ooo", "p5_stream_ingest")
+
+  // every BNLJ here is a documented broadcast-small-side pattern
+  private val bnljByDesign = Set(
+    "b23_platform_counts",     // scalar-subquery count dashboard
+    "b34_marketplace_page",    // 1-row total broadcast
+    "b39_nft_directory",       // 1-row total broadcast
+    "d1_ann_bruteforce", "d4_ann_topk_agg", "d6_ann_range",
+    "d7_ann_filtered",         // broadcast query batch (exact baseline)
+    "d5_ann_ivf")              // broadcast centroid probe
+
+  test("no cartesian products; BNLJ only in the documented broadcast patterns") {
+    SparkEntry.queries.keys.filterNot(streamingBacked).toSeq.sorted.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (!bnljByDesign(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin outside the documented set")
+    }
+  }
+}
