@@ -112,6 +112,7 @@ object SparkEntry {
     // point lookup + burn-excluded directory (app.service.ts:758, :779)
     "b38_order_detail"          -> ((s: SparkSession, d: String) => MarketOps.orderDetail(s, d)),
     "b39_nft_directory"         -> ((s: SparkSession, d: String) => MarketOps.nftDirectory(s, d)),
+    "b40_collection_detail"     -> ((s: SparkSession, d: String) => MarketOps.collectionDetail(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -998,6 +999,18 @@ object SparkEntry {
            (SELECT count(*) FROM own) AS total
          FROM own JOIN part ON l_partkey = p_partkey
          ORDER BY mint_day DESC, p_partkey DESC LIMIT 10""",
+    // b40: one collection's info card (getCollectionInfo point lookup).
+    "b40_collection_detail" ->
+      """SELECT 'Brand#1' AS p_brand,
+         count(DISTINCT p_partkey) AS n_items,
+         count(DISTINCT l_suppkey) AS owners,
+         count(*) AS n_sales,
+         round(sum(l_extendedprice), 2) AS volume,
+         round(min(l_extendedprice), 2) AS floor_price,
+         min(CAST(l_shipdate AS DATE)) AS first_day,
+         max(CAST(l_shipdate AS DATE)) AS last_day
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'Brand#1'""",
     // b37: the same page through the DEFAULT sort arm — the
     // reference's getSortOfToken default branch is listing-date
     // descending (mode 0), which any unknown mode also degrades to.

@@ -820,6 +820,33 @@ object MarketOps {
     * 1-row broadcast aggregate, the page via TakeOrdered. No window
     * over the directory.
     */
+  /** b40: point lookup of ONE collection's info card —
+    * `getCollectionInfo` (app.service.ts:1267): `findOne({chain,
+    * token})`. Here: one brand's directory entry with its trading
+    * stats (items/owners/volume/floor + first/last activity). The
+    * brand predicate pushes into the part scan; the brand's part keys
+    * broadcast into the lineitem scan, so the fact table is probed
+    * once, map-side, for a 1-row answer.
+    */
+  def collectionDetail(spark: SparkSession, dir: String,
+                       brand: String = "Brand#1"): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand)
+      .select(col("p_partkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .agg(countDistinct(col("p_partkey")).as("n_items"),
+           countDistinct(col("l_suppkey")).as("owners"),
+           count(lit(1)).as("n_sales"),
+           round(sum(col("l_extendedprice")), 2).as("volume"),
+           round(min(col("l_extendedprice")), 2).as("floor_price"),
+           min(col("l_shipdate").cast("date")).as("first_day"),
+           max(col("l_shipdate").cast("date")).as("last_day"))
+      .select(lit(brand).as("p_brand"), col("n_items"), col("owners"),
+              col("n_sales"), col("volume"), col("floor_price"),
+              col("first_day"), col("last_day"))
+  }
+
   def nftDirectory(spark: SparkSession, dir: String,
                    burnCust: Long = 7L, pageSize: Int = 10): DataFrame = {
     val ord = struct(col("l_shipdate"), col("l_orderkey"),
