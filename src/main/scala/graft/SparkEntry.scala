@@ -91,8 +91,10 @@ object SparkEntry {
     "b21_latest_bids"           -> MarketOps.latestBids _,
     "b22_collection_directory"  -> MarketOps.collectionDirectory _,
     "b23_platform_counts"       -> MarketOps.platformCounts _,
-    // b24 is sketch-based (HLL++/quantile) — approximate by design, so
-    // no SQL oracle; accuracy vs exact b5 is bounded in MarketOpsSpec.
+    // b24 is sketch-based (HLL++/quantile); its driver-checked output
+    // is the exact columns + in-bound booleans (see the operator doc),
+    // so the approximation is hash-gated without the oracle needing to
+    // reproduce sketch internals.
     "b24_collection_stats_sketch" -> MarketOps.collectionStatsApprox _,
     "b25_global_search"         -> ((s: SparkSession, d: String) => MarketOps.globalSearch(s, d)),
     "b26_token_detail"          -> ((s: SparkSession, d: String) => MarketOps.tokenDetail(s, d)),
@@ -113,6 +115,9 @@ object SparkEntry {
     "b38_order_detail"          -> ((s: SparkSession, d: String) => MarketOps.orderDetail(s, d)),
     "b39_nft_directory"         -> ((s: SparkSession, d: String) => MarketOps.nftDirectory(s, d)),
     "b40_collection_detail"     -> ((s: SparkSession, d: String) => MarketOps.collectionDetail(s, d)),
+    // feeds-channel directory + pool rewards (app.service.ts:2415, :2351)
+    "b41_feeds_channels"        -> ((s: SparkSession, d: String) => MarketOps.feedsChannels(s, d)),
+    "b42_pool_rewards"          -> MarketOps.poolRewards _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1011,6 +1016,55 @@ object SparkEntry {
          max(CAST(l_shipdate AS DATE)) AS last_day
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_brand = 'Brand#1'""",
+    // b24: the oracle recomputes the EXACT aggregates and expects TRUE
+    // for the in-bound booleans — Spark computes those booleans from
+    // its sketch vs its own exact aggregate, so an out-of-tolerance
+    // sketch fails the hash compare. Non-vacuous: the bound is the
+    // sketch's contract, and the sketches are deterministic (seed-free).
+    "b24_collection_stats_sketch" ->
+      """SELECT p_brand, count(*) AS items,
+         count(DISTINCT l_suppkey) AS owners,
+         round(sum(l_extendedprice), 2) AS volume,
+         round(min(l_extendedprice), 2) AS floor_price,
+         TRUE AS owners_in_bound,
+         TRUE AS median_in_bound
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    // b41: feeds-channel directory — keyword regex over both text
+    // fields (same (?i) RE2∩Java pattern literal in both engines),
+    // b39's last-sale-buyer owner mapping + burn exclusion, mint-day
+    // (blockNumber) desc sort, {total, data}.
+    "b41_feeds_channels" ->
+      """WITH ch AS (SELECT p_partkey, p_name, p_type FROM part
+           WHERE regexp_matches(p_name, '(?i)(gear|ivory)')
+              OR regexp_matches(p_type, '(?i)(gear|ivory)')),
+         r AS (SELECT l_partkey, l_orderkey, l_shipdate, l_linenumber,
+             row_number() OVER (PARTITION BY l_partkey
+               ORDER BY epoch_ms(l_shipdate) DESC, l_orderkey DESC,
+                        l_linenumber DESC, l_suppkey DESC,
+                        l_extendedprice DESC) AS rn
+           FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM ch)),
+         a AS (SELECT l_partkey,
+                 max(CASE WHEN rn = 1 THEN l_orderkey END) AS last_orderkey,
+                 min(CAST(l_shipdate AS DATE)) AS mint_day,
+                 count(*) AS n_sales
+               FROM r GROUP BY 1),
+         own AS (SELECT a.*, o_custkey AS owner
+                 FROM a JOIN orders ON last_orderkey = o_orderkey
+                 WHERE o_custkey <> 7)
+         SELECT p_partkey, p_name, p_type, owner, mint_day, n_sales,
+           (SELECT count(*) FROM own) AS total
+         FROM own JOIN ch ON l_partkey = p_partkey
+         ORDER BY mint_day DESC, p_partkey DESC LIMIT 10""",
+    // b42: per-pool reward totals — groupBy(pool).sum(amount); pool =
+    // payload k mod 4 (k ∈ [0, 99] in this data, so plain % agrees
+    // between engines), amount = event value.
+    "b42_pool_rewards" ->
+      """SELECT CAST(props->>'k' AS BIGINT) % 4 AS pool,
+         round(sum(value), 2) AS total_amount,
+         count(*) AS n_rewards
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY pool""",
     // b37: the same page through the DEFAULT sort arm — the
     // reference's getSortOfToken default branch is listing-date
     // descending (mode 0), which any unknown mode also degrades to.

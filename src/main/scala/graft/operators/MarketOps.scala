@@ -461,14 +461,32 @@ object MarketOps {
   def collectionStatsApprox(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir)
+    // The sketches are seed-free and deterministic, but their VALUES are
+    // not SQL-reproducible — so the driver-checked output carries the
+    // exact columns plus booleans asserting each sketch sits within its
+    // configured tolerance of the same-query exact aggregate (HLL rsd
+    // 0.02 → 10% rel / abs-2 floor; quantile accuracy 1000 → 5% rel).
+    // DuckDB recomputes the exact columns and expects TRUE: a sketch
+    // drifting out of bound flips the boolean and fails the hash gate.
+    // The exact aggregates exist here only as the verification harness;
+    // the sketch columns are the operator (fixed-state, map-side
+    // mergeable — the 100 TB dashboard path).
     li.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("items"),
            approx_count_distinct(col("l_suppkey"), 0.02).as("owners_approx"),
+           countDistinct(col("l_suppkey")).as("owners"),
            round(sum(col("l_extendedprice")), 2).as("volume"),
-           round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)), 2)
-             .as("median_price_approx"),
+           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+             .as("median_approx"),
+           percentile(col("l_extendedprice"), lit(0.5)).as("median_exact"),
            round(min(col("l_extendedprice")), 2).as("floor_price"))
+      .select(col("p_brand"), col("items"), col("owners"), col("volume"),
+              col("floor_price"),
+              (abs(col("owners_approx") - col("owners")) <=
+                 greatest(lit(2.0), col("owners") * 0.1)).as("owners_in_bound"),
+              (abs(col("median_approx") - col("median_exact")) <=
+                 col("median_exact") * 0.05).as("median_in_bound"))
       .orderBy(col("p_brand"))
   }
 
@@ -807,19 +825,6 @@ object MarketOps {
               col("n_lines"), col("total_qty"), col("lines_value"))
   }
 
-  /** b39: the burn-excluded token directory with `{total, data}` —
-    * `listNFTs` (app.service.ts:779-796): `tokenOwner ≠ BURN_ADDRESS`,
-    * sorted by createTime, skip/limit + total count. Mapping: a part's
-    * current owner = the buyer (o_custkey) of its LAST sale line
-    * (max_by over b31's five-part ordinal), its createTime = mint day
-    * (first ship date); the burn address is a designated custkey.
-    *
-    * Scale shape: one per-part partial aggregate (max_by/min/count
-    * combine map-side), one join to orders for the owner, the burn
-    * filter, then the same {total, data} contract as b34 — total as a
-    * 1-row broadcast aggregate, the page via TakeOrdered. No window
-    * over the directory.
-    */
   /** b40: point lookup of ONE collection's info card —
     * `getCollectionInfo` (app.service.ts:1267): `findOne({chain,
     * token})`. Here: one brand's directory entry with its trading
@@ -847,6 +852,19 @@ object MarketOps {
               col("first_day"), col("last_day"))
   }
 
+  /** b39: the burn-excluded token directory with `{total, data}` —
+    * `listNFTs` (app.service.ts:779-796): `tokenOwner ≠ BURN_ADDRESS`,
+    * sorted by createTime, skip/limit + total count. Mapping: a part's
+    * current owner = the buyer (o_custkey) of its LAST sale line
+    * (max_by over b31's five-part ordinal), its createTime = mint day
+    * (first ship date); the burn address is a designated custkey.
+    *
+    * Scale shape: one per-part partial aggregate (max_by/min/count
+    * combine map-side), one join to orders for the owner, the burn
+    * filter, then the same {total, data} contract as b34 — total as a
+    * 1-row broadcast aggregate, the page via TakeOrdered. No window
+    * over the directory.
+    */
   def nftDirectory(spark: SparkSession, dir: String,
                    burnCust: Long = 7L, pageSize: Int = 10): DataFrame = {
     val ord = struct(col("l_shipdate"), col("l_orderkey"),
@@ -875,4 +893,71 @@ object MarketOps {
       // order through a join is not guaranteed) at no real cost
       .orderBy(col("mint_day").desc, col("p_partkey").desc)
   }
+
+  /** b41: the feeds-channel directory — `listFeedsChannel`
+    * (app.service.ts:2415-2440): multi-field case-insensitive keyword
+    * regex (`$or` over name/description/data.cname), burn-owner
+    * exclusion, blockNumber-desc sort, `{total, data}` page. Mapping:
+    * channels = parts whose name OR type matches the keyword regex
+    * (the two text fields play name/description), owner/burn = b39's
+    * last-sale-buyer mapping, blockNumber desc = mint day desc.
+    *
+    * Scale shape: the regex filters evaluate inside the part SCAN
+    * (codegen'd, no join yet) and prune hard, so unlike b39's
+    * full-directory aggregate the per-part last-sale aggregate here
+    * runs over ONLY the matched channels' lines — matched keys
+    * broadcast into the fact probe, the small aggregate broadcasts
+    * into the orders owner lookup, and the total is the b34 1-row
+    * broadcast contract. Nothing fact-scale shuffles.
+    */
+  def feedsChannels(spark: SparkSession, dir: String,
+                    keyword: String = "(?i)(gear|ivory)",
+                    burnCust: Long = 7L, pageSize: Int = 10): DataFrame = {
+    val chans = Tables.part(spark, dir)
+      .filter(col("p_name").rlike(keyword) || col("p_type").rlike(keyword))
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+    val ord = struct(col("l_shipdate"), col("l_orderkey"),
+                     col("l_linenumber"), col("l_suppkey"),
+                     col("l_extendedprice"))
+    val lastSale = Tables.lineitem(spark, dir)
+      .join(broadcast(chans.select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(max_by(col("l_orderkey"), ord).as("last_orderkey"),
+           min(col("l_shipdate").cast("date")).as("mint_day"),
+           count(lit(1)).as("n_sales"))
+    val owned = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(lastSale), col("last_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") =!= burnCust)
+      .withColumn("owner", col("o_custkey"))
+    val total = owned.agg(count(lit(1)).as("total"))
+    chans.join(broadcast(owned), col("p_partkey") === col("l_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"), col("owner"),
+              col("mint_day"), col("n_sales"))
+      .orderBy(col("mint_day").desc, col("p_partkey").desc)
+      .limit(pageSize)
+      .crossJoin(broadcast(total))
+      .orderBy(col("mint_day").desc, col("p_partkey").desc)
+  }
+
+  /** b42: per-pool reward totals — `getPoolRewards`
+    * (app.service.ts:2351-2365): one `$group {_id: $pool, total:
+    * {$sum: $amount}}` over the rewards-distribution records. Mapping:
+    * reward records = purchase events, pool id = the payload's `k`
+    * field mod 4 (a handful of pools, like the reference's fixed pool
+    * addresses), amount = the event value.
+    *
+    * Pure map-side-combinable aggregate over a pushed type filter —
+    * one shuffle of 4 partial rows per task at any scale.
+    */
+  def poolRewards(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .withColumn("pool",
+        get_json_object(col("props"), "$.k").cast("long") % 4)
+      .groupBy(col("pool"))
+      .agg(round(sum(col("value")), 2).as("total_amount"),
+           count(lit(1)).as("n_rewards"))
+      .orderBy(col("pool"))
 }

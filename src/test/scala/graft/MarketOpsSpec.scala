@@ -132,10 +132,47 @@ class MarketOpsSpec extends SparkSpec {
       val (items, owners, volume) = exact(r.getAs[String]("p_brand"))
       assert(r.getAs[Long]("items") == items)           // exact agg unchanged
       assert(r.getAs[Double]("volume") == volume)
-      val est = r.getAs[Long]("owners_approx").toDouble
-      assert(math.abs(est - owners) <= math.max(2.0, owners * 0.1),
-        s"${r.getAs[String]("p_brand")}: hll $est vs exact $owners")
+      assert(r.getAs[Long]("owners") == owners)         // exact side of the bound
+      // the in-bound booleans ARE the sketch check the driver hash-gates
+      assert(r.getAs[Boolean]("owners_in_bound"),
+        s"${r.getAs[String]("p_brand")}: hll outside 10%/abs-2 of $owners")
+      assert(r.getAs[Boolean]("median_in_bound"),
+        s"${r.getAs[String]("p_brand")}: approx median outside 5% of exact")
     }
+  }
+
+  test("b41 feeds channels: regex match, burn excluded, {total, data}") {
+    val got = rows(MarketOps.feedsChannels(spark, sf, burnCust = 7L, pageSize = 10))
+    assert(got.nonEmpty && got.size <= 10)
+    val total = got.head.getAs[Long]("total")
+    assert(got.forall(_.getAs[Long]("total") == total))
+    assert(total >= got.size)
+    val re = "(?i)(gear|ivory)".r
+    got.foreach { r =>
+      // every page row matches the keyword on at least one text field
+      assert(re.findFirstIn(r.getAs[String]("p_name")).isDefined ||
+             re.findFirstIn(r.getAs[String]("p_type")).isDefined)
+      assert(r.getAs[Long]("owner") != 7L)              // burn excluded
+    }
+    // newest-first (mint_day desc, partkey desc) page order
+    val keys = got.map(r => (r.getAs[java.sql.Date]("mint_day").getTime,
+                             r.getAs[Long]("p_partkey")))
+    assert(keys == keys.sortBy(k => (-k._1, -k._2)))
+    // a burn owner that can't match any row keeps the total at the
+    // unfiltered channel-owner count; a real owner shrinks it
+    val noBurn = rows(MarketOps.feedsChannels(spark, sf, burnCust = -1L))
+      .head.getAs[Long]("total")
+    assert(noBurn >= total)
+  }
+
+  test("b42 pool rewards partition the purchase events exactly") {
+    val got = rows(MarketOps.poolRewards(spark, sf))
+    assert(got.map(_.getAs[Long]("pool")).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    // pools partition the reward records: counts sum to the filter count
+    val nPurchases = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase").count()
+    assert(got.map(_.getAs[Long]("n_rewards")).sum == nPurchases)
+    got.foreach(r => assert(r.getAs[Long]("n_rewards") > 0))
   }
 
   test("b26 point lookup returns one row whose aggregates match the raw table") {

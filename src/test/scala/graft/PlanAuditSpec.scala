@@ -23,6 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     "b23_platform_counts",     // scalar-subquery count dashboard
     "b34_marketplace_page",    // 1-row total broadcast
     "b39_nft_directory",       // 1-row total broadcast
+    "b41_feeds_channels",      // 1-row total broadcast
     "d1_ann_bruteforce", "d4_ann_topk_agg", "d6_ann_range",
     "d7_ann_filtered",         // broadcast query batch (exact baseline)
     "d5_ann_ivf")              // broadcast centroid probe
