@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Benchmark main — one JSON line on stdout (driver contract).
   *
   * Each query materializes through a noop-format sink write rather than
@@ -80,7 +82,76 @@ object Bench {
     // Sum of first passes — comparable to pre-round-6 single-pass runs.
     val firstPassTotal = results.flatMap(_._2.headOption).filter(_ >= 0).sum
     val nFail = errors.size
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_runs":$runs,"repeats":$repeats,"sf":"$sfDir","failed":$nFail,"warmup_sec":${fmt(warmup)},"total_excl_first":${fmt(totalExclFirst)},"total_firstpass":${fmt(firstPassTotal)}}""")
+
+    // ---- multimodal decode-cost split (outside the query totals) ----
+    // Per-stage min times for f1-f5: "scan" = modality-pruned source,
+    // "decode" = through the mapPartitions boundary, "full" = the main
+    // loop's min. (decode - scan) isolates the stub decoder's cost so a
+    // real codec swap has a before/after number.
+    val bestMap = best.toMap
+    val mmJson = graft.operators.MultimodalOps.benchStages(spark, sfDir)
+      .map { case (q, stage, mk) =>
+        val ts = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          try { mk().write.format("noop").mode("overwrite").save()
+                (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $q/$stage FAILED: ${e.getMessage}")
+            -1.0
+          }
+        }.filter(_ >= 0)
+        (q, stage, if (ts.nonEmpty) ts.min else -1.0)
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (q, xs) =>
+        val stages = xs.map { case (_, s, v) => "\"" + s + "\":" + fmt(v) } :+
+          ("\"full\":" + fmt(bestMap.getOrElse(q, -1.0)))
+        "\"" + q + "\":" + stages.mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+
+    // ---- approximate-operator recall on the bench corpus ----
+    // d2/d5: fraction of d1's exact top-10 pairs the ANN variant
+    // returns. c2/c3: fraction of the corpus' exact-duplicate pairs
+    // (md5-equal texts — est_jaccard 1 / hamming 0, so they must rank)
+    // present in the ranked output. All distributive joins + 1-row
+    // counts — no driver-side loops.
+    def recallJson: String = {
+      import org.apache.spark.sql.functions._
+      def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      def recallVs(exact: DataFrame, approx: DataFrame,
+                   cols: Seq[String]): Double = {
+        val e = exact.select(cols.map(col): _*)
+        val n = e.count()
+        if (n == 0) -1.0
+        else approx.select(cols.map(col): _*)
+          .join(e, cols, "left_semi").count().toDouble / n
+      }
+      val exactTop = run("d1_ann_bruteforce")
+      val annCols = Seq("query_id", "cand_id")
+      // exact-duplicate ground truth: pairs of md5-equal texts
+      val fps = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val dupPairs = fps.as("x").join(fps.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      val pairCols = Seq("a_id", "b_id")
+      val entries = Seq(
+        "d2_ann_lsh" -> recallVs(exactTop, run("d2_ann_lsh"), annCols),
+        "d5_ann_ivf" -> recallVs(exactTop, run("d5_ann_ivf"), annCols),
+        "c2_dedup_minhash" -> recallVs(dupPairs, run("c2_dedup_minhash"), pairCols),
+        "c3_dedup_simhash" -> recallVs(dupPairs, run("c3_dedup_simhash"), pairCols))
+      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    }
+    val recalls =
+      try recallJson
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] recall computation FAILED: ${e.getMessage}")
+        "{}"
+      }
+
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_runs":$runs,"repeats":$repeats,"sf":"$sfDir","failed":$nFail,"warmup_sec":${fmt(warmup)},"total_excl_first":${fmt(totalExclFirst)},"total_firstpass":${fmt(firstPassTotal)},"multimodal_split":$mmJson,"recall":$recalls}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

@@ -31,6 +31,14 @@ class MinhashSigAggregator(k: Int)
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    // Precondition (fail-fast, one branch per ROW, not per perm): h must
+    // be pre-reduced into [0, MinhashM) — the plain `%` below relies on
+    // every operand being non-negative. A caller feeding raw xxhash64
+    // (possibly negative) would otherwise silently produce negative
+    // signature entries that never win a min but poison band packing.
+    if (h < 0L || h >= TextFns.MinhashM) throw new IllegalArgumentException(
+      s"minhash input hash $h outside [0, ${TextFns.MinhashM}): " +
+      "pre-reduce with pmod(xxhash64(...), MinhashM) before aggregating")
     var i = 0
     while (i < k) {
       val v = (permA(i) * h + permB(i)) % TextFns.MinhashM
@@ -53,9 +61,17 @@ class MinhashSigAggregator(k: Int)
 }
 
 object MinhashAgg {
-  /** Column form: `minhash_sig(h)` → array<bigint> of length k. */
-  def sig(k: Int): Column => Column = {
+  // one registered udaf per k — sig() is called per query build, and
+  // re-registering the aggregator each time is avoidable (tiny) work
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[Int, Column => Column]
+
+  /** Column form: `minhash_sig(h)` → array<bigint> of length k.
+    * Input MUST be pre-reduced into [0, TextFns.MinhashM) — see
+    * [[MinhashSigAggregator.reduce]].
+    */
+  def sig(k: Int): Column => Column = cache.getOrElseUpdate(k, {
     val fn = udaf(new MinhashSigAggregator(k), Encoders.scalaLong)
     (h: Column) => fn(h)
-  }
+  })
 }

@@ -62,7 +62,8 @@ object TextFns {
     * form, kept for the property specs. The engine itself aggregates
     * through MinhashAgg (one typed Aggregator, bit-identical): k
     * separate aggregate expressions exceed the codegen field limit and
-    * evaluate interpreted, ~10× slower at 128 perms. (A nested
+    * evaluate interpreted — MinhashAgg's interleaved A/B at sf0.1
+    * measures this form ~2× slower at 128 perms. (A nested
     * array-transform variant re-evaluated the string hashing once per
     * permutation after Catalyst inlined the shared subexpression:
     * ~100× slower still.)

@@ -178,8 +178,11 @@ object MultimodalOps {
     * The pixel transform itself is the stub: output byte size is
     * estimated as scaled-area × channels.
     */
-  def resizeImages(spark: SparkSession, dir: String,
-                   maxW: Int = 256, maxH: Int = 256): DataFrame = {
+  /** The resize decode stage alone (un-sorted) — shared by f5 and the
+    * bench per-stage split.
+    */
+  private def resized(spark: SparkSession, dir: String,
+                      maxW: Int, maxH: Int): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
       .filter(col("media_type") === "image")
@@ -200,8 +203,11 @@ object MultimodalOps {
         }
       }
       .toDF()
-      .orderBy(col("doc_id"))
   }
+
+  def resizeImages(spark: SparkSession, dir: String,
+                   maxW: Int = 256, maxH: Int = 256): DataFrame =
+    resized(spark, dir, maxW, maxH).orderBy(col("doc_id"))
 
   /** f3: decoded metadata joined BACK to the document table — the
     * post-decode join every multimodal pipeline runs (pair pixels with
@@ -237,5 +243,37 @@ object MultimodalOps {
       .mapPartitions(_.map(decodeStub))
       .toDF()
       .orderBy(col("doc_id"))
+  }
+
+  /** Per-stage plans for the bench decode-cost split: for each f-query,
+    * "scan" = the (modality-pruned) source scan feeding the decode
+    * boundary, "decode" = through mapPartitions but before the
+    * downstream agg/join/sort. The full query is timed by the main
+    * bench loop, so (decode − scan) ≈ decoder cost and (full − decode)
+    * ≈ the declarative tail — the split a real codec swap moves, and
+    * the before/after evidence that a swapped-in libjpeg/ffmpeg (not
+    * the Spark plumbing) is what changed.
+    */
+  def benchStages(spark: SparkSession, dir: String)
+      : Seq[(String, String, () => DataFrame)] = {
+    import spark.implicits._
+    def media() = mediaTable(spark, dir)
+    def decoded() = media().as[MediaRecord].mapPartitions(_.map(decodeStub)).toDF()
+    Seq(
+      ("f1_multimodal_meta", "scan",   () => media()),
+      ("f1_multimodal_meta", "decode", () => decoded()),
+      ("f2_frame_sample",    "scan",   () => media()),
+      ("f2_frame_sample",    "decode", () => media().as[MediaRecord]
+        .mapPartitions(_.flatMap(sampleFramesStub(_, 16))).toDF()),
+      ("f3_media_by_lang",   "scan",   () => media()),
+      ("f3_media_by_lang",   "decode", () => decoded()),
+      ("f4_audio_windows",   "scan",   () => media()
+        .filter(col("media_type") === "audio")),
+      ("f4_audio_windows",   "decode", () => media()
+        .filter(col("media_type") === "audio").as[MediaRecord]
+        .mapPartitions(_.flatMap(audioWindowsStub(_, 1000L, 500L, 32))).toDF()),
+      ("f5_resize_images",   "scan",   () => media()
+        .filter(col("media_type") === "image")),
+      ("f5_resize_images",   "decode", () => resized(spark, dir, 256, 256)))
   }
 }

@@ -82,7 +82,11 @@ object CorpusStream {
     * CorpusStreamSpec.
     */
   def streamIngest(spark: SparkSession, dir: String): DataFrame =
+    // requireSingleBatch: the global-min-doc_id winner (what the
+    // blessed row_number oracle computes) is only batch-independent
+    // because the whole corpus lands in one AvailableNow micro-batch —
+    // split delivery would make the kept row first-batch-dependent.
     EventStream.runToBatch(spark, ingest(readDocuments(spark, dir)).toDF(),
-        "append")
+        "append", requireSingleBatch = true)
       .orderBy(col("doc_id"))
 }

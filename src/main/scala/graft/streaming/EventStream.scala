@@ -494,21 +494,62 @@ object EventStream {
 
   private val runId = new AtomicInteger(0)
 
+  /** Shuffle partitions for STATEFUL streams — deliberately smaller
+    * than the batch setting. Every stateful operator keeps one state
+    * store per shuffle partition, and that per-partition machinery
+    * (store open/commit/snapshot per micro-batch) dominates when state
+    * per key is small: a13 measures ~2x slower at 32 partitions than at
+    * 4 on the test data (SURVEY §4). Stream partitions should track key
+    * cardinality / state volume, not batch data volume — 8 here; a real
+    * deployment sizes it per stream and CANNOT change it after the
+    * first checkpoint (Spark pins it in checkpoint metadata).
+    */
+  def streamShufflePartitions: Int = sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1).getOrElse(8)
+
   /** Runs a streaming DataFrame to completion over the currently
     * available data (AvailableNow) into a memory sink and returns the
     * materialized result — the verification entry point for streaming
     * queries (a9). `complete` mode so the result equals the batch twin.
+    *
+    * The stream runs under [[streamShufflePartitions]] (a fresh
+    * checkpoint per call binds it), restored to the session's batch
+    * setting afterward — safe because each call runs its stream to
+    * completion before returning.
+    *
+    * `requireSingleBatch` asserts all input arrived in ONE micro-batch
+    * after the run — for callers (p5) whose deterministic-winner
+    * contract is only batch-independent because the whole corpus lands
+    * in one AvailableNow batch; a future maxFilesPerTrigger/option
+    * change fails loudly here instead of silently changing winners.
     */
   def runToBatch(spark: SparkSession, streamed: DataFrame,
-                 mode: String = "complete"): DataFrame = {
+                 mode: String = "complete",
+                 requireSingleBatch: Boolean = false): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val batchSetting = spark.conf.get(key)
+    // restore only AFTER termination: start() returns before batch 0 is
+    // planned, so an early restore races the stream's conf capture
+    val q =
+      try {
+        spark.conf.set(key, streamShufflePartitions.toString)
+        val q0 = streamed.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q0.awaitTermination()
+        q0
+      } finally spark.conf.set(key, batchSetting)
+    if (requireSingleBatch) {
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches > 1) throw new IllegalStateException(
+        s"$name consumed input across $dataBatches micro-batches; " +
+        "this caller's deterministic-winner semantics require a single " +
+        "AvailableNow batch (did a trigger/maxFilesPerTrigger option change?)")
+    }
     spark.table(name)
   }
 
