@@ -1,0 +1,254 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, SimOps}
+
+/** Adversarial recall floors for the approximate family (c2/c3/c5,
+  * d2/d5) at a REAL scale factor — the tiny-corpus recall specs in
+  * DedupOpsSpec/SimOpsSpec prove mechanism; these prove the operators
+  * still find planted ground truth at sf0.1 cardinalities, and that a
+  * skewed hot bucket trips the bucket cap without either blowing up
+  * the pair join or poisoning recall on the rest of the corpus.
+  *
+  * Parameterized by SPARK_GRAFT_RECALL_SF (default sf0.1). The planted
+  * corpora are written as parquet to a temp dir and the operators run
+  * through their normal dir-based entry points — the full plan
+  * (scan → shingle/signature → banded join → rank) is what's measured,
+  * not a DataFrame shortcut.
+  *
+  * Plantings:
+  *  - text near-dups: 20 long docs copied with ONE mid-token replaced
+  *    (3-gram-set Jaccard ≥ ~0.85 by construction — each docked token
+  *    kills ≤ 3 of ≥ 58 shingles);
+  *  - text hot bucket: 70 byte-identical copies of one doc — identical
+  *    MinHash signatures put all 70 in the same bucket in EVERY band,
+  *    over c2's default cap of 64;
+  *  - embedding near-neighbors: for 20 of the standard query ids
+  *    (vec_id % 50 == 0), a copy with one component scaled ×1.001
+  *    (cosine ≈ 0.9999995 — the unambiguous exact #1);
+  *  - embedding hot bucket: 1030 identical vectors (> c5's cap 1024),
+  *    ids chosen to never collide with the query residue class.
+  */
+class RecallAtScaleSpec extends SparkSpec {
+
+  private val sfDir = sys.env.getOrElse("SPARK_GRAFT_RECALL_SF",
+    "/root/testdata/sf0.1")
+
+  private lazy val work: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_recall_").toString
+    buildTextAug(s"$d/text")
+    buildEmbAug(s"$d/emb")
+    buildEmbHot(s"$d/hot")
+    d
+  }
+
+  // ---- planted-corpus builders ----------------------------------------
+
+  /** (base_id, planted_id) ground-truth pairs, 20 of each kind. */
+  private val nPlant = 20
+
+  private def buildTextAug(out: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    // deterministic base pick: the 20 lowest-id docs with ≥ 60 tokens
+    val bases = docs.filter(col("text").isNotNull &&
+        size(split(col("text"), " ")) >= 60)
+      .orderBy("doc_id").limit(nPlant)
+      .select("doc_id", "text", "lang", "source").collect()
+    assert(bases.length == nPlant, s"corpus at $sfDir too small to plant")
+    val spark2 = spark; import spark2.implicits._
+    val nearDups = bases.zipWithIndex.map { case (r, i) =>
+      val toks = r.getString(1).split(" ")
+      toks(toks.length / 2) = "graftplanteddup"
+      (maxId + 1 + i, toks.mkString(" "), r.getString(2), r.getString(3))
+    }
+    // simhash-targeted near-dups: text ++ text doubles every token's
+    // per-bit contribution, so the simhash is BIT-IDENTICAL (hamming 0,
+    // inside the 8-band pigeonhole guarantee) while the doc is a
+    // genuine near-duplicate (repeated boilerplate) — the similarity
+    // class simhash is designed for. One replaced token in a 60-token
+    // doc flips ~10-15 of 64 bits, beyond the hamming≤7 blocking
+    // contract, so THAT planting measures c2's Jaccard class instead.
+    val doubled = bases.zipWithIndex.map { case (r, i) =>
+      (maxId + 500 + i, r.getString(1) + " " + r.getString(1),
+       r.getString(2), r.getString(3))
+    }
+    val hotText = bases.head.getString(1)
+    val hot = (0 until 70).map { j =>
+      (maxId + 1000 + j, hotText, "en", "planted_hot")
+    }
+    val planted = (nearDups ++ doubled ++ hot).toSeq
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(planted)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  /** Queries (vec_id % 50 == 0) with a planted ×1.001-perturbed twin at
+    * id 100001 + q (residue 1 mod 50 — never itself a query).
+    */
+  private def buildEmbAug(out: String): Unit = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .orderBy("vec_id").limit(nPlant)
+      .select("vec_id", "embedding", "label").collect()
+    assert(qs.length == nPlant)
+    val spark2 = spark; import spark2.implicits._
+    val planted = qs.toSeq.map { r =>
+      val v = r.getSeq[Float](1).toArray
+      v(0) = v(0) * 1.001f
+      (100001L + r.getLong(0), v.toSeq, r.getInt(2))
+    }.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    emb.unionByName(planted)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  /** 1030 identical vectors (> c5's bucket cap 1024) at ids with
+    * residue ≠ 0 mod 50 so none becomes a d2/d5 query.
+    */
+  private def buildEmbHot(out: String): Unit = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.orderBy("vec_id").limit(1)
+      .select("embedding", "label").head
+    val v = base.getSeq[Float](0)
+    val spark2 = spark; import spark2.implicits._
+    val hot = Iterator.from(0).map(200001L + _).filter(_ % 50 != 0)
+      .take(1030).toSeq
+      .map(id => (id, v, base.getInt(1)))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    emb.unionByName(hot)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  private def plantedTextPairs: Set[(Long, Long)] = {
+    val maxId = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(max("doc_id")).head.getLong(0)
+    val bases = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull && size(split(col("text"), " ")) >= 60)
+      .orderBy("doc_id").limit(nPlant).select("doc_id")
+      .collect().map(_.getLong(0))
+    bases.zipWithIndex.map { case (b, i) => (b, maxId + 1 + i) }.toSet
+  }
+
+  private def recallOf(found: Set[(Long, Long)],
+                       truth: Set[(Long, Long)]): Double =
+    truth.count(found.contains).toDouble / truth.size
+
+  // ---- text family ----------------------------------------------------
+
+  // Recall is asserted on the FULL ranked candidate set (limit
+  // maxed out), not the default top-50 page: the sf0.1 corpus
+  // naturally carries > 50 est-0.99+ template near-dups, so a planted
+  // 0.9-Jaccard pair legitimately never reaches page one — what must
+  // hold is that the LSH banding SURFACES it as a candidate at all.
+  private val all = 1 << 20
+
+  test("c2 minhash finds planted near-dups at scale; hot bucket capped out") {
+    val got = DedupOps.dedupMinhash(spark, s"$work/text", limit = all).collect()
+    val pairs = got.map(r =>
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val rec = recallOf(pairs, plantedTextPairs)
+    info(f"c2 planted-pair recall at $sfDir: $rec%.2f (candidates: ${pairs.size})")
+    // floor 0.9, not 1.0: the hot cluster shares base-doc 0's text, so
+    // every bucket that could carry (base0, dup0) holds 72 > cap docs —
+    // that ONE pair is lost by design (the cap poisons its own bucket,
+    // not the rest of the corpus); the other 19 must all surface (a
+    // 0.9-Jaccard pair escapes all 32 bands with prob ~1.6e-15)
+    assert(rec >= 0.9, s"c2 recall $rec below floor on planted near-dups")
+  }
+
+  test("c2 hot-bucket pairs come back when the cap is raised above the cluster") {
+    val maxId = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(max("doc_id")).head.getLong(0)
+    val hotLo = maxId + 1000
+    val capped = DedupOps.dedupMinhash(spark, s"$work/text", bucketCap = 64,
+        limit = all)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(!capped.exists { case (a, b) => a >= hotLo || b >= hotLo },
+      "capped run leaked hot-cluster pairs")
+    val raised = DedupOps.dedupMinhash(spark, s"$work/text", bucketCap = 128,
+        limit = all)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(raised.exists { case (a, b) => a >= hotLo && b >= hotLo },
+      "raised cap did not recover hot-cluster pairs")
+  }
+
+  test("c3 simhash finds planted doubled-text near-dups at scale") {
+    val maxId = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(max("doc_id")).head.getLong(0)
+    val truth = plantedTextPairs.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((b, _), i) => (b, maxId + 500 + i) }.toSet
+    def rec(cap: Int) = recallOf(
+      DedupOps.dedupSimhash(spark, s"$work/text", bucketCap = cap, limit = all)
+        .collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet,
+      truth)
+    // The planted pairs are hamming-0 by construction (doubled text),
+    // so the 8-band pigeonhole GUARANTEES a shared band — any loss is
+    // cap-dropping. At sf0.1 the template-heavy corpus pushes many
+    // 8-bit band buckets past the default cap of 64 naturally, so the
+    // default-cap recall is a corpus-occupancy measurement (reported,
+    // not floored); under a cap sized to the corpus (256) only the
+    // hot-poisoned base0 pair may drop.
+    val recDefault = rec(64)
+    val recSized = rec(256)
+    info(f"c3 doubled-text recall at $sfDir: cap64 $recDefault%.2f, cap256 $recSized%.2f")
+    assert(recSized >= 0.9,
+      s"c3 recall $recSized below pigeonhole floor under an adequate cap")
+    assert(recSized >= recDefault, "raising the cap must not lose pairs")
+  }
+
+  // ---- embedding family -----------------------------------------------
+
+  private def plantedEmbPairs: Set[(Long, Long)] =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(50)) === 0)
+      .orderBy("vec_id").limit(nPlant)
+      .collect().map(_.getAs[Long]("vec_id"))
+      .map(q => (q, 100001L + q)).toSet
+
+  test("d2 LSH ANN returns the planted twin for nearly every query at scale") {
+    val got = SimOps.annLsh(spark, s"$work/emb").collect()
+    val found = got.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val rec = recallOf(found, plantedEmbPairs)
+    info(f"d2 planted-twin recall at $sfDir: $rec%.2f")
+    assert(rec >= 0.8, s"d2 recall $rec below floor on planted twins")
+  }
+
+  test("d5 IVF ANN returns the planted twin for nearly every query at scale") {
+    val got = SimOps.annIvf(spark, s"$work/emb").collect()
+    val found = got.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val rec = recallOf(found, plantedEmbPairs)
+    info(f"d5 planted-twin recall at $sfDir: $rec%.2f")
+    assert(rec >= 0.8, s"d5 recall $rec below floor on planted twins")
+  }
+
+  test("c5 embedding near-dup finds planted twins; 1030-vector hot bucket capped") {
+    val got = DedupOps.dedupEmbedding(spark, s"$work/emb", limit = all).collect()
+    val pairs = got.map(r =>
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val rec = recallOf(pairs, plantedEmbPairs)
+    info(f"c5 planted-pair recall at $sfDir: $rec%.2f")
+    assert(rec >= 0.9, s"c5 recall $rec below floor on planted twins")
+
+    // hot corpus: the identical-vector cluster exceeds cap 1024 in every
+    // band → zero hot pairs at the default cap, and the top-50 join
+    // completes without a quadratic bucket (liveness)
+    val hot = DedupOps.dedupEmbedding(spark, s"$work/hot", limit = all).collect()
+    assert(!hot.exists(r => r.getAs[Long]("a_id") >= 200000L &&
+                            r.getAs[Long]("b_id") >= 200000L),
+      "default cap leaked hot-cluster pairs")
+    // raising the cap past the cluster recovers them (the cap is the
+    // knob, not a silent loss)
+    val recovered = DedupOps.dedupEmbedding(spark, s"$work/hot",
+        bucketCap = 2048, limit = all).collect()
+    assert(recovered.exists(r => r.getAs[Long]("a_id") >= 200000L &&
+                                 r.getAs[Long]("b_id") >= 200000L),
+      "raised cap did not recover hot-cluster pairs")
+  }
+}
