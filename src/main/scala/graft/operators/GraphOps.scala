@@ -18,7 +18,9 @@ object GraphOps {
     * large-star/small-star literature (Kiveris et al., "Connected
     * Components in MapReduce and Beyond") reduces to on min-labeled
     * graphs. Lineage is truncated per round via localCheckpoint so the
-    * plan does not grow with iterations.
+    * plan does not grow with iterations; each round runs exactly ONE
+    * Spark job — the convergence count is fused into the aggregate
+    * that materializes the round's checkpoint.
     *
     * Correctness of the fixpoint: labels start at self-id and only
     * ever decrease, always holding an id of a same-component node. At
@@ -49,26 +51,30 @@ object GraphOps {
       val nbrMin = labels
         .join(sym, col("id") === col("a"))
         .groupBy(col("b")).agg(min(col("label")).as("nbr_min"))
+      // the round's starting label rides along as `prev` so the
+      // convergence check needs no second join against `labels`
       val stepped = labels
         .join(nbrMin, col("id") === col("b"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
                 least(col("label"), coalesce(col("nbr_min"), col("label")))
                   .as("label"))
       val ptr = stepped
         .select(col("id").as("pid"), col("label").as("plabel"))
       val next = stepped
         .join(ptr, col("label") === col("pid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("prev"),
                 least(col("label"), coalesce(col("plabel"), col("label")))
                   .as("label"))
         .localCheckpoint(false)
-      // Labels only ever decrease, so "no row changed" is fixpoint.
-      // The probe is a limit-1 short-circuit, not a materialization.
+      // Labels only ever decrease, so "no label changed" is fixpoint.
+      // The change count is FUSED into the materializing aggregate:
+      // one job per round both persists the checkpoint (every
+      // partition, not whatever a limit-1 probe happens to touch) and
+      // answers convergence — previously a separate probe job.
       converged = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev"))
-        .isEmpty
-      labels = next
+        .agg(count(when(col("label") < col("prev"), 1)).as("n_changed"))
+        .head.getLong(0) == 0L
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     if (!converged)
