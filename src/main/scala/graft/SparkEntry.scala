@@ -37,6 +37,7 @@ object SparkEntry {
     "c4_ngram_jaccard"          -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
     "c5_dedup_embedding"        -> ((s: SparkSession, d: String) => DedupOps.dedupEmbedding(s, d)),
     "c6_dedup_clusters"         -> ((s: SparkSession, d: String) => DedupOps.dedupClusters(s, d)),
+    "c7_cdc_chunks"             -> ((s: SparkSession, d: String) => DedupOps.cdcChunks(s, d)),
     // D. similarity search
     "d1_ann_bruteforce"         -> ((s: SparkSession, d: String) => SimOps.annBruteforce(s, d)),
     "d2_ann_lsh"                -> ((s: SparkSession, d: String) => SimOps.annLsh(s, d)),
@@ -45,6 +46,7 @@ object SparkEntry {
     "d5_ann_ivf"                -> ((s: SparkSession, d: String) => SimOps.annIvf(s, d)),
     "d6_ann_range"              -> ((s: SparkSession, d: String) => SimOps.annRange(s, d)),
     "d7_ann_filtered"           -> ((s: SparkSession, d: String) => SimOps.annFiltered(s, d)),
+    "d8_embedding_quantize"     -> SimOps.embeddingQuantize _,
     // F. multimodal plumbing (stubbed decoder; rows-only + spec)
     "f1_multimodal_meta"        -> MultimodalOps.multimodalMeta _,
     "f2_frame_sample"           -> ((s: SparkSession, d: String) => MultimodalOps.frameSample(s, d)),
@@ -1016,6 +1018,78 @@ object SparkEntry {
          max(CAST(l_shipdate AS DATE)) AS last_day
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_brand = 'Brand#1'""",
+    // c7: the CDC twin — identical rolling window hash (e5's token
+    // value fn, window 4 unrolled), identical cut-set construction
+    // (list_sort(list_distinct) ≡ Spark's already-ascending
+    // array_distinct), md5 chunk fingerprints, df-capped
+    // inverted-index join. list_slice is INCLUSIVE [begin, end] —
+    // equals Spark's slice(start = cuts[j]+1, length = cuts[j+1]-cuts[j]).
+    "c7_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents
+           WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 1),
+         v AS (SELECT doc_id, toks,
+             list_transform(toks, s -> (ascii(s) * 256 + length(s))::BIGINT)
+               AS vals
+           FROM t),
+         b AS (SELECT doc_id, toks,
+             list_sort(list_distinct(list_concat(list_concat(
+               [0::BIGINT],
+               list_filter(generate_series(4::BIGINT, len(vals)::BIGINT),
+                 i -> ((((((vals[i-3] * 1000003 + vals[i-2]) % 2147483647)
+                          * 1000003 + vals[i-1]) % 2147483647)
+                          * 1000003 + vals[i]) % 2147483647) % 8 = 0)),
+               [len(vals)::BIGINT]))) AS cuts
+           FROM v),
+         c AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(cuts) - 1),
+               j -> md5(array_to_string(
+                      list_slice(toks, (cuts[j] + 1)::INT, cuts[j+1]::INT),
+                      ' ')))) AS cfp
+           FROM b),
+         cap AS (SELECT doc_id, cfp FROM (
+             SELECT doc_id, cfp, count(*) OVER (PARTITION BY cfp) AS df
+             FROM c) WHERE df <= 100),
+         sz AS (SELECT doc_id, count(*) AS n FROM cap GROUP BY 1),
+         pr AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+                  count(*) AS shared_chunks
+                FROM cap x JOIN cap y
+                  ON x.cfp = y.cfp AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
+         SELECT a_id, b_id, shared_chunks,
+                sa.n AS a_chunks, sb.n AS b_chunks,
+                round(shared_chunks::DOUBLE / least(sa.n, sb.n), 6) AS overlap
+         FROM pr
+         JOIN sz sa ON pr.a_id = sa.doc_id
+         JOIN sz sb ON pr.b_id = sb.doc_id
+         ORDER BY overlap DESC, a_id, b_id LIMIT 50""",
+    // d8: same double-precision folds as the d1 oracle family;
+    // floor(x + 0.5) quantization in both engines (round() disagrees
+    // on HALF_UP vs HALF_EVEN at exact .5).
+    "d8_embedding_quantize" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE embedding IS NOT NULL),
+         m AS (SELECT label, v,
+                 list_max(list_transform(v, x -> abs(x))) AS abs_max
+               FROM e),
+         q AS (SELECT label, v, 127.0 / abs_max AS scale
+               FROM m WHERE abs_max > 0),
+         d AS (SELECT label,
+                 list_transform(v, x -> floor(x * scale + 0.5) / scale) AS dv,
+                 v
+               FROM q),
+         s AS (SELECT label,
+                 list_max(list_transform(list_zip(dv, v),
+                                         x -> abs(x[1] - x[2]))) AS max_err,
+                 list_sum(list_transform(list_zip(dv, v), x -> x[1] * x[2]))
+                   / (sqrt(list_sum(list_transform(dv, x -> x * x)))
+                    * sqrt(list_sum(list_transform(v, x -> x * x)))) AS cosp
+               FROM d)
+         SELECT label, count(*) AS n_vecs,
+                round(avg(cosp), 6) AS avg_cos_preserved,
+                round(min(cosp), 6) AS min_cos_preserved,
+                round(max(max_err), 6) AS max_abs_err
+         FROM s GROUP BY label ORDER BY label""",
     // b24: the oracle recomputes the EXACT aggregates and expects TRUE
     // for the in-bound booleans — Spark computes those booleans from
     // its sketch vs its own exact aggregate, so an out-of-tolerance

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
@@ -256,6 +256,47 @@ object SimOps {
       .select(col("query_id"), col("cand_id"), col("rnk"),
               round(col("cos"), 6).as("cosine"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** d8: int8 symmetric per-vector quantization with error accounting —
+    * the storage/bandwidth trade every 100 TB ANN deployment makes
+    * (4x smaller vectors, SIMD-able int8 dot products) is only safe if
+    * the reconstruction error is measured, so this emits per-label
+    * quantization quality: cosine preserved between the original and
+    * the dequantized vector, and the max absolute component error.
+    *
+    * scale = 127 / max|v| per vector (symmetric, zero-point free);
+    * q_i = floor(v_i * scale + 0.5) — floor(x + 0.5) instead of
+    * round() because Spark and DuckDB disagree on HALF_UP vs
+    * HALF_EVEN at exact .5 boundaries, and floor is bit-identical in
+    * both. All arithmetic in double; pure partial-aggregable scan.
+    */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding")
+    val absMax = aggregate(v, lit(0.0d),
+      (a, x) => greatest(a, abs(x.cast("double"))))
+    val scale = lit(127.0d) / col("abs_max")
+    // dequantized component: floor(v*scale + 0.5) / scale
+    def dq(x: Column) =
+      floor(x.cast("double") * scale + lit(0.5d)) / scale
+    val errs = transform(v, x => abs(dq(x) - x.cast("double")))
+    val dot = aggregate(zip_with(v, v, (a, b) => dq(a) * b.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+    val nrmQ = sqrt(aggregate(v, lit(0.0d), (a, x) => a + dq(x) * dq(x)))
+    val nrm = VectorFns.norm(v)
+    Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("label"), col("embedding"), absMax.as("abs_max"))
+      .filter(col("abs_max") > 0)
+      .select(col("label"),
+              array_max(errs).as("max_err"),
+              (dot / (nrmQ * nrm)).as("cos_preserved"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           round(avg(col("cos_preserved")), 6).as("avg_cos_preserved"),
+           round(min(col("cos_preserved")), 6).as("min_cos_preserved"),
+           round(max(col("max_err")), 6).as("max_abs_err"))
+      .orderBy(col("label"))
   }
 
   /** d3: per-label embedding stats — count, average L2 norm, average

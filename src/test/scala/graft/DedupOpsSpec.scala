@@ -278,4 +278,65 @@ class DedupOpsSpec extends SparkSpec {
     val cosines = got.map(_.getAs[Double]("cosine"))
     assert(cosines.sameElements(cosines.sortBy(-_)))
   }
+
+  test("c7 CDC chunking resynchronizes after a prepended token; fixed chunks don't") {
+    // the motivating property: doc B = one junk token + doc A. Fixed
+    // 8-token stride (c6's chunking) shifts EVERY chunk, so A and B
+    // share nothing; CDC boundaries depend only on local content, so
+    // after the first boundary every later chunk matches again.
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull &&
+        size(split(col("text"), " ")) >= 60)
+      .orderBy("doc_id").limit(5).collect()
+    assert(docs.nonEmpty)
+    val maxId = Tables.documents(spark, sf).agg(max("doc_id")).head.getLong(0)
+    val spark2 = spark; import spark2.implicits._
+    val shifted = docs.zipWithIndex.map { case (r, i) =>
+      (maxId + 1 + i, "zzshift " + r.getAs[String]("text"),
+       r.getAs[String]("lang"), r.getAs[String]("source"))
+    }.toSeq.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+    Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(shifted)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val truth = docs.zipWithIndex
+      .map { case (r, i) => (r.getAs[Long]("doc_id"), maxId + 1 + i) }.toSet
+    val c7 = DedupOps.cdcChunks(spark, tmp, limit = 1 << 20).collect()
+    val c7pairs = c7.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val found = truth.filter(c7pairs.contains)
+    assert(found.size == truth.size,
+      s"CDC missed shifted twins: found ${found.size}/${truth.size}")
+    // shared chunks dominate once boundaries resync
+    c7.filter(r => truth.contains((r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))))
+      .foreach { r =>
+        assert(r.getAs[Double]("overlap") >= 0.5,
+          s"resync overlap too low: ${r.getAs[Double]("overlap")}")
+      }
+    // the fixed-stride contrast: c6's aligned 8-token chunk edges place
+    // each shifted twin in a DIFFERENT cluster from its base
+    val c6 = DedupOps.dedupClusters(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val c6Joined = truth.count { case (a, b) => c6(a) == c6(b) }
+    assert(c6Joined == 0,
+      s"fixed-stride chunking unexpectedly paired $c6Joined shifted twins")
+  }
+
+  test("c7 short docs survive as one whole-doc chunk (no descending-sequence walk)") {
+    // 1-3 token docs are below the rolling window: they must flow
+    // through as a single chunk, not crash or emit nothing
+    val spark2 = spark; import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_short_").toString
+    Seq((1L, "one", "en", "s"), (2L, "two words", "en", "s"),
+        (3L, "one", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupOps.cdcChunks(spark, tmp).collect()
+    // docs 1 and 3 share their single whole-doc chunk
+    assert(got.exists(r => r.getAs[Long]("a_id") == 1L &&
+      r.getAs[Long]("b_id") == 3L && r.getAs[Double]("overlap") == 1.0))
+  }
 }

@@ -99,6 +99,31 @@ class SimOpsSpec extends SparkSpec {
     assert(avgRecall > 0.15)
   }
 
+  test("d8 quantization error honors the int8 symmetric bound per label") {
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = SimOps.embeddingQuantize(spark, sf).collect()
+    assert(got.nonEmpty)
+    // ground truth per label: the largest half-step 0.5/scale =
+    // abs_max/254 over the label's vectors bounds every component error
+    val maxHalfStep = embs.toSeq.groupBy { case (id, _) => labels(id) }
+      .map { case (l, vs) =>
+        l -> vs.map { case (_, v) => v.map(x => math.abs(x.toDouble)).max / 254.0 }.max
+      }
+    var totalVecs = 0L
+    got.foreach { r =>
+      val l = r.getAs[Int]("label")
+      totalVecs += r.getAs[Long]("n_vecs")
+      assert(r.getAs[Double]("max_abs_err") <= maxHalfStep(l) + 1e-9,
+        s"label $l: err ${r.getAs[Double]("max_abs_err")} above int8 bound")
+      assert(r.getAs[Double]("min_cos_preserved") > 0.999,
+        s"label $l: int8 should preserve cosine to 3+ nines")
+      assert(r.getAs[Double]("avg_cos_preserved") >=
+             r.getAs[Double]("min_cos_preserved"))
+    }
+    assert(totalVecs == embs.size)
+  }
+
   test("d3 per-label stats match naive aggregation") {
     val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
