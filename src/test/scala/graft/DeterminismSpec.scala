@@ -16,7 +16,10 @@ class DeterminismSpec extends SparkSpec {
     "b29_wallet_listed", "b35_keyset_page",
     "d1_ann_bruteforce", "c2_dedup_minhash",
     "b39_nft_directory", "p4_stratified_sample", "p3_fuzzy_dedup",
-    "p6_token_budget_mix")
+    "p6_token_budget_mix",
+    // round 6: regex-pruned page with 1-row total broadcast; CDC pair
+    // ranking (overlap ties broken by id); double-fold aggregation
+    "b41_feeds_channels", "c7_cdc_chunks", "d8_embedding_quantize")
 
   private def snap(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq

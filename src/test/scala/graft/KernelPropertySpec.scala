@@ -50,6 +50,40 @@ class KernelPropertySpec extends SparkSpec {
     }, "minhash", n = 25)
   }
 
+  test("CDC chunk fingerprints == plain-Scala rolling-hash reimplementation") {
+    val token: Gen[String] = Gen.chooseNum(1, 5).flatMap(n =>
+      Gen.stringOfN(n, Gen.alphaLowerChar))
+    val doc: Gen[List[String]] = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, token))
+    val B = 1000003L; val M = 2147483647L
+    def naive(toks: List[String]): Seq[String] = {
+      val vals = toks.map(t => t.head.toInt.toLong * 256 + t.length)
+      val n = vals.length
+      val bnds =
+        if (n < 4) Nil
+        else (4 to n).filter { i =>
+          val h = (i - 4 until i).map(vals)
+            .foldLeft(0L)((acc, v) => java.lang.Math.floorMod(acc * B + v, M))
+          h % 8 == 0
+        }.map(_.toLong)
+      val cuts = (0L +: bnds :+ n.toLong).distinct
+      cuts.sliding(2).map { case Seq(a, b) =>
+        md5hex(toks.slice(a.toInt, b.toInt).mkString(" "))
+      }.toSeq
+    }
+    run(Prop.forAll(doc) { toks =>
+      import spark.implicits._
+      val got = Seq(toks.mkString(" ")).toDF("text")
+        .select(split(col("text"), " ").as("toks"))
+        .select(col("toks"),
+                graft.operators.DedupOps.cdcVals(col("toks")).as("vals"))
+        .select(col("toks"), graft.operators.DedupOps.cdcCuts(4, 8).as("cuts"))
+        .select(graft.operators.DedupOps.cdcFps.as("fps"))
+        .collect()(0).getSeq[String](0)
+      got == naive(toks)
+    }, "cdc", n = 25)
+  }
+
   test("saltedJoin == plain inner join on randomized skewed data") {
     val rows: Gen[List[(Long, Long)]] = for {
       n <- Gen.chooseNum(1, 60)
