@@ -9,6 +9,20 @@ import graft.streaming.EventStream
   */
 class EventStreamSpec extends SparkSpec {
 
+  test("runToBatch streams under the stream-sized partitions, then restores") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    assert(before != EventStream.streamShufflePartitions.toString,
+      "fixture must differ from the stream setting for this test to bite")
+    val got = EventStream.runToBatch(spark,
+      EventStream.hourlyRollup(EventStream.readEvents(spark, sf)))
+    assert(got.count() > 0)
+    // the batch setting must be back even though the stream planned its
+    // shuffles at streamShufflePartitions (restore ordering is
+    // await-then-restore — an early restore races batch-0 planning)
+    assert(spark.conf.get(key) == before)
+  }
+
   test("a9 streamed hourly rollup equals the batch rollup (complete mode)") {
     val streamed = EventStream.streamHourly(spark, sf)
       .select("hour_ms", "n_events", "total_value").collect()
