@@ -36,6 +36,23 @@ object CorpusStream {
     spark.readStream.schema(schema).parquet(d.toString)
   }
 
+  /** The same landing stream over newline-delimited JSON — what
+    * crawlers actually drop. Schema is pinned explicitly (readStream
+    * never infers), typed to match the parquet table so every
+    * downstream stage — enrichment Columns, dedup state, sinks — is
+    * IDENTICAL: the source format is a one-line swap, which is the
+    * point of keeping ingest declarative. CorpusStreamSpec proves the
+    * JSONL path emits row-for-row what the parquet path emits.
+    */
+  def readDocumentsJsonl(spark: SparkSession, landingDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream.schema(schema).json(landingDir)
+  }
+
   /** Stateless per-row enrichment (content fingerprint + e2's quality
     * score + token count) + stateful exact-dedup keyed on the
     * fingerprint. The winner per distinct content is DETERMINISTIC:

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.streaming.CorpusStream
+import graft.sources.Tables
+import graft.streaming.{CorpusStream, EventStream}
 
 /** The streaming corpus front door: enrichment must equal the batch
   * formulas, and replayed content must be dropped by dedup state
@@ -132,5 +133,26 @@ class CorpusStreamSpec extends SparkSpec {
       assert(r.getAs[String]("lang") == docs(id))
       assert(r.getAs[Double]("quality") == q(id), s"doc $id quality")
     }
+  }
+
+  test("JSONL landing path emits row-for-row what the parquet path emits") {
+    // crawlers drop newline-delimited JSON; the ingest flow must be
+    // source-format-agnostic. Export the corpus as JSONL, stream it
+    // through the SAME enrichment+dedup, compare against the parquet
+    // stream's output.
+    val landing = java.nio.file.Files.createTempDirectory("graft_jsonl_")
+    Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write.mode("overwrite").json(landing.toString + "/data")
+    def rowsOf(src: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long, Double)] =
+      EventStream.runToBatch(spark, CorpusStream.ingest(src).toDF(), "append")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"),
+                   r.getAs[Long]("n_tokens"), r.getAs[Double]("quality"))).toSeq
+    val viaJsonl = rowsOf(
+      CorpusStream.readDocumentsJsonl(spark, landing.toString + "/data"))
+    val viaParquet = rowsOf(CorpusStream.readDocuments(spark, sf))
+    assert(viaJsonl.nonEmpty && viaJsonl == viaParquet)
   }
 }
