@@ -131,15 +131,56 @@ object SimOps {
     * a k-means refinement drops in without changing the plan shape).
     * Approximate — recall vs d1 is measured in SimOpsSpec.
     */
+  /** IVF centroid set: a deterministic sample of ≈ N/centroidMod
+    * vectors, optionally refined by `kmeansIters` rounds of spherical
+    * k-means (assign every vector to its max-cosine centroid, replace
+    * each centroid with its members' element-wise mean — cosine
+    * ignores magnitude, so the mean IS the spherical update, and the
+    * cosine objective is monotone non-decreasing per Lloyd). Each
+    * round is one broadcast assignment pass + one partial-aggregable
+    * per-(cell, dim) mean — the standard distributed k-means shape;
+    * a cell that loses all members drops out. Exposed for the
+    * refinement spec (SimOpsSpec asserts the objective improves).
+    */
+  private[graft] def ivfCentroids(emb: DataFrame, centroidMod: Int,
+                                  kmeansIters: Int): DataFrame = {
+    var cents = emb.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+              col("nrm").as("cnrm"))
+    for (_ <- 1 to kmeansIters) {
+      val scored = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+                (graft.functions.FloatVecDot(col("embedding"), col("ce")) /
+                 (col("nrm") * col("cnrm"))).as("csim"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cent_id"))
+      val assigned = scored.withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") === 1)
+        .select(col("cent_id"), col("embedding"))
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("embedding")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id"),
+                transform(col("pm"), s => s.getField("m").cast("float"))
+                  .as("ce"))
+        .select(col("cent_id"), col("ce"), VectorFns.norm(col("ce")).as("cnrm"))
+        .localCheckpoint(false)
+    }
+    cents
+  }
+
   def annIvf(spark: SparkSession, dir: String, k: Int = 10,
-             qmod: Int = 50, centroidMod: Int = 16, nProbe: Int = 4): DataFrame = {
+             qmod: Int = 50, centroidMod: Int = 16, nProbe: Int = 4,
+             kmeansIters: Int = 0): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               VectorFns.norm(col("embedding")).as("nrm"))
-    // deterministic sampled centroids (≈ N/centroidMod cells)
-    val cents = emb.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
-              col("nrm").as("cnrm"))
+    // deterministic sampled centroids (≈ N/centroidMod cells),
+    // optionally Lloyd-refined — the plan shape below is identical
+    val cents = ivfCentroids(emb, centroidMod, kmeansIters)
     def nearestCells(side: DataFrame, idCol: String, vecCol: String,
                      nrmCol: String, n: Int): DataFrame = {
       val scored = side.crossJoin(broadcast(cents))

@@ -99,6 +99,40 @@ class SimOpsSpec extends SparkSpec {
     assert(avgRecall > 0.15)
   }
 
+  test("d5 k-means refinement improves the spherical quantization objective") {
+    import graft.functions.VectorFns
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+              VectorFns.norm(col("embedding")).as("nrm"))
+    def objective(iters: Int): Double = {
+      // mean over vectors of max cosine to any centroid — the spherical
+      // k-means objective Lloyd monotonically improves
+      val cents = SimOps.ivfCentroids(emb, centroidMod = 16, kmeansIters = iters)
+        .collect().map(r => r.getSeq[Float](1).toArray)
+      assert(cents.nonEmpty)
+      embs.values.map(v => cents.map(c => cos(v, c)).max).sum / embs.size
+    }
+    val base = objective(0)
+    val refined = objective(2)
+    info(f"spherical objective: sampled $base%.4f -> 2xLloyd $refined%.4f")
+    assert(refined >= base - 1e-9,
+      s"k-means refinement worsened the objective: $base -> $refined")
+    // and the refined index still returns exact-scored, well-formed hits
+    val got = SimOps.annIvf(spark, sf, kmeansIters = 2).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val expected = cos(embs(r.getAs[Long]("query_id")),
+                         embs(r.getAs[Long]("cand_id")))
+      assert(math.abs(r.getAs[Double]("cosine") - expected) < 1e-5)
+    }
+    val byQ = got.groupBy(_.getAs[Long]("query_id"))
+    val recalls = byQ.map { case (q, rs) =>
+      rs.map(_.getAs[Long]("cand_id")).toSet
+        .intersect(naiveTopK(q, 10).toSet).size / 10.0
+    }
+    info(f"d5+kmeans avg recall@10: ${recalls.sum / recalls.size}%.3f")
+  }
+
   test("d8 quantization error honors the int8 symmetric bound per label") {
     val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
