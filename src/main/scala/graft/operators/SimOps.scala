@@ -61,7 +61,8 @@ object SimOps {
     * SimOpsSpec.
     */
   def annLsh(spark: SparkSession, dir: String,
-             k: Int = 10, qmod: Int = 50): DataFrame = {
+             k: Int = 10, qmod: Int = 50,
+             multiProbe: Boolean = false): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               VectorFns.lshSig(col("embedding"), 16).as("sig"))
@@ -73,8 +74,19 @@ object SimOps {
               explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col(vecCol), col("bk.band"), col("bk.bkey"))
     val cands = explodeBands(emb, "cand_id", "ce")
-    val qs = explodeBands(
+    val qs0 = explodeBands(
       emb.filter(pmod(col("vec_id"), lit(qmod)) === 0), "query_id", "qe")
+    // Multi-probe: a near neighbor that lands hamming-1 off the
+    // query's 4-bit band key in EVERY band still gets probed — the
+    // classic fewer-tables/more-probes trade. Only the QUERY side
+    // fans out (5 keys per band instead of 1); the corpus-side index
+    // is untouched, which is what makes this cheap at 100 TB — probe
+    // count scales with the query batch, not the data.
+    val qs =
+      if (!multiProbe) qs0
+      else qs0.select(col("query_id"), col("qe"), col("band"),
+        explode(array((Seq(lit(0L)) ++ (0 until 4).map(j => lit(1L << j)))
+          .map(col("bkey").bitwiseXOR(_)): _*)).as("bkey"))
     val scored = cands
       .join(broadcast(qs),
         cands("band") === qs("band") && cands("bkey") === qs("bkey") &&

@@ -53,6 +53,28 @@ class SimOpsSpec extends SparkSpec {
     assert(avgRecall > 0.1)
   }
 
+  test("d2 multi-probe LSH: recall never drops, scores stay exact") {
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+      val rs = byQ.map { case (q, hits) =>
+        hits.map(_.getAs[Long]("cand_id")).toSet
+          .intersect(naiveTopK(q, 10).toSet).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val single = SimOps.annLsh(spark, sf).collect()
+    val multi = SimOps.annLsh(spark, sf, multiProbe = true).collect()
+    multi.foreach { r =>
+      val expected = cos(embs(r.getAs[Long]("query_id")),
+                         embs(r.getAs[Long]("cand_id")))
+      assert(math.abs(r.getAs[Double]("cosine") - expected) < 1e-5)
+    }
+    val (r1, rm) = (recallOf(single), recallOf(multi))
+    info(f"d2 recall@10: single-probe $r1%.3f, multi-probe $rm%.3f")
+    // probing a superset of buckets can only widen the candidate set
+    assert(rm >= r1 - 1e-9, s"multi-probe lost recall: $r1 -> $rm")
+  }
+
   test("d4 custom top-k aggregate reproduces d1's window top-k exactly") {
     val viaAgg = SimOps.annTopKAgg(spark, sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
