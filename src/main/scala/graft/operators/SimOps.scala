@@ -54,15 +54,18 @@ object SimOps {
   }
 
   /** d2: LSH-bucketed ANN — 16 hyperplanes, 4 bands × 4 bits; a
-    * candidate is scored only if it shares ≥1 band with the query.
-    * The bucket join replaces the full scan: at 100 TB each band bucket
-    * holds ~N/16 candidates and only matching buckets are read.
-    * Approximate by construction; recall vs d1 is measured in
-    * SimOpsSpec.
+    * candidate is scored only if it shares ≥1 (possibly multi-probed)
+    * band key with the query. The bucket join replaces the full scan:
+    * at 100 TB each band bucket holds ~N/16 candidates and only probed
+    * buckets are read. Multi-probe is ON by default — measured at
+    * sf0.1 it doubles recall (0.44 → 0.92) at indistinguishable cost,
+    * because only the ≤N/qmod query rows fan out, never the corpus
+    * index. Approximate by construction; recall vs d1 is measured in
+    * SimOpsSpec and floored on planted twins in RecallAtScaleSpec.
     */
   def annLsh(spark: SparkSession, dir: String,
              k: Int = 10, qmod: Int = 50,
-             multiProbe: Boolean = false): DataFrame = {
+             multiProbe: Boolean = true): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               VectorFns.lshSig(col("embedding"), 16).as("sig"))

@@ -62,7 +62,7 @@ class SimOpsSpec extends SparkSpec {
       }
       rs.sum / rs.size
     }
-    val single = SimOps.annLsh(spark, sf).collect()
+    val single = SimOps.annLsh(spark, sf, multiProbe = false).collect()
     val multi = SimOps.annLsh(spark, sf, multiProbe = true).collect()
     multi.foreach { r =>
       val expected = cos(embs(r.getAs[Long]("query_id")),
