@@ -139,6 +139,11 @@ object Bench {
       val entries = Seq(
         "d2_ann_lsh" -> recallVs(exactTop, run("d2_ann_lsh"), annCols),
         "d5_ann_ivf" -> recallVs(exactTop, run("d5_ann_ivf"), annCols),
+        // the refined-index variant (not a registered query): shows
+        // what 2 Lloyd rounds buy at this SF next to the d5 default
+        "d5_ann_ivf_kmeans2" -> recallVs(exactTop,
+          graft.operators.SimOps.annIvf(spark, sfDir, kmeansIters = 2),
+          annCols),
         "c2_dedup_minhash" -> recallVs(dupPairs, run("c2_dedup_minhash"), pairCols),
         "c3_dedup_simhash" -> recallVs(dupPairs, run("c3_dedup_simhash"), pairCols))
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
