@@ -90,10 +90,14 @@ class RecallAtScaleSpec extends SparkSpec {
     */
   private def buildEmbAug(out: String): Unit = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // take UP TO nPlant query ids — smaller SFs carry fewer vectors in
+    // the %50 query residue class (sf0.01 has 10), and the truth set
+    // below derives from the same prefix, so the spec stays green at
+    // any SF with at least one query
     val qs = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
       .orderBy("vec_id").limit(nPlant)
       .select("vec_id", "embedding", "label").collect()
-    assert(qs.length == nPlant)
+    assert(qs.nonEmpty, s"corpus at $sfDir has no %50 query vectors")
     val spark2 = spark; import spark2.implicits._
     val planted = qs.toSeq.map { r =>
       val v = r.getSeq[Float](1).toArray
