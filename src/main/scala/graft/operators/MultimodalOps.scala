@@ -15,10 +15,13 @@ import graft.sources.Tables
   * initialized once per partition, not once per row, and rows stream
   * through without materializing the partition).
   *
-  * What is FAKE: the decoder itself. This container has no image/audio
-  * codecs, so `decodeStub` derives deterministic pseudo-metadata from
-  * the payload bytes. Swapping in a real codec changes ONLY the body of
-  * `decodeStub`.
+  * The decode stage dispatches through `decode`: REAL container
+  * parsing first (RIFF/WAVE PCM headers — pure JVM, no codec library;
+  * spec-fed with constructed WAV bytes), then `decodeStub`'s
+  * deterministic pseudo-metadata for the synthetic corpus (this
+  * container ships no image/video codecs). Swapping in libjpeg/ffmpeg
+  * adds another sniffing arm to `decode`; nothing else changes — the
+  * WAV arm is the proof.
   */
 object MultimodalOps {
 
@@ -41,6 +44,50 @@ object MultimodalOps {
     while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
     h
   }
+
+  /** REAL decoder arm — RIFF/WAVE PCM header parse, pure JVM (a WAV
+    * header is length-prefixed chunks; no codec library needed).
+    * Returns None for anything that is not a well-formed WAV, which
+    * then falls to the stub. This is the "swap in a real codec" seam
+    * exercised for real: `decode` sniffs magic bytes first, exactly
+    * as a production decode stage dispatches per container format.
+    */
+  private[graft] def decodeWav(doc_id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    def le16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def le32(o: Int) = (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+                       ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      // walk the chunk list for fmt + data (other chunks tolerated)
+      var off = 12
+      var fmt = -1; var dataLen = -1L
+      while (off + 8 <= bytes.length && (fmt < 0 || dataLen < 0)) {
+        val id = tag(off); val len = le32(off + 4)
+        if (id == "fmt ") fmt = off + 8
+        else if (id == "data") dataLen = len
+        off += 8 + len.toInt + (len.toInt & 1)   // chunks are 2-aligned
+      }
+      if (fmt < 0 || dataLen < 0 || fmt + 16 > bytes.length) None
+      else {
+        val channels = le16(fmt + 2)
+        val byteRate = le32(fmt + 8)
+        if (channels < 1 || byteRate <= 0) None
+        else Some(MediaMeta(doc_id, "audio", bytes.length,
+          0, 0, channels, dataLen * 1000L / byteRate, fnv1a(bytes)))
+      }
+    }
+  }
+
+  /** The decode dispatch every f-query runs: sniff real container
+    * formats first (WAV today; a jpeg/mp4 probe lands here the same
+    * way), fall back to the deterministic stub for the synthetic
+    * corpus. The Spark-side shape (mapPartitions batching, typed
+    * output, pre-decode pruning) is identical either way — which is
+    * the point of the seam.
+    */
+  private[graft] def decode(r: MediaRecord): MediaMeta =
+    decodeWav(r.doc_id, r.payload).getOrElse(decodeStub(r))
 
   /** STUB — deterministic fake decoder. A real implementation would
     * hand `payload` to libjpeg/ffmpeg here; the container ships no
@@ -84,7 +131,7 @@ object MultimodalOps {
     * frames in memory at once.
     */
   private def sampleFramesStub(r: MediaRecord, maxFrames: Int): Iterator[Frame] = {
-    val meta = decodeStub(r)
+    val meta = decode(r)
     val n = math.min(math.max(1L, meta.duration_ms / 1000L), maxFrames.toLong).toInt
     Iterator.tabulate(n) { i =>
       val seed = meta.checksum ^ (i.toLong * 0x9E3779B97F4A7C15L)
@@ -128,7 +175,7 @@ object MultimodalOps {
     */
   private def audioWindowsStub(r: MediaRecord, winMs: Long, hopMs: Long,
                                maxWins: Int): Iterator[AudioWin] = {
-    val meta = decodeStub(r)
+    val meta = decode(r)
     val dur = math.max(meta.duration_ms, winMs)
     val n = math.min((dur - winMs) / hopMs + 1L, maxWins.toLong).toInt
     Iterator.tabulate(n) { i =>
@@ -191,7 +238,7 @@ object MultimodalOps {
         // a real implementation initializes the codec/scaler HERE,
         // once per partition, then streams records through it
         it.map { r =>
-          val m = decodeStub(r)
+          val m = decode(r)
           val scale = math.min(
             1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
           val ow = math.max(1, math.floor(m.width * scale).toInt)
@@ -240,7 +287,7 @@ object MultimodalOps {
     import spark.implicits._
     mediaTable(spark, dir)
       .as[MediaRecord]
-      .mapPartitions(_.map(decodeStub))
+      .mapPartitions(_.map(decode))
       .toDF()
       .orderBy(col("doc_id"))
   }
@@ -258,7 +305,7 @@ object MultimodalOps {
       : Seq[(String, String, () => DataFrame)] = {
     import spark.implicits._
     def media() = mediaTable(spark, dir)
-    def decoded() = media().as[MediaRecord].mapPartitions(_.map(decodeStub)).toDF()
+    def decoded() = media().as[MediaRecord].mapPartitions(_.map(decode)).toDF()
     Seq(
       ("f1_multimodal_meta", "scan",   () => media()),
       ("f1_multimodal_meta", "decode", () => decoded()),

@@ -131,4 +131,55 @@ class MultimodalOpsSpec extends SparkSpec {
       assert(img.filter(col("width") < 16 || col("height") < 16).count() == 0)
     }
   }
+
+  /** Minimal PCM WAV: 44-byte canonical header + silence. */
+  private def wavBytes(sampleRate: Int, channels: Int, bits: Int,
+                       nSamples: Int): Array[Byte] = {
+    val bytesPerFrame = channels * bits / 8
+    val dataLen = nSamples * bytesPerFrame
+    val byteRate = sampleRate * bytesPerFrame
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(byteRate)
+      .putShort(bytesPerFrame.toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    b.array()
+  }
+
+  test("real WAV payloads decode through the header parser, not the stub") {
+    import graft.operators.MultimodalOps.{MediaRecord, decode, decodeWav}
+    // 1 s of 8 kHz mono 16-bit: duration must be EXACT, not hash-fake
+    val oneSec = wavBytes(8000, 1, 16, 8000)
+    val m = decode(MediaRecord(1L, "audio", oneSec))
+    assert(m.media_type == "audio" && m.channels == 1 &&
+      m.duration_ms == 1000L && m.n_bytes == oneSec.length)
+    // stereo half-second at 44.1 kHz
+    val half = decode(MediaRecord(2L, "video", wavBytes(44100, 2, 16, 22050)))
+    assert(half.channels == 2 && half.duration_ms == 500L &&
+      half.media_type == "audio")   // sniffing overrides the wrong tag
+    // malformed inputs fall back to the stub, never throw
+    assert(decodeWav(3L, oneSec.take(20)).isEmpty)        // truncated header
+    assert(decodeWav(4L, "RIFFxxxxJUNK".getBytes ++ new Array[Byte](40)).isEmpty)
+    val garbled = oneSec.clone(); garbled(38) = 'X'.toByte // breaks "data" tag
+    assert(decodeWav(5L, garbled).isEmpty)
+    // the dispatch on a garbled WAV falls to the stub (hash-derived
+    // duration floor is 1000) without throwing
+    assert(decode(MediaRecord(6L, "audio", garbled)).checksum != 0L)
+
+    // and through the FULL mapPartitions pipeline shape, mixed with a
+    // stub-decoded payload — the seam a real codec swap exercises
+    val spark2 = spark; import spark2.implicits._
+    val mixed = Seq(
+      MediaRecord(10L, "audio", oneSec),
+      MediaRecord(11L, "audio", "not a wav at all".getBytes("UTF-8")))
+      .toDS()
+      .mapPartitions(_.map(decode))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(mixed(10L).duration_ms == 1000L && mixed(10L).channels == 1)
+    assert(mixed(11L).duration_ms >= 1000L)   // stub's hash-derived arm
+  }
 }
