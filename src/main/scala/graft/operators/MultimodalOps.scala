@@ -79,15 +79,36 @@ object MultimodalOps {
     }
   }
 
+  /** REAL decoder arm #2 — BMP (BITMAPINFOHEADER) header parse: "BM"
+    * magic, signed width/height at 18/22 (negative height = top-down
+    * row order), bits-per-pixel at 28. Exact dimensions for real BMP
+    * payloads; None for anything else.
+    */
+  private[graft] def decodeBmp(doc_id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    def le32(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+                       ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+    def le16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte ||
+        le32(14) < 40) None
+    else {
+      val w = le32(18); val h = le32(22); val bpp = le16(28)
+      if (w <= 0 || h == 0 || bpp < 1) None
+      else Some(MediaMeta(doc_id, "image", bytes.length,
+        w, math.abs(h), math.max(1, bpp / 8), 0L, fnv1a(bytes)))
+    }
+  }
+
   /** The decode dispatch every f-query runs: sniff real container
-    * formats first (WAV today; a jpeg/mp4 probe lands here the same
-    * way), fall back to the deterministic stub for the synthetic
+    * formats first (WAV + BMP today; a jpeg/mp4 probe lands here the
+    * same way), fall back to the deterministic stub for the synthetic
     * corpus. The Spark-side shape (mapPartitions batching, typed
     * output, pre-decode pruning) is identical either way — which is
     * the point of the seam.
     */
   private[graft] def decode(r: MediaRecord): MediaMeta =
-    decodeWav(r.doc_id, r.payload).getOrElse(decodeStub(r))
+    decodeWav(r.doc_id, r.payload)
+      .orElse(decodeBmp(r.doc_id, r.payload))
+      .getOrElse(decodeStub(r))
 
   /** STUB — deterministic fake decoder. A real implementation would
     * hand `payload` to libjpeg/ffmpeg here; the container ships no

@@ -170,6 +170,27 @@ class MultimodalOpsSpec extends SparkSpec {
     // duration floor is 1000) without throwing
     assert(decode(MediaRecord(6L, "audio", garbled)).checksum != 0L)
 
+    // BMP arm: exact dimensions, top-down (negative height) normalized,
+    // malformed rejected
+    import graft.operators.MultimodalOps.decodeBmp
+    def bmpBytes(w: Int, h: Int, bpp: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(54)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54).putShort(0).putShort(0)
+        .putInt(54)                       // pixel data offset
+        .putInt(40)                       // BITMAPINFOHEADER size
+        .putInt(w).putInt(h)
+        .putShort(1.toShort).putShort(bpp.toShort)
+      b.array()
+    }
+    val bmp = decode(MediaRecord(20L, "video", bmpBytes(640, 480, 24)))
+    assert(bmp.media_type == "image" && bmp.width == 640 &&
+      bmp.height == 480 && bmp.channels == 3 && bmp.duration_ms == 0L)
+    val topDown = decode(MediaRecord(21L, "image", bmpBytes(100, -200, 32)))
+    assert(topDown.width == 100 && topDown.height == 200 && topDown.channels == 4)
+    assert(decodeBmp(22L, bmpBytes(640, 480, 24).take(40)).isEmpty)
+    assert(decodeBmp(23L, "BMnotreally".getBytes ++ new Array[Byte](60)).isEmpty)
+
     // and through the FULL mapPartitions pipeline shape, mixed with a
     // stub-decoded payload — the seam a real codec swap exercises
     val spark2 = spark; import spark2.implicits._
