@@ -117,8 +117,11 @@ class SimOpsSpec extends SparkSpec {
     }
     val avgRecall = recalls.sum / recalls.size
     info(f"d5 avg recall@10 vs exact: $avgRecall%.3f over ${recalls.size} queries")
-    // probing 4 of ~31 cells blind would give ~13%; the quantizer must do better
-    assert(avgRecall > 0.15)
+    // default np=8, na=2 over ~31 cells: a BLIND probe of 8 cells with
+    // each vector indexed in 2 would see ≈ 1 - C(23,2)/C(31,2) ≈ 46% of
+    // the corpus — the quantizer must beat that by a clear margin
+    // (measured 0.78 at this SF)
+    assert(avgRecall > 0.55)
   }
 
   test("d5 k-means refinement improves the spherical quantization objective") {
