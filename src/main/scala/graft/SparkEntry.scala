@@ -60,6 +60,7 @@ object SparkEntry {
     "p4_stratified_sample"      -> ((s: SparkSession, d: String) => PipelineOps.stratifiedSample(s, d)),
     "p5_stream_ingest"          -> graft.streaming.CorpusStream.streamIngest _,
     "p6_token_budget_mix"       -> ((s: SparkSession, d: String) => PipelineOps.tokenBudgetMix(s, d)),
+    "p7_temperature_mix"        -> ((s: SparkSession, d: String) => PipelineOps.temperatureMix(s, d)),
     // E. text analysis
     "e1_token_stats"            -> TextOps.tokenStats _,
     "e2_quality_score"          -> TextOps.qualityScore _,
@@ -69,6 +70,7 @@ object SparkEntry {
     "e6_ngram_freq"             -> ((s: SparkSession, d: String) => TextOps.ngramFreq(s, d)),
     "e7_dup_ngram_ratio"        -> ((s: SparkSession, d: String) => TextOps.dupNgramRatio(s, d)),
     "e8_pii_scrub"              -> TextOps.piiScrub _,
+    "e9_para_dedup"             -> ((s: SparkSession, d: String) => TextOps.paraDedup(s, d)),
     // B. marketplace/analytics
     "b1_pricing_summary"        -> MarketOps.pricingSummary _,
     "b2_top_sellers"            -> MarketOps.topSellers _,
@@ -600,6 +602,62 @@ object SparkEntry {
                FROM d)
          SELECT doc_id, lang, n_tokens, cum_tokens FROM c
          WHERE cum_tokens <= 2000 ORDER BY lang, cum_tokens""",
+    // p7: α = 0.5 so both engines use sqrt (IEEE-exact where a general
+    // pow need not agree bit-for-bit); round(..., 6) before floor so
+    // the 5-value denominator sum's addition-order ulp can't flip the
+    // integer (boundary distance ≥ 0.01 at every test SF). The
+    // oracle's single row_number per lang equals Spark's block
+    // prefix-sum rank because the bucket is a key prefix.
+    "p7_temperature_mix" ->
+      """WITH n AS (SELECT lang, count(*)::BIGINT AS n_docs
+                    FROM documents GROUP BY 1),
+         w AS (SELECT lang, n_docs,
+                 floor(round(sum(n_docs) OVER () * sqrt(n_docs)
+                             / sum(sqrt(n_docs)) OVER (), 6))::BIGINT
+                   AS target_docs
+               FROM n),
+         r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(doc_id::VARCHAR), doc_id) AS rnk
+               FROM documents)
+         SELECT r.lang, r.doc_id, w.target_docs,
+                (w.target_docs // w.n_docs
+                 + CASE WHEN rnk <= w.target_docs % w.n_docs
+                        THEN 1 ELSE 0 END)::BIGINT AS n_copies
+         FROM r JOIN w ON r.lang = w.lang
+         WHERE w.target_docs // w.n_docs
+               + CASE WHEN rnk <= w.target_docs % w.n_docs
+                      THEN 1 ELSE 0 END > 0
+         ORDER BY r.lang, r.doc_id""",
+    // e9: identical chunk grid (non-overlapping 16-token runs,
+    // 1-indexed inclusive slices), md5 chunk fingerprints, distinct-doc
+    // df, and in-order reassembly of the survivors; string_agg skips
+    // the NULLs CASE leaves for dropped chunks exactly as collect_list
+    // does, and coalesce('') matches Spark's empty array_join.
+    "e9_para_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         c AS (SELECT doc_id,
+             unnest(generate_series(0, ((len(toks) + 15) // 16 - 1)::BIGINT))
+               AS pos,
+             unnest(list_transform(
+               generate_series(0, ((len(toks) + 15) // 16 - 1)::BIGINT),
+               j -> array_to_string(
+                      list_slice(toks, (j*16 + 1)::INT, (j*16 + 16)::INT),
+                      ' '))) AS chunk
+           FROM t),
+         d AS (SELECT md5(chunk) AS cfp, count(DISTINCT doc_id) AS df
+               FROM c GROUP BY 1),
+         k AS (SELECT c.doc_id, c.pos, c.chunk, d.df
+               FROM c JOIN d ON md5(c.chunk) = d.cfp)
+         SELECT doc_id,
+                count(*)::BIGINT AS n_chunks,
+                sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+                sum(CASE WHEN df < 2 THEN len(string_split(chunk, ' '))
+                         ELSE 0 END)::BIGINT AS clean_n_tokens,
+                md5(coalesce(string_agg(CASE WHEN df < 2 THEN chunk END,
+                                        ' ' ORDER BY pos), '')) AS clean_fp
+         FROM k GROUP BY doc_id ORDER BY doc_id""",
     // p4: md5(doc_id) is the deterministic pseudo-random order in both
     // engines; rank-based selection meets each lang quota exactly.
     "p4_stratified_sample" ->

@@ -202,6 +202,68 @@ object PipelineOps {
       .orderBy(col("lang"), col("cum_tokens"))
   }
 
+  /** p7: temperature-resampled domain mix — the third mixing unit
+    * after p4 (fixed doc quotas) and p6 (token budgets): quotas are
+    * COMPUTED from the corpus at temperature α = 0.5, the standard
+    * multilingual rebalance (weight ∝ share^α: high-resource langs
+    * are downsampled, low-resource langs upsampled, with upsampling
+    * materialized as per-doc repetition factors — full epochs for
+    * every doc plus one extra epoch for the first `target mod n`
+    * docs in sampling-key order, the fractional-epoch scheme LLM
+    * data mixes actually train on). α is fixed at 0.5 so both
+    * engines compute the weight with `sqrt` (IEEE-exact in Spark
+    * and DuckDB where a general `pow` need not agree bit-for-bit);
+    * the quota rounds to 6 decimals before floor so the 5-value
+    * denominator sum's addition-order ulp can't flip the integer
+    * (boundary distances measured ≥ 0.01 at every test SF).
+    *
+    * 100 TB shape: the per-lang counts are one map-side-combinable
+    * aggregate; the quota arithmetic runs in a window over that
+    * ≤ |langs|-row table (tiny by construction, same as b14's
+    * share-of-total); the per-lang rank that decides who gets the
+    * extra epoch uses p6's block prefix-sum (per-(lang, key-prefix)
+    * row counts + tiny offsets window + 256×-finer ranked windows) —
+    * no single-partition-per-lang sort anywhere. Docs are never
+    * physically duplicated here: `n_copies` is the materialization
+    * contract for the training reader (explode(sequence(1, n_copies))
+    * at the sink if physical rows are wanted).
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val quotas = counts.withColumn(
+      "target_docs",
+      floor(round(sum(col("n_docs")).over(wAll) * sqrt(col("n_docs")) /
+                  sum(sqrt(col("n_docs"))).over(wAll), 6)).cast("long"))
+    // per-lang md5-order rank via the p6 block prefix-sum (the bucket
+    // is a 2-hex key prefix, so bucket order == key order)
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), sampleKey.as("key"))
+      .withColumn("bucket", substring(col("key"), 1, 2))
+    val wB = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("offset", coalesce(sum(col("bn")).over(wB), lit(0L)))
+      .select(col("lang"), col("bucket"), col("offset"))
+    val wIn = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("key"), col("doc_id"))
+    d.join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("rnk", col("offset") + row_number().over(wIn))
+      .join(broadcast(quotas), Seq("lang"))
+      .withColumn("n_copies",
+        (col("target_docs") / col("n_docs")).cast("long") +
+        when(col("rnk") <= col("target_docs") % col("n_docs"), 1L)
+          .otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("lang"), col("doc_id"), col("target_docs"),
+              col("n_copies"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** Materialize the prepared corpus as lang-partitioned parquet — the
     * sink every corpus-prep run ends in. `repartition(lang)` BEFORE
     * `partitionBy(lang)` is the small-file guard: without it every

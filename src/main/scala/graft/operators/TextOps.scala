@@ -231,4 +231,60 @@ object TextOps {
       md5(concat_ws(" ", TextFns.tokens(col("text")))).as("fp_norm"),
       length(col("text")).cast("long").as("n_chars_actual"))
       .orderBy(col("doc_id"))
+
+  /** e9: paragraph-level boilerplate removal (the CCNet/RefinedWeb
+    * cleaning step that runs BEFORE document-level dedup): split each
+    * doc into paragraphs, drop every paragraph whose fingerprint
+    * appears in ≥ `minDf` distinct documents (shared headers, nav
+    * bars, license blurbs), and reassemble the survivors in order.
+    * The corpus has no newline structure, so a "paragraph" here is a
+    * non-overlapping `chunkTokens`-token run — the unit is a
+    * parameter; real corpora would split on \n\n instead and nothing
+    * else changes.
+    *
+    * 100 TB shape: chunking is per-row expression work inside the
+    * scan; the df count and the join back are both keyed on the chunk
+    * fingerprint (co-partitioned shuffle pair, no broadcast of a
+    * corpus-sized side anywhere); reassembly is one groupBy(doc_id)
+    * whose collect_list is bounded by the doc's own chunk count. The
+    * boilerplate table is NEVER materialized to the driver.
+    *
+    * Output per doc: chunk totals, drops, surviving token count and
+    * the md5 of the reassembled text (the full cleaned text flows at
+    * scale; the fingerprint keeps the verify artifact small while
+    * still hash-pinning exact reassembly).
+    */
+  def paraDedup(spark: SparkSession, dir: String, chunkTokens: Int = 16,
+                minDf: Int = 2): DataFrame = {
+    val t = docs(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+    val nChunks = ceil(size(col("toks")).cast("double") / chunkTokens)
+      .cast("int")
+    val chunks = t.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        j => array_join(slice(col("toks"), j * chunkTokens + 1,
+                              lit(chunkTokens)), " "))))
+      .select(col("doc_id"), col("pos"), col("col").as("chunk"),
+              md5(col("col")).as("cfp"))
+    // document frequency per chunk fingerprint — distinct docs, so a
+    // chunk repeated WITHIN one doc is not self-boilerplate
+    val df = chunks.groupBy(col("cfp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val kept = col("df") < minDf
+    chunks.join(df, "cfp")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(!kept, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(kept, size(split(col("chunk"), " ")).cast("long"))
+          .otherwise(0L)).as("clean_n_tokens"),
+        // collect_list skips the nulls `when` leaves for dropped
+        // chunks; sort by pos restores document order
+        md5(array_join(transform(
+          array_sort(collect_list(when(kept,
+            struct(col("pos"), col("chunk"))))),
+          s => s.getField("chunk")), " ")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
 }

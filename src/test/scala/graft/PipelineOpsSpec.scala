@@ -105,6 +105,41 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("p7 temperature mix: quotas met exactly, up/down-sampling both exercised") {
+    val all = Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    val nBy = all.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val total = all.length.toLong
+    val denom = nBy.values.toSeq.sorted.map(math.sqrt(_)).sum
+    val target = nBy.map { case (l, n) =>
+      l -> math.floor(BigDecimal(total * math.sqrt(n.toDouble) / denom)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+    }
+    val got = PipelineOps.temperatureMix(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+                 r.getAs[Long]("target_docs"), r.getAs[Long]("n_copies")))
+    nBy.keys.foreach { lang =>
+      val rows = got.filter(_._1 == lang)
+      assert(rows.forall(_._3 == target(lang)), s"$lang target")
+      // the materialized copies meet the computed quota EXACTLY
+      assert(rows.map(_._4).sum == target(lang), s"$lang quota")
+      // who gets the extra epoch: the first (target mod n) docs in
+      // md5 order — recompute the selection naively
+      val full = target(lang) / nBy(lang)
+      val rem = (target(lang) % nBy(lang)).toInt
+      val extra = all.filter(_._2 == lang).map(_._1)
+        .sortBy(id => (md5hex(id.toString), id)).take(rem).toSet
+      rows.foreach { case (_, id, _, copies) =>
+        assert(copies == full + (if (extra(id)) 1L else 0L), s"$lang doc $id")
+      }
+    }
+    // the rebalance must be visible in both directions at this SF
+    val maxLang = nBy.maxBy(_._2)._1
+    val minLang = nBy.minBy(_._2)._1
+    assert(target(maxLang) < nBy(maxLang), "largest lang not downsampled")
+    assert(target(minLang) > nBy(minLang), "smallest lang not upsampled")
+  }
+
   test("writeCorpus lands lang-partitioned parquet, one file per lang, round-trips") {
     val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
     PipelineOps.writeCorpus(spark, sf, out)

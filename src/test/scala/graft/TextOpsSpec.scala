@@ -160,4 +160,35 @@ class TextOpsSpec extends SparkSpec {
       "PII-free text must survive redaction byte-identical")
     assert(got(4L)._3 == md5hex("mixed: [EMAIL] and [PHONE] together"))
   }
+
+  test("e9 paragraph dedup matches a naive recompute doc-for-doc") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    // naive: chunk every doc into 16-token runs, count distinct-doc df
+    // per chunk, drop df>=2, reassemble in order
+    val chunksOf = texts.map { case (id, t) =>
+      id -> t.split(" ", -1).grouped(16).map(_.mkString(" ")).toVector
+    }
+    val df = chunksOf.toSeq.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.size }
+    val got = graft.operators.TextOps.paraDedup(spark, sf).collect()
+    assert(got.length == texts.size)
+    var dropped = 0L
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val cs = chunksOf(id)
+      val kept = cs.filter(df(_) < 2)
+      assert(r.getAs[Long]("n_chunks") == cs.size, s"doc $id n_chunks")
+      assert(r.getAs[Long]("n_dropped") == cs.size - kept.size, s"doc $id n_dropped")
+      assert(r.getAs[Long]("clean_n_tokens") ==
+        kept.map(_.split(" ", -1).length).sum, s"doc $id clean_n_tokens")
+      assert(r.getAs[String]("clean_fp") == md5hex(kept.mkString(" ")),
+        s"doc $id reassembly")
+      dropped += r.getAs[Long]("n_dropped")
+    }
+    // non-vacuous: the corpus' duplicated docs share chunks, so the
+    // boilerplate filter must actually fire at this SF
+    assert(dropped > 0, "no chunk dropped — boilerplate path untested")
+  }
 }
