@@ -16,12 +16,12 @@ import graft.sources.Tables
   * through without materializing the partition).
   *
   * The decode stage dispatches through `decode`: REAL container
-  * parsing first (RIFF/WAVE PCM headers — pure JVM, no codec library;
-  * spec-fed with constructed WAV bytes), then `decodeStub`'s
-  * deterministic pseudo-metadata for the synthetic corpus (this
-  * container ships no image/video codecs). Swapping in libjpeg/ffmpeg
-  * adds another sniffing arm to `decode`; nothing else changes — the
-  * WAV arm is the proof.
+  * parsing first (RIFF/WAVE PCM, BMP and PNG IHDR headers — pure JVM,
+  * no codec library; spec-fed with constructed bytes), then
+  * `decodeStub`'s deterministic pseudo-metadata for the synthetic
+  * corpus (this container ships no pixel/sample codecs). Swapping in
+  * libjpeg/ffmpeg adds another sniffing arm to `decode`; nothing else
+  * changes — the three header arms are the proof.
   */
 object MultimodalOps {
 
@@ -98,16 +98,45 @@ object MultimodalOps {
     }
   }
 
+  /** REAL decoder arm #3 — PNG IHDR parse: the 8-byte signature, then
+    * the mandatory first chunk must be IHDR (13-byte payload) with
+    * big-endian width/height at 16/20, bit depth at 24 and color type
+    * at 25 (channel count follows from the color type). Exact
+    * dimensions for real PNG payloads; None for anything else.
+    */
+  private[graft] def decodePng(doc_id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    def be32(o: Int) = ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
+                       ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    if (bytes.length < 33 || !bytes.take(8).sameElements(sig) ||
+        be32(8) != 13 || new String(bytes, 12, 4, "US-ASCII") != "IHDR") None
+    else {
+      val w = be32(16); val h = be32(20)
+      val channels = bytes(25) match {
+        case 0 => 1   // grayscale
+        case 2 => 3   // truecolor
+        case 3 => 1   // indexed
+        case 4 => 2   // gray + alpha
+        case 6 => 4   // RGBA
+        case _ => -1
+      }
+      if (w <= 0 || h <= 0 || channels < 0 || bytes(24) < 1) None
+      else Some(MediaMeta(doc_id, "image", bytes.length,
+        w, h, channels, 0L, fnv1a(bytes)))
+    }
+  }
+
   /** The decode dispatch every f-query runs: sniff real container
-    * formats first (WAV + BMP today; a jpeg/mp4 probe lands here the
-    * same way), fall back to the deterministic stub for the synthetic
-    * corpus. The Spark-side shape (mapPartitions batching, typed
-    * output, pre-decode pruning) is identical either way — which is
-    * the point of the seam.
+    * formats first (WAV + BMP + PNG today; a jpeg/mp4 probe lands here
+    * the same way), fall back to the deterministic stub for the
+    * synthetic corpus. The Spark-side shape (mapPartitions batching,
+    * typed output, pre-decode pruning) is identical either way — which
+    * is the point of the seam.
     */
   private[graft] def decode(r: MediaRecord): MediaMeta =
     decodeWav(r.doc_id, r.payload)
       .orElse(decodeBmp(r.doc_id, r.payload))
+      .orElse(decodePng(r.doc_id, r.payload))
       .getOrElse(decodeStub(r))
 
   /** STUB — deterministic fake decoder. A real implementation would

@@ -191,6 +191,29 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(decodeBmp(22L, bmpBytes(640, 480, 24).take(40)).isEmpty)
     assert(decodeBmp(23L, "BMnotreally".getBytes ++ new Array[Byte](60)).isEmpty)
 
+    // PNG arm: big-endian IHDR dimensions, channel count from the
+    // color type, malformed rejected
+    import graft.operators.MultimodalOps.decodePng
+    def pngBytes(w: Int, h: Int, colorType: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(33)   // sig + IHDR chunk
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+        .putInt(13).put("IHDR".getBytes("US-ASCII"))
+        .putInt(w).putInt(h)
+        .put(8.toByte).put(colorType.toByte)     // bit depth, color type
+        .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+        .putInt(0)                               // CRC (not validated)
+      b.array()
+    }
+    val png = decode(MediaRecord(30L, "video", pngBytes(1920, 1080, 6)))
+    assert(png.media_type == "image" && png.width == 1920 &&
+      png.height == 1080 && png.channels == 4 && png.duration_ms == 0L)
+    assert(decode(MediaRecord(31L, "image", pngBytes(16, 32, 0))).channels == 1)
+    assert(decodePng(32L, pngBytes(16, 32, 2).take(20)).isEmpty)   // truncated
+    assert(decodePng(33L, pngBytes(0, 32, 2)).isEmpty)             // zero width
+    val badType = pngBytes(16, 32, 2); badType(25) = 7.toByte
+    assert(decodePng(34L, badType).isEmpty)                        // bad color type
+
     // and through the FULL mapPartitions pipeline shape, mixed with a
     // stub-decoded payload — the seam a real codec swap exercises
     val spark2 = spark; import spark2.implicits._
