@@ -145,7 +145,16 @@ object Bench {
           graft.operators.SimOps.annIvf(spark, sfDir, kmeansIters = 2),
           annCols),
         "c2_dedup_minhash" -> recallVs(dupPairs, run("c2_dedup_minhash"), pairCols),
-        "c3_dedup_simhash" -> recallVs(dupPairs, run("c3_dedup_simhash"), pairCols))
+        "c3_dedup_simhash" -> recallVs(dupPairs, run("c3_dedup_simhash"), pairCols),
+        // the occupancy-adequate-cap variant (not a registered query):
+        // the default-cap number above is a bucket-occupancy
+        // measurement on template-heavy corpora (RecallAtScaleSpec),
+        // this one shows the banding itself loses nothing once the cap
+        // clears the hot buckets
+        "c3_dedup_simhash_cap256" -> recallVs(dupPairs,
+          graft.operators.DedupOps.dedupSimhash(spark, sfDir,
+            bucketCap = 256),
+          pairCols))
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
     }
