@@ -71,6 +71,7 @@ object SparkEntry {
     "e7_dup_ngram_ratio"        -> ((s: SparkSession, d: String) => TextOps.dupNgramRatio(s, d)),
     "e8_pii_scrub"              -> TextOps.piiScrub _,
     "e9_para_dedup"             -> ((s: SparkSession, d: String) => TextOps.paraDedup(s, d)),
+    "d9_pq_quantize"            -> ((s: SparkSession, d: String) => SimOps.pqQuantize(s, d)),
     // B. marketplace/analytics
     "b1_pricing_summary"        -> MarketOps.pricingSummary _,
     "b2_top_sellers"            -> MarketOps.topSellers _,
@@ -1148,6 +1149,40 @@ object SparkEntry {
                 round(min(cosp), 6) AS min_cos_preserved,
                 round(max(max_err), 6) AS max_abs_err
          FROM s GROUP BY label ORDER BY label""",
+    // d9: same double folds in identical index order on both sides
+    // (list_zip/list_sum ≡ zip_with/aggregate); argmin tie-broken by
+    // centroid id in both; per-subspace decomposition of the
+    // reconstruction cosine avoids any physical reassembly.
+    "d9_pq_quantize" ->
+      """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         s AS (SELECT label, vec_id,
+             unnest(generate_series(0, 7)) AS sub_j,
+             unnest(list_transform(generate_series(0, 7),
+               j -> list_slice(v, (j*8 + 1)::INT, (j*8 + 8)::INT))) AS sub
+           FROM e),
+         c AS (SELECT sub_j, vec_id AS cent_id, sub AS ce
+               FROM s WHERE vec_id % 8 = 0),
+         a AS (SELECT s.label, s.vec_id, s.sub_j, c.cent_id,
+             list_sum(list_transform(list_zip(s.sub, c.ce),
+               x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist,
+             list_sum(list_transform(list_zip(s.sub, c.ce),
+               x -> x[1] * x[2])) AS dotj,
+             list_sum(list_transform(c.ce, x -> x * x)) AS qn,
+             list_sum(list_transform(s.sub, x -> x * x)) AS onr
+           FROM s JOIN c ON s.sub_j = c.sub_j
+           QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.sub_j
+                                      ORDER BY dist, c.cent_id) = 1),
+         p AS (SELECT label, vec_id,
+                 sum(dotj) / (sqrt(sum(qn)) * sqrt(sum(onr))) AS cos_pq,
+                 sum(dist) AS sq
+               FROM a GROUP BY 1, 2
+               HAVING sum(qn) > 0 AND sum(onr) > 0)
+         SELECT label, count(*)::BIGINT AS n_vecs,
+                round(avg(cos_pq), 6) AS avg_cos_preserved,
+                round(min(cos_pq), 6) AS min_cos_preserved,
+                round(avg(sq), 6) AS avg_sq_err
+         FROM p GROUP BY label ORDER BY label""",
     // b24: the oracle recomputes the EXACT aggregates and expects TRUE
     // for the in-bound booleans — Spark computes those booleans from
     // its sketch vs its own exact aggregate, so an out-of-tolerance

@@ -347,6 +347,66 @@ object SimOps {
     * HALF_EVEN at exact .5 boundaries, and floor is bit-identical in
     * both. All arithmetic in double; pure partial-aggregable scan.
     */
+  /** d9: product quantization error accounting — the OTHER compression
+    * every 100 TB vector deployment runs (d8's int8 keeps all dims at
+    * lower precision; PQ replaces each of `m` subvectors with a
+    * codebook id: 64 floats → 8 byte-codes, 32× smaller, the layout
+    * IVF-PQ indexes scan). Sub-codebooks here are a deterministic
+    * corpus sample (vec_id ≡ 0 mod `centroidMod`, the no-training
+    * baseline standing in for a trained 256-entry table — per-subspace
+    * k-means drops in exactly like d5's `ivfCentroids`); assignment is
+    * argmin squared distance per (vector, subspace), tie-broken by
+    * centroid id.
+    *
+    * Nothing reassembles physically: cosine(reconstruction, original)
+    * decomposes over subspaces (Σ dot_j / (√Σ‖ce_j‖² · √Σ‖sub_j‖²)),
+    * so the plan is one broadcast codebook join + a WindowGroupLimit
+    * argmin + two partial-aggregable groupBys — per-label quality
+    * (cosine preserved, squared reconstruction error) out of a scan.
+    */
+  def pqQuantize(spark: SparkSession, dir: String, m: Int = 8,
+                 subDim: Int = 8, centroidMod: Int = 8): DataFrame = {
+    val subsOf = (v: Column) => transform(sequence(lit(0), lit(m - 1)),
+      j => slice(v, j * subDim + 1, lit(subDim)))
+    def sqDist(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+                                         (x.cast("double") - y.cast("double"))),
+        lit(0.0d), (acc, x) => acc + x)
+    def dot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (acc, x) => acc + x)
+    val subs = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("label"), col("vec_id"),
+              posexplode(subsOf(col("embedding"))))
+      .select(col("label"), col("vec_id"), col("pos").as("sub_j"),
+              col("col").as("sub"))
+    val cents = subs.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+      .select(col("sub_j"), col("vec_id").as("cent_id"), col("sub").as("ce"))
+    val w = Window.partitionBy(col("vec_id"), col("sub_j"))
+      .orderBy(col("dist"), col("cent_id"))
+    val assigned = subs.join(broadcast(cents), "sub_j")
+      .select(col("label"), col("vec_id"), col("sub_j"), col("cent_id"),
+              sqDist(col("sub"), col("ce")).as("dist"),
+              dot(col("sub"), col("ce")).as("dotj"),
+              dot(col("ce"), col("ce")).as("qn"),
+              dot(col("sub"), col("sub")).as("onr"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assigned.groupBy(col("label"), col("vec_id"))
+      .agg((sum(col("dotj")) /
+            (sqrt(sum(col("qn"))) * sqrt(sum(col("onr"))))).as("cos_pq"),
+           sum(col("dist")).as("sq"),
+           sum(col("qn")).as("qn_t"), sum(col("onr")).as("onr_t"))
+      .filter(col("qn_t") > 0 && col("onr_t") > 0)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           round(avg(col("cos_pq")), 6).as("avg_cos_preserved"),
+           round(min(col("cos_pq")), 6).as("min_cos_preserved"),
+           round(avg(col("sq")), 6).as("avg_sq_err"))
+      .orderBy(col("label"))
+  }
+
   def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
     val v = col("embedding")
     val absMax = aggregate(v, lit(0.0d),

@@ -183,6 +183,56 @@ class SimOpsSpec extends SparkSpec {
     assert(totalVecs == embs.size)
   }
 
+  test("d9 PQ accounting matches a naive JVM product quantizer") {
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // naive PQ: same sampled codebook (vec_id % 8 == 0), argmin sq
+    // distance per 8-dim subvector with centroid-id tie-break
+    val subsOf = (v: Array[Float]) =>
+      v.map(_.toDouble).grouped(8).toVector
+    val books = (0 until 8).map { j =>
+      embs.toSeq.filter(_._1 % 8 == 0).sortBy(_._1)
+        .map { case (id, v) => id -> subsOf(v)(j) }
+    }
+    def cosSq(id: Long): (Double, Double) = {
+      val subs = subsOf(embs(id))
+      val picks = (0 until 8).map { j =>
+        books(j).minBy { case (cid, ce) =>
+          (subs(j).zip(ce).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+        }._2
+      }
+      val dot = (0 until 8).map(j => subs(j).zip(picks(j)).map(x => x._1 * x._2).sum).sum
+      val qn = picks.map(_.map(x => x * x).sum).sum
+      val on = subs.map(_.map(x => x * x).sum).sum
+      val sq = (0 until 8).map(j =>
+        subs(j).zip(picks(j)).map { case (a, b) => (a - b) * (a - b) }.sum).sum
+      (dot / (math.sqrt(qn) * math.sqrt(on)), sq)
+    }
+    val byLabel = embs.keys.toSeq.groupBy(labels)
+    val got = SimOps.pqQuantize(spark, sf).collect()
+    assert(got.nonEmpty)
+    var n = 0L
+    got.foreach { r =>
+      val ids = byLabel(r.getAs[Int]("label"))
+      val stats = ids.map(cosSq)
+      n += r.getAs[Long]("n_vecs")
+      assert(r.getAs[Long]("n_vecs") == ids.size)
+      assert(math.abs(r.getAs[Double]("avg_cos_preserved") -
+        stats.map(_._1).sum / ids.size) < 1e-5)
+      assert(math.abs(r.getAs[Double]("min_cos_preserved") -
+        stats.map(_._1).min) < 1e-5)
+      assert(math.abs(r.getAs[Double]("avg_sq_err") -
+        stats.map(_._2).sum / ids.size) < 1e-5)
+    }
+    assert(n == embs.size)
+    // a denser codebook must not reconstruct worse on average
+    val coarse = SimOps.pqQuantize(spark, sf, centroidMod = 32).collect()
+      .map(r => r.getAs[Double]("avg_cos_preserved")).sum / got.length
+    val fine = got.map(_.getAs[Double]("avg_cos_preserved")).sum / got.length
+    assert(fine >= coarse - 1e-9,
+      f"denser codebook reconstructed worse: $fine%.4f < $coarse%.4f")
+  }
+
   test("d3 per-label stats match naive aggregation") {
     val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
