@@ -139,6 +139,7 @@ object Bench {
       val entries = Seq(
         "d2_ann_lsh" -> recallVs(exactTop, run("d2_ann_lsh"), annCols),
         "d5_ann_ivf" -> recallVs(exactTop, run("d5_ann_ivf"), annCols),
+        "d10_ann_ivfpq" -> recallVs(exactTop, run("d10_ann_ivfpq"), annCols),
         // the refined-index variant (not a registered query): shows
         // what 2 Lloyd rounds buy at this SF next to the d5 default
         "d5_ann_ivf_kmeans2" -> recallVs(exactTop,

@@ -72,6 +72,7 @@ object SparkEntry {
     "e8_pii_scrub"              -> TextOps.piiScrub _,
     "e9_para_dedup"             -> ((s: SparkSession, d: String) => TextOps.paraDedup(s, d)),
     "d9_pq_quantize"            -> ((s: SparkSession, d: String) => SimOps.pqQuantize(s, d)),
+    "d10_ann_ivfpq"             -> ((s: SparkSession, d: String) => SimOps.annIvfPq(s, d)),
     // B. marketplace/analytics
     "b1_pricing_summary"        -> MarketOps.pricingSummary _,
     "b2_top_sellers"            -> MarketOps.topSellers _,

@@ -196,6 +196,24 @@ object SimOps {
     cents
   }
 
+  /** Max-cosine cell routing against a broadcast centroid set: each
+    * row of `side` gets its `n` nearest cells (IVF list assignment for
+    * the corpus, probe selection for queries). Shared by d5 and d10.
+    */
+  private[graft] def nearestCells(cents: DataFrame)(
+      side: DataFrame, idCol: String, vecCol: String,
+      nrmCol: String, n: Int): DataFrame = {
+    val scored = side.crossJoin(broadcast(cents))
+      .select(col(idCol), col(vecCol), col(nrmCol), col("cent_id"),
+              (graft.functions.FloatVecDot(col(vecCol), col("ce")) /
+               (col(nrmCol) * col("cnrm"))).as("csim"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("csim").desc, col("cent_id"))
+    scored.withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") <= n)
+      .select(col(idCol), col(vecCol), col(nrmCol), col("cent_id"))
+  }
+
   def annIvf(spark: SparkSession, dir: String, k: Int = 10,
              qmod: Int = 50, centroidMod: Int = 16, nProbe: Int = 8,
              kmeansIters: Int = 0, nAssign: Int = 2): DataFrame = {
@@ -204,25 +222,13 @@ object SimOps {
               VectorFns.norm(col("embedding")).as("nrm"))
     // deterministic sampled centroids (≈ N/centroidMod cells),
     // optionally Lloyd-refined — the plan shape below is identical
-    val cents = ivfCentroids(emb, centroidMod, kmeansIters)
-    def nearestCells(side: DataFrame, idCol: String, vecCol: String,
-                     nrmCol: String, n: Int): DataFrame = {
-      val scored = side.crossJoin(broadcast(cents))
-        .select(col(idCol), col(vecCol), col(nrmCol), col("cent_id"),
-                (graft.functions.FloatVecDot(col(vecCol), col("ce")) /
-                 (col(nrmCol) * col("cnrm"))).as("csim"))
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("csim").desc, col("cent_id"))
-      scored.withColumn("crnk", row_number().over(w))
-        .filter(col("crnk") <= n)
-        .select(col(idCol), col(vecCol), col(nrmCol), col("cent_id"))
-    }
+    val cells = nearestCells(ivfCentroids(emb, centroidMod, kmeansIters)) _
     // corpus: each vector is indexed into its nAssign nearest cells
     // (soft assignment — the IVF analog of d2's multi-probe: a vector
     // on a cell boundary is findable from either side; index size
     // grows ×nAssign, probe cost doesn't); queries probe nProbe cells
-    val lists = nearestCells(emb, "vec_id", "embedding", "nrm", nAssign)
-    val probes = nearestCells(
+    val lists = cells(emb, "vec_id", "embedding", "nrm", nAssign)
+    val probes = cells(
       emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
                 col("nrm").as("qnrm")),
@@ -244,6 +250,87 @@ object SimOps {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"),
+              round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** d10: IVF-PQ with exact rerank — the composition a production
+    * 100 TB vector index actually runs: IVF cell routing prunes the
+    * corpus to probed lists (d5's stage), PQ asymmetric distance
+    * scores the survivors WITHOUT touching full vectors (the shortlist
+    * reads 8 byte-codes per candidate — here the code's centroid
+    * vectors, same arithmetic Catalyst sees), and only the top
+    * `rerank`·k ADC candidates get their full vector re-read for exact
+    * cosine. At scale the expensive exact pass thus touches
+    * rerank·k rows per query instead of every list member; ADC's
+    * ranking error is absorbed by the rerank margin.
+    *
+    * Plan shape: broadcast centroid probe (documented BNLJ) → cell
+    * join → pair dedup → shuffle join to the code table on cand_id →
+    * broadcast query-subvector join → two WindowGroupLimit top-ks
+    * (ADC shortlist, then exact). Approximate — recall vs d1 is in
+    * SimOpsSpec and the bench recall JSON; exactness of the FINAL
+    * scores (they're true cosines) is spec-checked like d5's.
+    */
+  def annIvfPq(spark: SparkSession, dir: String, k: Int = 10,
+               qmod: Int = 50, centroidMod: Int = 16, nProbe: Int = 8,
+               nAssign: Int = 2, pqMod: Int = 8, m: Int = 8,
+               subDim: Int = 8, rerank: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              VectorFns.norm(col("embedding")).as("nrm"))
+    val cells = nearestCells(ivfCentroids(emb, centroidMod, 0)) _
+    val lists = cells(emb, "vec_id", "embedding", "nrm", nAssign)
+      .select(col("vec_id").as("cand_id"), col("cent_id"))
+    val queries = emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+              col("nrm").as("qnrm"))
+    val probes = cells(queries, "query_id", "qe", "qnrm", nProbe)
+      .select(col("query_id"), col("cent_id"))
+    val pairs = lists.join(probes, "cent_id")
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id")).distinct()
+    // corpus PQ codes: (cand_id, sub_j, ce) — at scale this table is
+    // the 32×-compressed index, built once
+    val codes = pqAssign(
+        pqSubs(emb.select(col("vec_id"), col("embedding")),
+               Seq("vec_id"), m, subDim),
+        Seq("vec_id"), pqMod)
+      .select(col("vec_id").as("cand_id"), col("sub_j"), col("ce"))
+    val qsubs = pqSubs(
+        queries.select(col("query_id").as("vec_id"), col("qe").as("embedding")),
+        Seq("vec_id"), m, subDim)
+      .select(col("vec_id").as("query_id"), col("sub_j"),
+              col("sub").as("qsub"))
+    // ADC: approx cos = Σ_j dot(q_j, ce_j) / (‖recon‖ · ‖q‖)
+    val adc = pairs.join(codes, "cand_id")
+      .join(broadcast(qsubs), Seq("query_id", "sub_j"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(subDot(col("qsub"), col("ce"))).as("adot"),
+           sum(subDot(col("ce"), col("ce"))).as("rn2"))
+      .join(broadcast(queries.select(col("query_id"), col("qnrm"))),
+            "query_id")
+      .filter(col("rn2") > 0)
+      .select(col("query_id"), col("cand_id"),
+              (col("adot") / (sqrt(col("rn2")) * col("qnrm"))).as("adc_cos"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("cand_id"))
+    val shortlist = adc.withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= rerank * k)
+      .select(col("query_id"), col("cand_id"))
+    // exact rerank: full vectors re-read for shortlist members only
+    val exact = shortlist
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding"),
+                       col("nrm")), "cand_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("cand_id"),
+              (graft.functions.FloatVecDot(col("embedding"), col("qe")) /
+               (col("nrm") * col("qnrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    exact.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("cand_id"), col("rnk"),
               round(col("cos"), 6).as("cosine"))
@@ -364,35 +451,56 @@ object SimOps {
     * argmin + two partial-aggregable groupBys — per-label quality
     * (cosine preserved, squared reconstruction error) out of a scan.
     */
-  def pqQuantize(spark: SparkSession, dir: String, m: Int = 8,
-                 subDim: Int = 8, centroidMod: Int = 8): DataFrame = {
-    val subsOf = (v: Column) => transform(sequence(lit(0), lit(m - 1)),
-      j => slice(v, j * subDim + 1, lit(subDim)))
+  /** Per-subspace double dot product over float subvector columns. */
+  private def subDot(a: Column, b: Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Explode vectors into their m `subDim`-dim subvectors:
+    * (carried..., sub_j, sub).
+    */
+  private[graft] def pqSubs(emb: DataFrame, carry: Seq[String],
+                            m: Int, subDim: Int): DataFrame = {
+    val subsOf = transform(sequence(lit(0), lit(m - 1)),
+      j => slice(col("embedding"), j * subDim + 1, lit(subDim)))
+    emb.filter(col("embedding").isNotNull)
+      .select(carry.map(col) :+ posexplode(subsOf): _*)
+      .select(carry.map(col) ++
+        Seq(col("pos").as("sub_j"), col("col").as("sub")): _*)
+  }
+
+  /** PQ encode: every (vector, subspace) assigned to its argmin-sq-dist
+    * sub-centroid (tie-broken by centroid id), centroid VECTOR carried
+    * for reconstruction-side math. Codebook = deterministic corpus
+    * sample per subspace, broadcast. Shared by d9 and d10's ADC stage.
+    */
+  private[graft] def pqAssign(subs: DataFrame, carry: Seq[String],
+                              centroidMod: Int): DataFrame = {
     def sqDist(a: Column, b: Column) =
       aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
                                          (x.cast("double") - y.cast("double"))),
         lit(0.0d), (acc, x) => acc + x)
-    def dot(a: Column, b: Column) =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0d), (acc, x) => acc + x)
-    val subs = Tables.embeddings(spark, dir)
-      .filter(col("embedding").isNotNull)
-      .select(col("label"), col("vec_id"),
-              posexplode(subsOf(col("embedding"))))
-      .select(col("label"), col("vec_id"), col("pos").as("sub_j"),
-              col("col").as("sub"))
     val cents = subs.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
       .select(col("sub_j"), col("vec_id").as("cent_id"), col("sub").as("ce"))
     val w = Window.partitionBy(col("vec_id"), col("sub_j"))
       .orderBy(col("dist"), col("cent_id"))
-    val assigned = subs.join(broadcast(cents), "sub_j")
-      .select(col("label"), col("vec_id"), col("sub_j"), col("cent_id"),
-              sqDist(col("sub"), col("ce")).as("dist"),
-              dot(col("sub"), col("ce")).as("dotj"),
-              dot(col("ce"), col("ce")).as("qn"),
-              dot(col("sub"), col("sub")).as("onr"))
+    subs.join(broadcast(cents), "sub_j")
+      .select(carry.map(col) ++ Seq(col("sub_j"), col("cent_id"),
+        col("sub"), col("ce"), sqDist(col("sub"), col("ce")).as("dist")): _*)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  def pqQuantize(spark: SparkSession, dir: String, m: Int = 8,
+                 subDim: Int = 8, centroidMod: Int = 8): DataFrame = {
+    val subs = pqSubs(Tables.embeddings(spark, dir),
+      Seq("label", "vec_id"), m, subDim)
+    val assigned = pqAssign(subs, Seq("label", "vec_id"), centroidMod)
+      .select(col("label"), col("vec_id"), col("dist"),
+              subDot(col("sub"), col("ce")).as("dotj"),
+              subDot(col("ce"), col("ce")).as("qn"),
+              subDot(col("sub"), col("sub")).as("onr"))
     assigned.groupBy(col("label"), col("vec_id"))
       .agg((sum(col("dotj")) /
             (sqrt(sum(col("qn"))) * sqrt(sum(col("onr"))))).as("cos_pq"),

@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     "b41_feeds_channels",      // 1-row total broadcast
     "d1_ann_bruteforce", "d4_ann_topk_agg", "d6_ann_range",
     "d7_ann_filtered",         // broadcast query batch (exact baseline)
-    "d5_ann_ivf")              // broadcast centroid probe
+    "d5_ann_ivf",              // broadcast centroid probe
+    "d10_ann_ivfpq")           // broadcast centroid probe + query subs
 
   test("no cartesian products; BNLJ only in the documented broadcast patterns") {
     SparkEntry.queries.keys.filterNot(streamingBacked).toSeq.sorted.foreach { name =>

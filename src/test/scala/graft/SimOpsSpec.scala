@@ -183,6 +183,36 @@ class SimOpsSpec extends SparkSpec {
     assert(totalVecs == embs.size)
   }
 
+  test("d10 IVF-PQ rerank: final scores exact, recall within reach of d5") {
+    val got = SimOps.annIvfPq(spark, sf).collect()
+    assert(got.nonEmpty)
+    // the rerank stage re-reads full vectors, so every emitted score
+    // must be a TRUE cosine, not an ADC approximation
+    got.foreach { r =>
+      val expected = cos(embs(r.getAs[Long]("query_id")),
+                         embs(r.getAs[Long]("cand_id")))
+      assert(math.abs(r.getAs[Double]("cosine") - expected) < 1e-5)
+    }
+    val byQ = got.groupBy(_.getAs[Long]("query_id"))
+    def recallOf(rows: Map[Long, Array[org.apache.spark.sql.Row]]): Double = {
+      val rs = rows.map { case (q, xs) =>
+        val found = xs.map(_.getAs[Long]("cand_id")).toSet
+        found.intersect(naiveTopK(q, 10).toSet).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val r10 = recallOf(byQ)
+    info(f"d10 avg recall@10 vs exact: $r10%.3f over ${byQ.size} queries")
+    // ADC ranks the same probed lists d5 scores exactly; the rerank
+    // margin must keep most of d5's recall (d5 measured 0.78 here)
+    assert(r10 > 0.5, s"IVF-PQ recall $r10 collapsed vs the IVF stage")
+    // a wider rerank margin can only help (more ADC candidates get
+    // the exact pass)
+    val r20 = recallOf(SimOps.annIvfPq(spark, sf, rerank = 8).collect()
+      .groupBy(_.getAs[Long]("query_id")))
+    assert(r20 >= r10 - 1e-9, s"wider rerank lost recall: $r10 -> $r20")
+  }
+
   test("d9 PQ accounting matches a naive JVM product quantizer") {
     val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
