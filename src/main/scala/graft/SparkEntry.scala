@@ -1151,9 +1151,11 @@ object SparkEntry {
                 round(max(max_err), 6) AS max_abs_err
          FROM s GROUP BY label ORDER BY label""",
     // d9: same double folds in identical index order on both sides
-    // (list_zip/list_sum ≡ zip_with/aggregate); argmin tie-broken by
-    // centroid id in both; per-subspace decomposition of the
-    // reconstruction cosine avoids any physical reassembly.
+    // (sequential list_sum ≡ FloatVecDot's left-to-right loop); the
+    // distance is the SAME norm decomposition sn + cn - 2*dot with the
+    // same parenthesization, so argmin ordering is bit-identical;
+    // ties broken by centroid id in both; per-subspace decomposition
+    // of the reconstruction cosine avoids any physical reassembly.
     "d9_pq_quantize" ->
       """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
            FROM embeddings WHERE embedding IS NOT NULL),
@@ -1162,17 +1164,21 @@ object SparkEntry {
              unnest(list_transform(generate_series(0, 7),
                j -> list_slice(v, (j*8 + 1)::INT, (j*8 + 8)::INT))) AS sub
            FROM e),
-         c AS (SELECT sub_j, vec_id AS cent_id, sub AS ce
+         sn AS (SELECT label, vec_id, sub_j, sub,
+                  list_sum(list_transform(sub, x -> x * x)) AS sn
+                FROM s),
+         c AS (SELECT sub_j, vec_id AS cent_id, sub AS ce,
+                 list_sum(list_transform(sub, x -> x * x)) AS cn
                FROM s WHERE vec_id % 8 = 0),
-         a AS (SELECT s.label, s.vec_id, s.sub_j, c.cent_id,
-             list_sum(list_transform(list_zip(s.sub, c.ce),
-               x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist,
-             list_sum(list_transform(list_zip(s.sub, c.ce),
+         a AS (SELECT sn.label, sn.vec_id, sn.sub_j, c.cent_id,
+             sn.sn + c.cn - 2 * list_sum(list_transform(
+               list_zip(sn.sub, c.ce), x -> x[1] * x[2])) AS dist,
+             list_sum(list_transform(list_zip(sn.sub, c.ce),
                x -> x[1] * x[2])) AS dotj,
-             list_sum(list_transform(c.ce, x -> x * x)) AS qn,
-             list_sum(list_transform(s.sub, x -> x * x)) AS onr
-           FROM s JOIN c ON s.sub_j = c.sub_j
-           QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.sub_j
+             c.cn AS qn,
+             sn.sn AS onr
+           FROM sn JOIN c ON sn.sub_j = c.sub_j
+           QUALIFY row_number() OVER (PARTITION BY sn.vec_id, sn.sub_j
                                       ORDER BY dist, c.cent_id) = 1),
          p AS (SELECT label, vec_id,
                  sum(dotj) / (sqrt(sum(qn)) * sqrt(sum(onr))) AS cos_pq,

