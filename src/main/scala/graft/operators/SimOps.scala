@@ -265,7 +265,11 @@ object SimOps {
     * `rerank`·k ADC candidates get their full vector re-read for exact
     * cosine. At scale the expensive exact pass thus touches
     * rerank·k rows per query instead of every list member; ADC's
-    * ranking error is absorbed by the rerank margin.
+    * ranking error is absorbed by the rerank margin. rerank=8 chosen
+    * from a measured grid (graft.tools.PqGrid): sf0.1 recall 0.44 →
+    * 0.495 over rerank=4, one step from the 0.505 ceiling the IVF
+    * routing itself sets (rerank=16 reaches it exactly), at unchanged
+    * runtime.
     *
     * Plan shape: broadcast centroid probe (documented BNLJ) → cell
     * join → pair dedup → shuffle join to the code table on cand_id →
@@ -277,7 +281,7 @@ object SimOps {
   def annIvfPq(spark: SparkSession, dir: String, k: Int = 10,
                qmod: Int = 50, centroidMod: Int = 16, nProbe: Int = 8,
                nAssign: Int = 2, pqMod: Int = 8, m: Int = 8,
-               subDim: Int = 8, rerank: Int = 4): DataFrame = {
+               subDim: Int = 8, rerank: Int = 8): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               VectorFns.norm(col("embedding")).as("nrm"))

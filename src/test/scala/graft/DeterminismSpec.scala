@@ -19,7 +19,13 @@ class DeterminismSpec extends SparkSpec {
     "p6_token_budget_mix",
     // round 6: regex-pruned page with 1-row total broadcast; CDC pair
     // ranking (overlap ties broken by id); double-fold aggregation
-    "b41_feeds_channels", "c7_cdc_chunks", "d8_embedding_quantize")
+    "b41_feeds_channels", "c7_cdc_chunks", "d8_embedding_quantize",
+    // round 6 late additions: chunk-df reassembly (collect_list order),
+    // rank-based repetition factors, two-pass PQ argmin (dist==min
+    // equality + min(cent_id) tie-break), IVF-PQ ADC shortlist →
+    // exact rerank (soft-assignment pair dedup + two group limits)
+    "e9_para_dedup", "p7_temperature_mix", "d9_pq_quantize",
+    "d10_ann_ivfpq")
 
   private def snap(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq

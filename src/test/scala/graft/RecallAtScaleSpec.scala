@@ -232,6 +232,19 @@ class RecallAtScaleSpec extends SparkSpec {
     assert(rec >= 0.8, s"d5 recall $rec below floor on planted twins")
   }
 
+  test("d10 IVF-PQ rerank returns the planted twin for nearly every query at scale") {
+    // a ×1.001 twin lands in the query's own IVF cell, its PQ codes
+    // match the query's subvectors almost exactly (top of the ADC
+    // shortlist), and the exact rerank then scores it ~1.0 — the
+    // composition must not lose what its IVF stage finds
+    val got = SimOps.annIvfPq(spark, s"$work/emb").collect()
+    val found = got.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val rec = recallOf(found, plantedEmbPairs)
+    info(f"d10 planted-twin recall at $sfDir: $rec%.2f")
+    assert(rec >= 0.8, s"d10 recall $rec below floor on planted twins")
+  }
+
   test("c5 embedding near-dup finds planted twins; 1030-vector hot bucket capped") {
     val got = DedupOps.dedupEmbedding(spark, s"$work/emb", limit = all).collect()
     val pairs = got.map(r =>
