@@ -107,4 +107,109 @@ object Warehouse {
       .select(col("doc_id"))
     graft.operators.SimOps.annFilteredFrom(emb, meta, k, qmod)
   }
+
+  /** One-time IVF-PQ index landing: every vector routed to its
+    * `nAssign` nearest cells and PQ-encoded, posting lists written
+    * PARTITIONED BY cent_id — the physical layout where probing a cell
+    * is DIRECTORY PRUNING, not a filter. d10 recomputes assignment and
+    * codes per run (the honest one-shot form); a production index is
+    * built once and re-read per query batch, and THIS is that table.
+    * Rows: (vec_id, sub_j, ce, cn) under cent_id=... partitions — a
+    * vector in two cells has its codes duplicated in both, exactly
+    * like a real IVF posting list.
+    */
+  def buildIvf(spark: SparkSession, dir: String, centroidMod: Int = 16,
+               nAssign: Int = 2, pqMod: Int = 8, m: Int = 8,
+               subDim: Int = 8): Unit = {
+    import graft.operators.SimOps
+    dropManaged(spark, Seq("graft_ivf_lists"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+    val lists = SimOps.nearestCells(SimOps.ivfCentroids(emb, centroidMod, 0))(
+        emb, "vec_id", "embedding", "nrm", nAssign)
+      .select(col("vec_id"), col("cent_id"))
+    val codes = SimOps.pqAssign(
+        SimOps.pqSubs(emb.select(col("vec_id"), col("embedding")),
+                      Seq("vec_id"), m, subDim),
+        Seq("vec_id"), pqMod)
+      .select(col("vec_id"), col("sub_j"), col("ce"), col("cn"))
+    lists.join(codes, "vec_id")
+      .select(col("vec_id"), col("sub_j"), col("ce"), col("cn"),
+              col("cent_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cent_id")
+      .format("parquet")
+      .saveAsTable("graft_ivf_lists")
+  }
+
+  def ivfLists(spark: SparkSession): DataFrame = spark.table("graft_ivf_lists")
+
+  /** d10 over the landed index: the probe join hits the cent_id
+    * PARTITION column, so dynamic partition pruning turns "probe 8 of
+    * 125 cells" into "open 8 of 125 directories" — the scan never
+    * reads unprobed lists (WarehouseSpec asserts the dynamicpruning
+    * expression in PartitionFilters and result-identity with the
+    * self-contained d10). Must be called after `buildIvf` with the
+    * same index parameters.
+    */
+  def annIvfPqIndexed(spark: SparkSession, dir: String, k: Int = 10,
+                      qmod: Int = 50, centroidMod: Int = 16,
+                      nProbe: Int = 8, m: Int = 8, subDim: Int = 8,
+                      rerank: Int = 8): DataFrame = {
+    import graft.operators.SimOps
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+    val queries = emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+              col("nrm").as("qnrm"))
+    // the same deterministic centroid set buildIvf routed with
+    val probes = SimOps.nearestCells(SimOps.ivfCentroids(emb, centroidMod, 0))(
+        queries, "query_id", "qe", "qnrm", nProbe)
+      .select(col("query_id"), col("cent_id"))
+    val qsubs = SimOps.pqSubs(
+        queries.select(col("query_id").as("vec_id"), col("qe").as("embedding")),
+        Seq("vec_id"), m, subDim)
+      .select(col("vec_id").as("query_id"), col("sub_j"),
+              col("sub").as("qsub"))
+    // probe ⋈ partition column: DPP prunes unprobed cent_id directories
+    val hits = ivfLists(spark)
+      .join(broadcast(probes), "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      // a vector indexed in two probed cells carries identical codes
+      // in both — collapse before the ADC sum or it double-counts
+      .dropDuplicates("query_id", "vec_id", "sub_j")
+    val adc = hits
+      .join(broadcast(qsubs), Seq("query_id", "sub_j"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(graft.functions.FloatVecDot(col("qsub"), col("ce")))
+             .as("adot"),
+           sum(col("cn")).as("rn2"))
+      .join(broadcast(queries.select(col("query_id"), col("qnrm"))),
+            "query_id")
+      .filter(col("rn2") > 0)
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+              (col("adot") / (sqrt(col("rn2")) * col("qnrm"))).as("adc_cos"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("cand_id"))
+    val shortlist = adc.withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= rerank * k)
+      .select(col("query_id"), col("cand_id"))
+    val exact = shortlist
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding"),
+                       col("nrm")), "cand_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("cand_id"),
+              (graft.functions.FloatVecDot(col("embedding"), col("qe")) /
+               (col("nrm") * col("qnrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"),
+              round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 }

@@ -44,6 +44,23 @@ class WarehouseSpec extends SparkSpec {
       "bucketed fact join should not shuffle either side")
   }
 
+  test("IVF-PQ over the landed index: partition-pruned probes, identical to d10") {
+    Warehouse.buildIvf(spark, sf)
+    val indexed = Warehouse.annIvfPqIndexed(spark, sf)
+    // the probe join must reach the cent_id PARTITION column as
+    // dynamic partition pruning — probing 8 of the cells opens only
+    // those directories, the scan never reads unprobed lists
+    val plan = indexed.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning"),
+      "probe join did not produce a dynamic partition pruning filter")
+    // and the landed index must answer exactly what the self-contained
+    // d10 computes per run (same routing, same codes, same rerank)
+    val fromIndex = indexed.collect().toSeq.map(_.toString)
+    val selfContained = graft.operators.SimOps.annIvfPq(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(fromIndex == selfContained)
+  }
+
   test("bucketed d7 semi join is exchange-free and result-identical to plain d7") {
     Warehouse.buildAnn(spark, sf)
     val bucketed = Warehouse.annFilteredBucketed(spark)
