@@ -61,6 +61,7 @@ object SparkEntry {
     "p5_stream_ingest"          -> graft.streaming.CorpusStream.streamIngest _,
     "p6_token_budget_mix"       -> ((s: SparkSession, d: String) => PipelineOps.tokenBudgetMix(s, d)),
     "p7_temperature_mix"        -> ((s: SparkSession, d: String) => PipelineOps.temperatureMix(s, d)),
+    "p8_sequence_pack"          -> ((s: SparkSession, d: String) => PipelineOps.sequencePack(s, d)),
     // E. text analysis
     "e1_token_stats"            -> TextOps.tokenStats _,
     "e2_quality_score"          -> TextOps.qualityScore _,
@@ -631,6 +632,24 @@ object SparkEntry {
                + CASE WHEN rnk <= w.target_docs % w.n_docs
                       THEN 1 ELSE 0 END > 0
          ORDER BY r.lang, r.doc_id""",
+    // p8: one global cumsum in DuckDB equals Spark's block prefix-sum
+    // (the bucket is a key prefix — same total order); integer bin
+    // arithmetic on the exclusive prefix is engine-agnostic.
+    "p8_sequence_pack" ->
+      """WITH d AS (SELECT doc_id,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             md5(doc_id::VARCHAR) AS key
+           FROM documents WHERE text IS NOT NULL),
+         c AS (SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_tokens AS strt
+           FROM d)
+         SELECT doc_id, n_tokens,
+                strt // 2048 AS bin_id,
+                strt % 2048 AS bin_offset,
+                (strt + n_tokens - 1) // 2048 - strt // 2048 AS extra_bins
+         FROM c ORDER BY bin_id, bin_offset""",
     // e9: identical chunk grid (non-overlapping 16-token runs,
     // 1-indexed inclusive slices), md5 chunk fingerprints, distinct-doc
     // df, and in-order reassembly of the survivors; string_agg skips

@@ -264,6 +264,52 @@ object PipelineOps {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** p8: sequence packing — the step every pretraining pipeline ends
+    * with: concatenate the corpus in a deterministic order and chunk
+    * it into fixed `seqLen`-token training sequences (GPT-style
+    * concat-then-split; a doc crossing a boundary continues in the
+    * next bin — `extra_bins` counts the spill). Each doc gets its
+    * (bin_id, bin_offset) coordinates; every bin except the last is
+    * exactly full by construction, so the packing has zero padding
+    * waste.
+    *
+    * 100 TB shape: the only global state is the exclusive prefix sum
+    * of token counts in md5(doc_id) order, computed with p6's block
+    * prefix-sum — per-bucket sums, a ≤256-row offsets window (tiny by
+    * construction, same class as p6's), then 256×-finer per-bucket
+    * windows. No single-partition global sort/window anywhere; bin
+    * assignment is pure arithmetic on the prefix.
+    */
+  def sequencePack(spark: SparkSession, dir: String,
+                   seqLen: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+              size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+                .as("n_tokens"),
+              sampleKey.as("key"))
+      .withColumn("bucket", substring(col("key"), 1, 2))
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("offset", coalesce(sum(col("btok")).over(wB), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val strt = col("offset") + sum(col("n_tokens")).over(wIn) - col("n_tokens")
+    d.join(broadcast(offsets), "bucket")
+      .withColumn("strt", strt)
+      .select(col("doc_id"), col("n_tokens"),
+              (col("strt") / seqLen).cast("long").as("bin_id"),
+              (col("strt") % seqLen).as("bin_offset"),
+              (((col("strt") + col("n_tokens") - 1) / seqLen).cast("long") -
+               (col("strt") / seqLen).cast("long")).as("extra_bins"))
+      .orderBy(col("bin_id"), col("bin_offset"))
+  }
+
   /** Materialize the prepared corpus as lang-partitioned parquet — the
     * sink every corpus-prep run ends in. `repartition(lang)` BEFORE
     * `partitionBy(lang)` is the small-file guard: without it every

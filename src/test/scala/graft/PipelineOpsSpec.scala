@@ -140,6 +140,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(target(minLang) > nBy(minLang), "smallest lang not upsampled")
   }
 
+  test("p8 sequence packing matches a naive global cumsum; bins are gapless") {
+    val docs = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ", -1).length.toLong)
+    // naive: exclusive prefix sum in (md5(id), id) order, then bin math
+    var cum = 0L
+    val expected = docs.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .map { case (id, n) =>
+        val strt = cum; cum += n
+        id -> (n, strt / 2048, strt % 2048, (strt + n - 1) / 2048 - strt / 2048)
+      }.toMap
+    val got = PipelineOps.sequencePack(spark, sf).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (n, bin, off, extra) = expected(id)
+      assert(r.getAs[Long]("n_tokens") == n, s"doc $id n_tokens")
+      assert(r.getAs[Long]("bin_id") == bin, s"doc $id bin_id")
+      assert(r.getAs[Long]("bin_offset") == off, s"doc $id bin_offset")
+      assert(r.getAs[Long]("extra_bins") == extra, s"doc $id extra_bins")
+    }
+    // zero padding waste: docs tile the token stream with no gaps, so
+    // consecutive rows in (bin, offset) order chain exactly
+    val ordered = got.sortBy(r =>
+      (r.getAs[Long]("bin_id"), r.getAs[Long]("bin_offset")))
+    ordered.sliding(2).foreach {
+      case Array(a, b) =>
+        val aEnd = a.getAs[Long]("bin_id") * 2048 +
+          a.getAs[Long]("bin_offset") + a.getAs[Long]("n_tokens")
+        val bStart = b.getAs[Long]("bin_id") * 2048 +
+          b.getAs[Long]("bin_offset")
+        assert(aEnd == bStart, s"gap before doc ${b.getAs[Long]("doc_id")}")
+      case _ =>
+    }
+    // and the corpus must actually exercise boundary spill at this SF
+    assert(got.exists(_.getAs[Long]("extra_bins") > 0),
+      "no doc crosses a bin boundary — spill path untested")
+  }
+
   test("writeCorpus lands lang-partitioned parquet, one file per lang, round-trips") {
     val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
     PipelineOps.writeCorpus(spark, sf, out)
