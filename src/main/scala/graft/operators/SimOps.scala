@@ -453,9 +453,13 @@ object SimOps {
     *
     * Nothing reassembles physically: cosine(reconstruction, original)
     * decomposes over subspaces (Σ dot_j / (√Σ‖ce_j‖² · √Σ‖sub_j‖²)),
-    * so the plan is one broadcast codebook join + a WindowGroupLimit
-    * argmin + two partial-aggregable groupBys — per-label quality
-    * (cosine preserved, squared reconstruction error) out of a scan.
+    * so the plan is one broadcast codebook join + the two-pass
+    * primitive argmin + two partial-aggregable groupBys — per-label
+    * quality (cosine preserved, squared reconstruction error) out of
+    * a scan. `kmeansIters` Lloyd-refines the codebook per subspace
+    * (assign → per-(cell, dim) mean — plain Euclidean k-means, the
+    * PQ metric is L2) exactly like d5's `ivfCentroids`; the spec
+    * asserts the quantization error is monotone non-increasing.
     */
   /** Explode vectors into their m `subDim`-dim subvectors:
     * (carried..., sub_j, sub).
@@ -475,26 +479,61 @@ object SimOps {
     * squared norms carried for reconstruction-side math. Codebook =
     * deterministic corpus sample per subspace, broadcast.
     *
-    * Two things keep the N×m×ks candidate stage cheap (8.0 s → ~1 s
+    * Two things keep the N×m×ks candidate stage cheap (8.0 s → ~3 s
     * for d9 at sf0.1): the distance is the norm decomposition
     * ‖s‖² + ‖c‖² − 2·dot(s,c) with both norms precomputed once per
     * side and the dot a codegen'd FloatVecDot — one tight loop per
     * candidate instead of three interpreted zip_with/aggregate passes
-    * allocating intermediate arrays; and the argmin is
-    * `min(struct(dist, cent_id, ce, cn))` — a PARTIAL aggregate
-    * (struct ordering = the (dist, cent_id) tie-break), so candidates
-    * reduce map-side inside the scan stage and only one winner per
-    * (vector, subspace) ever shuffles, where a row_number window would
-    * sort the full candidate set through an exchange. The decomposed
+    * allocating intermediate arrays; and the argmin runs in two
+    * primitive-buffer passes (see the inline comment). The decomposed
     * distance is bit-identical in the DuckDB oracle (sequential
     * list_sum folds ≡ FloatVecDot's left-to-right loop, same
     * parenthesization). Shared by d9 and d10's ADC stage.
     */
   private[graft] def pqAssign(subs: DataFrame, carry: Seq[String],
-                              centroidMod: Int): DataFrame = {
-    val cents = subs.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+                              centroidMod: Int,
+                              kmeansIters: Int = 0): DataFrame =
+    pqAssignTo(subs, carry, pqCodebook(subs, centroidMod, kmeansIters))
+
+  /** The per-subspace codebook: a deterministic corpus sample
+    * (vec_id ≡ 0 mod centroidMod), optionally refined by `kmeansIters`
+    * rounds of plain Euclidean k-means per subspace (assign every
+    * subvector to its argmin-distance sub-centroid, replace each
+    * sub-centroid with its members' element-wise mean — the mean
+    * minimizes within-cell squared distance, so the PQ objective is
+    * monotone non-increasing per Lloyd; a cell that loses all members
+    * drops out). Each round is one pqAssignTo pass + one
+    * partial-aggregable per-(subspace, cell, dim) mean — d5's
+    * `ivfCentroids` shape with L2 instead of cosine.
+    */
+  private[graft] def pqCodebook(subs: DataFrame, centroidMod: Int,
+                                kmeansIters: Int): DataFrame = {
+    var cents = subs.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
       .select(col("sub_j"), col("vec_id").as("cent_id"), col("sub").as("ce"),
               graft.functions.FloatVecDot(col("sub"), col("sub")).as("cn"))
+    for (_ <- 1 to kmeansIters) {
+      val assigned = pqAssignTo(subs, Seq("vec_id"), cents)
+        .select(col("sub_j"), col("cent_id"), col("sub"))
+      cents = assigned
+        .select(col("sub_j"), col("cent_id"), posexplode(col("sub")))
+        .groupBy(col("sub_j"), col("cent_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("sub_j"), col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("sub_j"), col("cent_id"),
+                transform(col("pm"), s => s.getField("m").cast("float"))
+                  .as("ce"))
+        .withColumn("cn", graft.functions.FloatVecDot(col("ce"), col("ce")))
+        .localCheckpoint(false)
+    }
+    cents
+  }
+
+  /** The argmin-assignment machinery against a GIVEN codebook
+    * (sub_j, cent_id, ce, cn).
+    */
+  private[graft] def pqAssignTo(subs: DataFrame, carry: Seq[String],
+                                cents: DataFrame): DataFrame = {
     val keys = carry :+ "sub_j"
     val dist = (col("sn") + col("cn") -
       lit(2.0d) * graft.functions.FloatVecDot(col("sub"), col("ce")))
@@ -532,10 +571,12 @@ object SimOps {
   }
 
   def pqQuantize(spark: SparkSession, dir: String, m: Int = 8,
-                 subDim: Int = 8, centroidMod: Int = 8): DataFrame = {
+                 subDim: Int = 8, centroidMod: Int = 8,
+                 kmeansIters: Int = 0): DataFrame = {
     val subs = pqSubs(Tables.embeddings(spark, dir),
       Seq("label", "vec_id"), m, subDim)
-    val assigned = pqAssign(subs, Seq("label", "vec_id"), centroidMod)
+    val assigned = pqAssign(subs, Seq("label", "vec_id"), centroidMod,
+                            kmeansIters)
       .select(col("label"), col("vec_id"), col("dist"),
               graft.functions.FloatVecDot(col("sub"), col("ce")).as("dotj"),
               col("cn").as("qn"), col("sn").as("onr"))

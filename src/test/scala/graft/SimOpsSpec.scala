@@ -263,6 +263,23 @@ class SimOpsSpec extends SparkSpec {
       f"denser codebook reconstructed worse: $fine%.4f < $coarse%.4f")
   }
 
+  test("d9 per-subspace k-means refinement is Lloyd-monotone on the PQ objective") {
+    // global mean squared reconstruction error = the k-means objective;
+    // assign + mean-update must never increase it
+    def objective(iters: Int): Double = {
+      val rows = SimOps.pqQuantize(spark, sf, kmeansIters = iters).collect()
+      val (err, n) = rows.foldLeft((0.0, 0L)) { case ((e, c), r) =>
+        (e + r.getAs[Double]("avg_sq_err") * r.getAs[Long]("n_vecs"),
+         c + r.getAs[Long]("n_vecs"))
+      }
+      err / n
+    }
+    val (o0, o1, o2) = (objective(0), objective(1), objective(2))
+    info(f"d9 PQ objective: sampled $o0%.4f -> 1xLloyd $o1%.4f -> 2xLloyd $o2%.4f")
+    assert(o1 <= o0 + 1e-9, s"one Lloyd round worsened the objective: $o0 -> $o1")
+    assert(o2 <= o1 + 1e-9, s"second Lloyd round worsened the objective: $o1 -> $o2")
+  }
+
   test("d3 per-label stats match naive aggregation") {
     val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
