@@ -1170,11 +1170,14 @@ object SparkEntry {
                 round(max(max_err), 6) AS max_abs_err
          FROM s GROUP BY label ORDER BY label""",
     // d9: same double folds in identical index order on both sides
-    // (sequential list_sum ≡ FloatVecDot's left-to-right loop); the
+    // (sequential list_sum ≡ the expression's left-to-right loop); the
     // distance is the SAME norm decomposition sn + cn - 2*dot with the
     // same parenthesization, so argmin ordering is bit-identical;
     // ties broken by centroid id in both; per-subspace decomposition
     // of the reconstruction cosine avoids any physical reassembly.
+    // Codebook = the 256 vec_ids of smallest (md5(vec_id), vec_id)
+    // rank — DuckDB's md5(VARCHAR) and Spark's md5(CAST AS STRING)
+    // hash the same decimal text to the same lowercase hex.
     "d9_pq_quantize" ->
       """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
            FROM embeddings WHERE embedding IS NOT NULL),
@@ -1186,9 +1189,11 @@ object SparkEntry {
          sn AS (SELECT label, vec_id, sub_j, sub,
                   list_sum(list_transform(sub, x -> x * x)) AS sn
                 FROM s),
+         sel AS (SELECT vec_id FROM e
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
          c AS (SELECT sub_j, vec_id AS cent_id, sub AS ce,
                  list_sum(list_transform(sub, x -> x * x)) AS cn
-               FROM s WHERE vec_id % 8 = 0),
+               FROM s WHERE vec_id IN (SELECT vec_id FROM sel)),
          a AS (SELECT sn.label, sn.vec_id, sn.sub_j, c.cent_id,
              sn.sn + c.cn - 2 * list_sum(list_transform(
                list_zip(sn.sub, c.ce), x -> x[1] * x[2])) AS dist,

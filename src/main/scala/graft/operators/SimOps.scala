@@ -136,39 +136,50 @@ object SimOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** d5: IVF-flat ANN — the inverted-file scale path: a small sampled
+  /** d5: IVF-flat ANN — the inverted-file scale path: a small FIXED
     * centroid set partitions the corpus into cells (one broadcast
     * assignment pass); each query probes only its `nProbe` nearest
     * cells and scores just those lists. At 100 TB the cell lists are
-    * the partitioning: a query touches ~nProbe·nAssign/nCells of the
-    * data instead of all of it. Centroids here are a deterministic
-    * sample (IVF with sampled centroids is the standard no-training
-    * baseline; a k-means refinement drops in without changing the
-    * plan shape). Two recall levers, both measured in the round-6
-    * grid at sf0.1 (10-cluster corpus, 125 cells, ~13% scan each):
-    * soft corpus assignment `nAssign=2` (default — a boundary vector
-    * is indexed in both flanking cells; 0.31→0.51 recall at equal
-    * scan cost, index ×2, probe cost unchanged) and `kmeansIters=2`
-    * (0.51→0.64; a BUILD-time cost — per-query here because the
-    * bench rebuilds the index, amortized to zero on a real corpus
-    * where centroids are trained once and reused).
+    * the partitioning: a query touches ~nProbe·nAssign/nlist of the
+    * data instead of all of it. Centroids are trained on a BOUNDED
+    * corpus sample (hash-ranked, see `ivfCentroids`) so nlist — and
+    * with it the broadcast size and the O(N·nlist) assignment cost —
+    * is independent of corpus size; at real scale pick nlist ≈ √N
+    * (the classic IVF sizing: cells of ~√N vectors each) — the
+    * default 32 fits the test corpora (N ≤ 2000). Two recall levers,
+    * both measured in grid runs at sf0.1: soft corpus assignment
+    * `nAssign=2` (default — a boundary vector is indexed in both
+    * flanking cells; recall up at equal probe cost, index ×2) and
+    * `kmeansIters` Lloyd rounds (a BUILD-time cost — per-query here
+    * because the bench rebuilds the index, amortized to zero on a
+    * real corpus where centroids are trained once and reused).
     * Approximate — recall vs d1 is measured in SimOpsSpec and
     * surfaced per-run in the bench JSON.
     */
-  /** IVF centroid set: a deterministic sample of ≈ N/centroidMod
-    * vectors, optionally refined by `kmeansIters` rounds of spherical
-    * k-means (assign every vector to its max-cosine centroid, replace
-    * each centroid with its members' element-wise mean — cosine
-    * ignores magnitude, so the mean IS the spherical update, and the
-    * cosine objective is monotone non-decreasing per Lloyd). Each
-    * round is one broadcast assignment pass + one partial-aggregable
-    * per-(cell, dim) mean — the standard distributed k-means shape;
-    * a cell that loses all members drops out. Exposed for the
-    * refinement spec (SimOpsSpec asserts the objective improves).
+  /** IVF centroid set: exactly `min(nlist, N)` vectors chosen by
+    * md5-rank over vec_id (a deterministic, order-free sample; the
+    * rank-cap runs as TakeOrderedAndProject — a per-partition top-k
+    * merged on the driver, never a global sort), optionally refined
+    * by `kmeansIters` rounds of spherical k-means (assign every
+    * vector to its max-cosine centroid, replace each centroid with
+    * its members' element-wise mean — cosine ignores magnitude, so
+    * the mean IS the spherical update, and the cosine objective is
+    * monotone non-decreasing per Lloyd). Each round is one broadcast
+    * assignment pass + one partial-aggregable per-(cell, dim) mean —
+    * the standard distributed k-means shape; a cell that loses all
+    * members drops out. Fixed cardinality is the scale contract:
+    * round 6 sampled every 16th vector (nlist = N/16), which grew the
+    * broadcast linearly with the corpus and made assignment O(N²/16).
+    * Exposed for the refinement spec (SimOpsSpec asserts the
+    * objective improves) and the cardinality spec (count == nlist at
+    * every SF).
     */
-  private[graft] def ivfCentroids(emb: DataFrame, centroidMod: Int,
+  private[graft] def ivfCentroids(emb: DataFrame, nlist: Int,
                                   kmeansIters: Int): DataFrame = {
-    var cents = emb.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+    var cents = emb
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+              md5(col("vec_id").cast("string")).as("hk"))
+      .orderBy(col("hk"), col("vec_id")).limit(nlist)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
               col("nrm").as("cnrm"))
     for (_ <- 1 to kmeansIters) {
@@ -215,14 +226,14 @@ object SimOps {
   }
 
   def annIvf(spark: SparkSession, dir: String, k: Int = 10,
-             qmod: Int = 50, centroidMod: Int = 16, nProbe: Int = 8,
+             qmod: Int = 50, nlist: Int = 32, nProbe: Int = 8,
              kmeansIters: Int = 0, nAssign: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               VectorFns.norm(col("embedding")).as("nrm"))
-    // deterministic sampled centroids (≈ N/centroidMod cells),
-    // optionally Lloyd-refined — the plan shape below is identical
-    val cells = nearestCells(ivfCentroids(emb, centroidMod, kmeansIters)) _
+    // fixed nlist sampled centroids, optionally Lloyd-refined — the
+    // plan shape below is identical either way
+    val cells = nearestCells(ivfCentroids(emb, nlist, kmeansIters)) _
     // corpus: each vector is indexed into its nAssign nearest cells
     // (soft assignment — the IVF analog of d2's multi-probe: a vector
     // on a cell boundary is findable from either side; index size
@@ -279,13 +290,13 @@ object SimOps {
     * scores (they're true cosines) is spec-checked like d5's.
     */
   def annIvfPq(spark: SparkSession, dir: String, k: Int = 10,
-               qmod: Int = 50, centroidMod: Int = 16, nProbe: Int = 8,
-               nAssign: Int = 2, pqMod: Int = 8, m: Int = 8,
+               qmod: Int = 50, nlist: Int = 32, nProbe: Int = 8,
+               nAssign: Int = 2, ks: Int = 256, m: Int = 8,
                subDim: Int = 8, rerank: Int = 8): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               VectorFns.norm(col("embedding")).as("nrm"))
-    val cells = nearestCells(ivfCentroids(emb, centroidMod, 0)) _
+    val cells = nearestCells(ivfCentroids(emb, nlist, 0)) _
     val lists = cells(emb, "vec_id", "embedding", "nrm", nAssign)
       .select(col("vec_id").as("cand_id"), col("cent_id"))
     val queries = emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
@@ -297,11 +308,11 @@ object SimOps {
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id")).distinct()
     // corpus PQ codes: (cand_id, sub_j, ce) — at scale this table is
-    // the 32×-compressed index, built once
-    val codes = pqAssign(
+    // the 32×-compressed index, built once; encoding is the per-row
+    // expression argmin against the fixed ≤256-entry codebook (no join)
+    val codes = pqEncode(
         pqSubs(emb.select(col("vec_id"), col("embedding")),
-               Seq("vec_id"), m, subDim),
-        Seq("vec_id"), pqMod)
+               Seq("vec_id"), m, subDim), ks, m)
       .select(col("vec_id").as("cand_id"), col("sub_j"), col("ce"),
               col("cn"))
     val qsubs = pqSubs(
@@ -444,22 +455,21 @@ object SimOps {
     * every 100 TB vector deployment runs (d8's int8 keeps all dims at
     * lower precision; PQ replaces each of `m` subvectors with a
     * codebook id: 64 floats → 8 byte-codes, 32× smaller, the layout
-    * IVF-PQ indexes scan). Sub-codebooks here are a deterministic
-    * corpus sample (vec_id ≡ 0 mod `centroidMod`, the no-training
-    * baseline standing in for a trained 256-entry table — per-subspace
-    * k-means drops in exactly like d5's `ivfCentroids`); assignment is
-    * argmin squared distance per (vector, subspace), tie-broken by
-    * centroid id.
+    * IVF-PQ indexes scan). Sub-codebooks are a FIXED-cardinality
+    * md5-rank sample (ks ≤ 256 entries per subspace at any corpus
+    * size — see `pqTrainCodebook`); assignment is argmin squared
+    * distance per (vector, subspace), tie-broken by centroid id,
+    * computed per-row by the codegen'd PqNearestCentroid expression.
     *
     * Nothing reassembles physically: cosine(reconstruction, original)
     * decomposes over subspaces (Σ dot_j / (√Σ‖ce_j‖² · √Σ‖sub_j‖²)),
-    * so the plan is one broadcast codebook join + the two-pass
-    * primitive argmin + two partial-aggregable groupBys — per-label
-    * quality (cosine preserved, squared reconstruction error) out of
-    * a scan. `kmeansIters` Lloyd-refines the codebook per subspace
-    * (assign → per-(cell, dim) mean — plain Euclidean k-means, the
-    * PQ metric is L2) exactly like d5's `ivfCentroids`; the spec
-    * asserts the quantization error is monotone non-increasing.
+    * so the plan is ONE shuffle-free expression scan + two
+    * partial-aggregable groupBys — per-label quality (cosine
+    * preserved, squared reconstruction error) out of a scan.
+    * `kmeansIters` Lloyd-refines the codebook per subspace (assign →
+    * per-(cell, dim) mean — plain Euclidean k-means, the PQ metric is
+    * L2); the spec asserts the quantization error is monotone
+    * non-increasing.
     */
   /** Explode vectors into their m `subDim`-dim subvectors:
     * (carried..., sub_j, sub).
@@ -474,47 +484,51 @@ object SimOps {
         Seq(col("pos").as("sub_j"), col("col").as("sub")): _*)
   }
 
-  /** PQ encode: every (vector, subspace) assigned to its argmin-sq-dist
-    * sub-centroid (tie-broken by centroid id), centroid VECTOR and the
-    * squared norms carried for reconstruction-side math. Codebook =
-    * deterministic corpus sample per subspace, broadcast.
+  /** Train the per-subspace PQ codebook to a FIXED cardinality: the
+    * `ks` vectors with the smallest (md5(vec_id), vec_id) rank seed
+    * one sub-centroid per subspace each (a deterministic, order-free
+    * bounded sample — the rank-cap is TakeOrderedAndProject, a
+    * per-partition top-k, never a global sort), optionally refined by
+    * `kmeansIters` rounds of plain Euclidean k-means per subspace
+    * (assign every subvector to its argmin-distance sub-centroid via
+    * the per-row expression, replace each sub-centroid with its
+    * members' element-wise mean — the mean minimizes within-cell
+    * squared distance, so the PQ objective is monotone non-increasing
+    * per Lloyd; a cell that loses all members drops out).
     *
-    * Two things keep the N×m×ks candidate stage cheap (8.0 s → ~3 s
-    * for d9 at sf0.1): the distance is the norm decomposition
-    * ‖s‖² + ‖c‖² − 2·dot(s,c) with both norms precomputed once per
-    * side and the dot a codegen'd FloatVecDot — one tight loop per
-    * candidate instead of three interpreted zip_with/aggregate passes
-    * allocating intermediate arrays; and the argmin runs in two
-    * primitive-buffer passes (see the inline comment). The decomposed
-    * distance is bit-identical in the DuckDB oracle (sequential
-    * list_sum folds ≡ FloatVecDot's left-to-right loop, same
-    * parenthesization). Shared by d9 and d10's ADC stage.
+    * The materialized book is ≤ ks·m small vectors (a few hundred KB
+    * at ks=256, m=8) — collected to the driver as the index-build
+    * step and shipped to executors as a codegen reference object.
+    * Fixed cardinality is the scale contract round 6 broke: sampling
+    * every 8th vector made ks = N/8, which (a) grew the broadcast
+    * linearly with the corpus, (b) made assignment O(N²·m/8), and
+    * (c) silently broke the "byte codes" invariant past N = 2048.
+    * ks ≤ 256 keeps a code one byte at ANY corpus size.
     */
-  private[graft] def pqAssign(subs: DataFrame, carry: Seq[String],
-                              centroidMod: Int,
-                              kmeansIters: Int = 0): DataFrame =
-    pqAssignTo(subs, carry, pqCodebook(subs, centroidMod, kmeansIters))
-
-  /** The per-subspace codebook: a deterministic corpus sample
-    * (vec_id ≡ 0 mod centroidMod), optionally refined by `kmeansIters`
-    * rounds of plain Euclidean k-means per subspace (assign every
-    * subvector to its argmin-distance sub-centroid, replace each
-    * sub-centroid with its members' element-wise mean — the mean
-    * minimizes within-cell squared distance, so the PQ objective is
-    * monotone non-increasing per Lloyd; a cell that loses all members
-    * drops out). Each round is one pqAssignTo pass + one
-    * partial-aggregable per-(subspace, cell, dim) mean — d5's
-    * `ivfCentroids` shape with L2 instead of cosine.
-    */
-  private[graft] def pqCodebook(subs: DataFrame, centroidMod: Int,
-                                kmeansIters: Int): DataFrame = {
-    var cents = subs.filter(pmod(col("vec_id"), lit(centroidMod)) === 0)
+  private[graft] def pqTrainCodebook(subs: DataFrame, ks: Int, m: Int,
+                                     kmeansIters: Int): graft.functions.PqCodebook = {
+    def toBook(rows: Array[org.apache.spark.sql.Row]): graft.functions.PqCodebook = {
+      val byJ = rows.groupBy(_.getInt(0))
+      new graft.functions.PqCodebook((0 until m).toArray.map { j =>
+        byJ(j).map(r => new graft.functions.PqCent(
+            r.getLong(1), r.getSeq[Float](2).toArray, r.getDouble(3)))
+          .sortBy(_.centId)
+      })
+    }
+    val ids = subs.filter(col("sub_j") === 0)
+      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("hk"))
+      .orderBy(col("hk"), col("vec_id")).limit(ks)
+      .select(col("vec_id"))
+    var book = toBook(subs.join(broadcast(ids), "vec_id")
       .select(col("sub_j"), col("vec_id").as("cent_id"), col("sub").as("ce"),
               graft.functions.FloatVecDot(col("sub"), col("sub")).as("cn"))
+      .collect())
     for (_ <- 1 to kmeansIters) {
-      val assigned = pqAssignTo(subs, Seq("vec_id"), cents)
-        .select(col("sub_j"), col("cent_id"), col("sub"))
-      cents = assigned
+      val w = graft.functions.PqNearestCentroid(book)(
+        col("sub_j"), col("sub"),
+        graft.functions.FloatVecDot(col("sub"), col("sub")))
+      book = toBook(subs
+        .select(col("sub_j"), w.getField("cent_id").as("cent_id"), col("sub"))
         .select(col("sub_j"), col("cent_id"), posexplode(col("sub")))
         .groupBy(col("sub_j"), col("cent_id"), col("pos"))
         .agg(avg(col("col")).as("m"))
@@ -524,61 +538,45 @@ object SimOps {
                 transform(col("pm"), s => s.getField("m").cast("float"))
                   .as("ce"))
         .withColumn("cn", graft.functions.FloatVecDot(col("ce"), col("ce")))
-        .localCheckpoint(false)
+        .collect())
     }
-    cents
+    book
   }
 
-  /** The argmin-assignment machinery against a GIVEN codebook
-    * (sub_j, cent_id, ce, cn).
+  /** PQ encode: every (vector, subspace) row gets its argmin-sq-dist
+    * sub-centroid (tie-broken by centroid id) as a nested struct `w` =
+    * (cent_id, dist, dotj, cn, ce) — computed INSIDE the row by the
+    * codegen'd PqNearestCentroid expression against the fixed
+    * ≤256-entry codebook. Round 6 built this as an N×m×ks candidate
+    * join + two-pass groupBy argmin — two exchanges of a 4M-row
+    * intermediate at sf0.1 (the 28.9 s driver-bench d9); the per-row
+    * form is one whole-stage-codegen scan pass, zero shuffles, and
+    * identical bits (left-to-right dot fold, dist = sn + cn − 2·dot
+    * with the oracle's parenthesization, strict-< over id-sorted
+    * entries ≡ (dist, cent_id) argmin). Shared by d9, d10's code
+    * table, and Warehouse.buildIvf.
     */
-  private[graft] def pqAssignTo(subs: DataFrame, carry: Seq[String],
-                                cents: DataFrame): DataFrame = {
-    val keys = carry :+ "sub_j"
-    val dist = (col("sn") + col("cn") -
-      lit(2.0d) * graft.functions.FloatVecDot(col("sub"), col("ce")))
-      .as("dist")
+  private[graft] def pqEncode(subs: DataFrame, ks: Int, m: Int,
+                              kmeansIters: Int = 0): DataFrame = {
+    val book = pqTrainCodebook(subs, ks, m, kmeansIters)
     val subsN = subs.withColumn(
       "sn", graft.functions.FloatVecDot(col("sub"), col("sub")))
-    // the N×m×ks candidate stage, narrow form: key columns + two
-    // primitives, nothing array-valued survives past the scan stage
-    def cand = subsN.join(broadcast(cents), "sub_j")
-      .select(keys.map(col) ++ Seq(col("cent_id"), dist): _*)
-    // two-pass argmin with PRIMITIVE-ONLY aggregation buffers: both
-    // groupBys stay whole-stage-codegen HashAggregates with map-side
-    // partial combine. Any single-aggregate form that carries the
-    // winner payload (min(struct), min_by, first(array)) has a
-    // non-fixed-width buffer and silently degrades to SortAggregate,
-    // which sorts every candidate row through the exchange — measured
-    // 3× slower at sf0.1 and spill-prone. dist === mdist is safe:
-    // both sides come from the same codegen'd expression on the same
-    // inputs, so the winner's bits match exactly; ties then fall to
-    // min(cent_id) — the same (dist, cent_id) order the oracle uses.
-    val best = cand.groupBy(keys.map(col): _*)
-      .agg(min(col("dist")).as("mdist"))
-    val winners = cand.join(best, keys)
-      .filter(col("dist") === col("mdist"))
-      .groupBy(keys.map(col): _*)
-      .agg(min(col("cent_id")).as("cent_id"))
-    // restore the payload: subvector + its norm from the narrow subs
-    // table, winner centroid + its norm from the broadcast codebook,
-    // dist recomputed by the same expression (identical bits)
-    winners
-      .join(subsN, keys)
-      .join(broadcast(cents), Seq("sub_j", "cent_id"))
-      .select(keys.map(col) ++ Seq(col("cent_id"), col("sub"), col("ce"),
-        dist, col("sn"), col("cn")): _*)
+    val w = graft.functions.PqNearestCentroid(book)(
+      col("sub_j"), col("sub"), col("sn"))
+    subsN.withColumn("w", w)
+      .select(col("*"), col("w.cent_id").as("cent_id"),
+              col("w.dist").as("dist"), col("w.dotj").as("dotj"),
+              col("w.cn").as("cn"), col("w.ce").as("ce"))
+      .drop("w")
   }
 
   def pqQuantize(spark: SparkSession, dir: String, m: Int = 8,
-                 subDim: Int = 8, centroidMod: Int = 8,
+                 subDim: Int = 8, ks: Int = 256,
                  kmeansIters: Int = 0): DataFrame = {
     val subs = pqSubs(Tables.embeddings(spark, dir),
       Seq("label", "vec_id"), m, subDim)
-    val assigned = pqAssign(subs, Seq("label", "vec_id"), centroidMod,
-                            kmeansIters)
-      .select(col("label"), col("vec_id"), col("dist"),
-              graft.functions.FloatVecDot(col("sub"), col("ce")).as("dotj"),
+    val assigned = pqEncode(subs, ks, m, kmeansIters)
+      .select(col("label"), col("vec_id"), col("dist"), col("dotj"),
               col("cn").as("qn"), col("sn").as("onr"))
     assigned.groupBy(col("label"), col("vec_id"))
       .agg((sum(col("dotj")) /

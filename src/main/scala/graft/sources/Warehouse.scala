@@ -118,21 +118,20 @@ object Warehouse {
     * vector in two cells has its codes duplicated in both, exactly
     * like a real IVF posting list.
     */
-  def buildIvf(spark: SparkSession, dir: String, centroidMod: Int = 16,
-               nAssign: Int = 2, pqMod: Int = 8, m: Int = 8,
+  def buildIvf(spark: SparkSession, dir: String, nlist: Int = 32,
+               nAssign: Int = 2, ks: Int = 256, m: Int = 8,
                subDim: Int = 8): Unit = {
     import graft.operators.SimOps
     dropManaged(spark, Seq("graft_ivf_lists"))
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
-    val lists = SimOps.nearestCells(SimOps.ivfCentroids(emb, centroidMod, 0))(
+    val lists = SimOps.nearestCells(SimOps.ivfCentroids(emb, nlist, 0))(
         emb, "vec_id", "embedding", "nrm", nAssign)
       .select(col("vec_id"), col("cent_id"))
-    val codes = SimOps.pqAssign(
+    val codes = SimOps.pqEncode(
         SimOps.pqSubs(emb.select(col("vec_id"), col("embedding")),
-                      Seq("vec_id"), m, subDim),
-        Seq("vec_id"), pqMod)
+                      Seq("vec_id"), m, subDim), ks, m)
       .select(col("vec_id"), col("sub_j"), col("ce"), col("cn"))
     lists.join(codes, "vec_id")
       .select(col("vec_id"), col("sub_j"), col("ce"), col("cn"),
@@ -147,14 +146,14 @@ object Warehouse {
 
   /** d10 over the landed index: the probe join hits the cent_id
     * PARTITION column, so dynamic partition pruning turns "probe 8 of
-    * 125 cells" into "open 8 of 125 directories" — the scan never
+    * nlist cells" into "open 8 of nlist directories" — the scan never
     * reads unprobed lists (WarehouseSpec asserts the dynamicpruning
     * expression in PartitionFilters and result-identity with the
     * self-contained d10). Must be called after `buildIvf` with the
     * same index parameters.
     */
   def annIvfPqIndexed(spark: SparkSession, dir: String, k: Int = 10,
-                      qmod: Int = 50, centroidMod: Int = 16,
+                      qmod: Int = 50, nlist: Int = 32,
                       nProbe: Int = 8, m: Int = 8, subDim: Int = 8,
                       rerank: Int = 8): DataFrame = {
     import graft.operators.SimOps
@@ -166,7 +165,7 @@ object Warehouse {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
               col("nrm").as("qnrm"))
     // the same deterministic centroid set buildIvf routed with
-    val probes = SimOps.nearestCells(SimOps.ivfCentroids(emb, centroidMod, 0))(
+    val probes = SimOps.nearestCells(SimOps.ivfCentroids(emb, nlist, 0))(
         queries, "query_id", "qe", "qnrm", nProbe)
       .select(col("query_id"), col("cent_id"))
     val qsubs = SimOps.pqSubs(

@@ -21,14 +21,12 @@ object IvfGrid {
       .groupBy(_.getAs[Long]("query_id"))
       .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cand_id")).toSet }
 
-    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
-    for (cm <- Seq(16, 32, 64);
+    for (cells <- Seq(16, 32, 64, 128);
          np <- Seq(2, 4, 8);
          na <- Seq(2, 4);
          km <- Seq(0, 2)) {
-      val cells = math.max(1, (n / cm).toInt)
       val t0 = System.nanoTime()
-      val got = SimOps.annIvf(spark, dir, centroidMod = cm, nProbe = np,
+      val got = SimOps.annIvf(spark, dir, nlist = cells, nProbe = np,
                               kmeansIters = km, nAssign = na).collect()
       val sec = (System.nanoTime() - t0) / 1e9
       val byQ = got.groupBy(_.getAs[Long]("query_id"))
@@ -38,7 +36,7 @@ object IvfGrid {
       }
       val rec = recalls.sum / recalls.size
       val frac = np.toDouble * na / cells
-      println(f"cm=$cm%3d cells~$cells%4d np=$np%2d na=$na km=$km rec=$rec%.3f scan~${frac * 100}%5.1f%% t=$sec%.1fs")
+      println(f"nlist=$cells%4d np=$np%2d na=$na km=$km rec=$rec%.3f scan~${frac * 100}%5.1f%% t=$sec%.1fs")
     }
     spark.stop()
   }

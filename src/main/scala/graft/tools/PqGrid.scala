@@ -22,9 +22,9 @@ object PqGrid {
       .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cand_id")).toSet }
 
     for (rerank <- Seq(2, 4, 8, 16);
-         pqMod <- Seq(8, 4)) {
+         ks <- Seq(256, 64)) {
       val t0 = System.nanoTime()
-      val got = SimOps.annIvfPq(spark, dir, rerank = rerank, pqMod = pqMod)
+      val got = SimOps.annIvfPq(spark, dir, rerank = rerank, ks = ks)
         .collect()
       val sec = (System.nanoTime() - t0) / 1e9
       val byQ = got.groupBy(_.getAs[Long]("query_id"))
@@ -33,7 +33,7 @@ object PqGrid {
         f.intersect(ex).size.toDouble / ex.size
       }
       val rec = recalls.sum / recalls.size
-      println(f"rerank=$rerank%2d pqMod=$pqMod rec=$rec%.3f t=$sec%.1fs")
+      println(f"rerank=$rerank%2d ks=$ks%3d rec=$rec%.3f t=$sec%.1fs")
     }
     spark.stop()
   }

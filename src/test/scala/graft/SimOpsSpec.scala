@@ -117,10 +117,9 @@ class SimOpsSpec extends SparkSpec {
     }
     val avgRecall = recalls.sum / recalls.size
     info(f"d5 avg recall@10 vs exact: $avgRecall%.3f over ${recalls.size} queries")
-    // default np=8, na=2 over ~31 cells: a BLIND probe of 8 cells with
-    // each vector indexed in 2 would see ≈ 1 - C(23,2)/C(31,2) ≈ 46% of
+    // default np=8, na=2 over 32 cells: a BLIND probe of 8 cells with
+    // each vector indexed in 2 would see ≈ 1 - C(24,2)/C(32,2) ≈ 44% of
     // the corpus — the quantizer must beat that by a clear margin
-    // (measured 0.78 at this SF)
     assert(avgRecall > 0.55)
   }
 
@@ -132,7 +131,7 @@ class SimOpsSpec extends SparkSpec {
     def objective(iters: Int): Double = {
       // mean over vectors of max cosine to any centroid — the spherical
       // k-means objective Lloyd monotonically improves
-      val cents = SimOps.ivfCentroids(emb, centroidMod = 16, kmeansIters = iters)
+      val cents = SimOps.ivfCentroids(emb, nlist = 32, kmeansIters = iters)
         .collect().map(r => r.getSeq[Float](1).toArray)
       assert(cents.nonEmpty)
       embs.values.map(v => cents.map(c => cos(v, c)).max).sum / embs.size
@@ -206,9 +205,9 @@ class SimOpsSpec extends SparkSpec {
     // ADC ranks the same probed lists d5 scores exactly; the rerank
     // margin must keep most of d5's recall (d5 measured 0.78 here)
     assert(r10 > 0.5, s"IVF-PQ recall $r10 collapsed vs the IVF stage")
-    // a wider rerank margin can only help (more ADC candidates get
-    // the exact pass)
-    val r20 = recallOf(SimOps.annIvfPq(spark, sf, rerank = 8).collect()
+    // a wider rerank margin than the default 8 can only help (more
+    // ADC candidates get the exact pass)
+    val r20 = recallOf(SimOps.annIvfPq(spark, sf, rerank = 16).collect()
       .groupBy(_.getAs[Long]("query_id")))
     assert(r20 >= r10 - 1e-9, s"wider rerank lost recall: $r10 -> $r20")
   }
@@ -216,13 +215,15 @@ class SimOpsSpec extends SparkSpec {
   test("d9 PQ accounting matches a naive JVM product quantizer") {
     val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    // naive PQ: same sampled codebook (vec_id % 8 == 0), argmin sq
-    // distance per 8-dim subvector with centroid-id tie-break
+    // naive PQ: same fixed-cardinality codebook (the 256 vec_ids of
+    // smallest (md5, id) rank), argmin sq distance per 8-dim
+    // subvector with centroid-id tie-break
     val subsOf = (v: Array[Float]) =>
       v.map(_.toDouble).grouped(8).toVector
+    val sampleIds = embs.keys.toSeq
+      .sortBy(id => (md5hex(id.toString), id)).take(256).sorted
     val books = (0 until 8).map { j =>
-      embs.toSeq.filter(_._1 % 8 == 0).sortBy(_._1)
-        .map { case (id, v) => id -> subsOf(v)(j) }
+      sampleIds.map(id => id -> subsOf(embs(id))(j))
     }
     def cosSq(id: Long): (Double, Double) = {
       val subs = subsOf(embs(id))
@@ -256,7 +257,7 @@ class SimOpsSpec extends SparkSpec {
     }
     assert(n == embs.size)
     // a denser codebook must not reconstruct worse on average
-    val coarse = SimOps.pqQuantize(spark, sf, centroidMod = 32).collect()
+    val coarse = SimOps.pqQuantize(spark, sf, ks = 32).collect()
       .map(r => r.getAs[Double]("avg_cos_preserved")).sum / got.length
     val fine = got.map(_.getAs[Double]("avg_cos_preserved")).sum / got.length
     assert(fine >= coarse - 1e-9,
@@ -278,6 +279,29 @@ class SimOpsSpec extends SparkSpec {
     info(f"d9 PQ objective: sampled $o0%.4f -> 1xLloyd $o1%.4f -> 2xLloyd $o2%.4f")
     assert(o1 <= o0 + 1e-9, s"one Lloyd round worsened the objective: $o0 -> $o1")
     assert(o2 <= o1 + 1e-9, s"second Lloyd round worsened the objective: $o1 -> $o2")
+  }
+
+  test("PQ codebook and IVF centroid cardinality are FIXED across scale factors") {
+    // the 100 TB contract: index cardinality must not grow with the
+    // corpus (round 6 had ks = N/8 and nlist = N/16 — quadratic
+    // assignment, unbounded broadcast, byte-codes broken past N=2048)
+    import graft.functions.VectorFns
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val subs = SimOps.pqSubs(Tables.embeddings(spark, dir),
+        Seq("label", "vec_id"), 8, 8)
+      val book = SimOps.pqTrainCodebook(subs, ks = 256, m = 8,
+        kmeansIters = 0)
+      assert(book.entries.length == 8)
+      assert(book.entries.forall(_.length == 256),
+        s"$dir: codebook not fixed at 256 entries/subspace " +
+          s"(got ${book.entries.map(_.length).toSeq})")
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"),
+                VectorFns.norm(col("embedding")).as("nrm"))
+      val nCents = SimOps.ivfCentroids(emb, nlist = 32, kmeansIters = 0)
+        .count()
+      assert(nCents == 32, s"$dir: nlist not fixed (got $nCents)")
+    }
   }
 
   test("d3 per-label stats match naive aggregation") {
