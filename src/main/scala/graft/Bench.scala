@@ -12,13 +12,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * echoed to stderr rather than swallowed.
   *
   * Measurement hygiene: every query runs `SPARK_GRAFT_BENCH_REPEATS`
-  * times (default 3) back-to-back and `queries` reports the per-query
-  * MIN. A single pass is hostage to noisy-neighbor contention bursts —
-  * round 5's driver run had 11 queries >2x baseline in one contiguous
+  * times (default 3) and `queries` reports the per-query MIN. A single
+  * pass is hostage to noisy-neighbor contention bursts — round 5's
+  * driver run had 11 queries >2x baseline in one contiguous
   * sorted-order window while a same-day same-code run reproduced the
-  * baseline to the millisecond. The min over in-run repeats estimates
-  * the quiet-host time regardless of when a burst lands; all raw passes
-  * are preserved in `queries_runs` so burst shape stays diagnosable.
+  * baseline to the millisecond. Passes are INTERLEAVED round-robin
+  * (pass 1 of every query in sorted order, then pass 2, then pass 3)
+  * rather than back-to-back: round 6's burst was long enough to
+  * swallow all 3 adjacent repeats of one query (d9 40.5/28.9/43.9 s
+  * vs 2 s quiet), which min-of-3 cannot dodge; with whole-suite
+  * spacing between repeats a burst must span the entire suite to
+  * contaminate every pass of any single query. All raw passes are
+  * preserved in `queries_runs` so burst shape stays diagnosable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,9 +49,12 @@ object Bench {
     // Sorted name order: hash-map iteration order shifts whenever a
     // query is added, which silently re-assigns cold-scan/warmup costs
     // to different queries and breaks round-over-round comparison.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to repeats).map { _ =>
-        val t0 = System.nanoTime()
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val timesByName = scala.collection.mutable.LinkedHashMap(
+      names.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    for (_ <- 1 to repeats; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      val t =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
               (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -58,9 +66,9 @@ object Bench {
           }
           -1.0
         }
-      }
-      name -> times
+      timesByName(name) = timesByName(name) :+ t
     }
+    val results = names.map { case (name, _) => name -> timesByName(name) }
     def fmt(d: Double): String = if (d < 0) "-1" else f"$d%.4f"
     val best = results.map { case (name, ts) =>
       val ok = ts.filter(_ >= 0)
@@ -108,6 +116,45 @@ object Bench {
           ("\"full\":" + fmt(bestMap.getOrElse(q, -1.0)))
         "\"" + q + "\":" + stages.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
+
+    // ---- ANN index build/probe split (outside the query totals) ----
+    // The registered d5/d9/d10 queries are honest one-shots: they
+    // retrain the (fixed-cardinality) index inside the query, so the
+    // per-query number carries a build cost that a production corpus
+    // pays ONCE. This split separates the two: "build" = land the IVF
+    // posting lists + PQ codes (Warehouse.buildIvf; shared by d5/d10)
+    // or train the d9 codebook; "probe" = min-of-repeats of the query
+    // path against the pre-built artifact (DPP-pruned landed lists for
+    // d5/d10, the trained book for d9) — the number that scales with
+    // query traffic rather than corpus size.
+    val annSplit: String =
+      try {
+        import graft.operators.SimOps
+        import graft.sources.{Tables, Warehouse}
+        def minOf(f: => Unit): Double = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.min
+        val tb = System.nanoTime()
+        Warehouse.buildIvf(spark, sfDir)
+        val ivfBuild = (System.nanoTime() - tb) / 1e9
+        val d5Probe = minOf(Warehouse.annIvfFlatIndexed(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
+        val d10Probe = minOf(Warehouse.annIvfPqIndexed(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
+        val t9 = System.nanoTime()
+        val book = SimOps.pqTrainCodebook(
+          SimOps.pqSubs(Tables.embeddings(spark, sfDir),
+            Seq("label", "vec_id"), 8, 8), ks = 256, m = 8, kmeansIters = 0)
+        val d9Build = (System.nanoTime() - t9) / 1e9
+        val d9Probe = minOf(SimOps.pqQuantizeWith(spark, sfDir, book)
+          .write.format("noop").mode("overwrite").save())
+        s"""{"d5_ann_ivf":{"build":${fmt(ivfBuild)},"probe":${fmt(d5Probe)}},""" +
+          s""""d9_pq_quantize":{"build":${fmt(d9Build)},"probe":${fmt(d9Probe)}},""" +
+          s""""d10_ann_ivfpq":{"build":${fmt(ivfBuild)},"probe":${fmt(d10Probe)}}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ann_split FAILED: ${e.getMessage}")
+        "{}"
+      }
 
     // ---- approximate-operator recall on the bench corpus ----
     // d2/d5: fraction of d1's exact top-10 pairs the ANN variant
@@ -166,7 +213,7 @@ object Bench {
         "{}"
       }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_runs":$runs,"repeats":$repeats,"sf":"$sfDir","failed":$nFail,"warmup_sec":${fmt(warmup)},"total_excl_first":${fmt(totalExclFirst)},"total_firstpass":${fmt(firstPassTotal)},"multimodal_split":$mmJson,"recall":$recalls}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_runs":$runs,"repeats":$repeats,"sf":"$sfDir","failed":$nFail,"warmup_sec":${fmt(warmup)},"total_excl_first":${fmt(totalExclFirst)},"total_firstpass":${fmt(firstPassTotal)},"multimodal_split":$mmJson,"ann_split":$annSplit,"recall":$recalls}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

@@ -557,8 +557,16 @@ object SimOps {
     * table, and Warehouse.buildIvf.
     */
   private[graft] def pqEncode(subs: DataFrame, ks: Int, m: Int,
-                              kmeansIters: Int = 0): DataFrame = {
-    val book = pqTrainCodebook(subs, ks, m, kmeansIters)
+                              kmeansIters: Int = 0): DataFrame =
+    pqEncodeWith(subs, pqTrainCodebook(subs, ks, m, kmeansIters))
+
+  /** Encode against an ALREADY-TRAINED book — the probe-side cost a
+    * production deployment pays per batch (training amortizes to zero
+    * over the corpus lifetime; the bench's ann_split reports the two
+    * separately).
+    */
+  private[graft] def pqEncodeWith(subs: DataFrame,
+                                  book: graft.functions.PqCodebook): DataFrame = {
     val subsN = subs.withColumn(
       "sn", graft.functions.FloatVecDot(col("sub"), col("sub")))
     val w = graft.functions.PqNearestCentroid(book)(
@@ -575,7 +583,22 @@ object SimOps {
                  kmeansIters: Int = 0): DataFrame = {
     val subs = pqSubs(Tables.embeddings(spark, dir),
       Seq("label", "vec_id"), m, subDim)
-    val assigned = pqEncode(subs, ks, m, kmeansIters)
+    pqQuantizeFrom(pqEncode(subs, ks, m, kmeansIters))
+  }
+
+  /** d9 with a caller-supplied trained codebook (the bench's
+    * probe-side timing; result-identical to `pqQuantize` when the book
+    * comes from `pqTrainCodebook` with the same parameters).
+    */
+  private[graft] def pqQuantizeWith(spark: SparkSession, dir: String,
+                                    book: graft.functions.PqCodebook,
+                                    m: Int = 8, subDim: Int = 8): DataFrame =
+    pqQuantizeFrom(pqEncodeWith(
+      pqSubs(Tables.embeddings(spark, dir), Seq("label", "vec_id"), m, subDim),
+      book))
+
+  private def pqQuantizeFrom(encoded: DataFrame): DataFrame = {
+    val assigned = encoded
       .select(col("label"), col("vec_id"), col("dist"), col("dotj"),
               col("cn").as("qn"), col("sn").as("onr"))
     assigned.groupBy(col("label"), col("vec_id"))

@@ -144,6 +144,54 @@ object Warehouse {
 
   def ivfLists(spark: SparkSession): DataFrame = spark.table("graft_ivf_lists")
 
+  /** d5 (IVF-flat) over the landed index: probe-side only — the cell
+    * membership comes from graft_ivf_lists' partition directories
+    * (DPP-pruned by the broadcast probe join), candidate vectors are
+    * re-read from the embeddings table by id, scoring is d5's exact
+    * cosine + max-dedup + top-k. Result-identical to `SimOps.annIvf`
+    * at matching build parameters (WarehouseSpec proves it); the
+    * bench's ann_split times this as the IVF probe cost with the
+    * build amortized out.
+    */
+  def annIvfFlatIndexed(spark: SparkSession, dir: String, k: Int = 10,
+                        qmod: Int = 50, nlist: Int = 32,
+                        nProbe: Int = 8): DataFrame = {
+    import graft.operators.SimOps
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+    val queries = emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+              col("nrm").as("qnrm"))
+    val probes = SimOps.nearestCells(SimOps.ivfCentroids(emb, nlist, 0))(
+        queries, "query_id", "qe", "qnrm", nProbe)
+      .select(col("query_id"), col("cent_id"))
+    // landed posting lists: one row per (vec_id, cell) membership
+    val members = ivfLists(spark).select(col("vec_id"), col("cent_id"))
+      .distinct()
+    val matched = members
+      .join(broadcast(probes), "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .join(emb, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+              (graft.functions.FloatVecDot(col("embedding"), col("qe")) /
+               (col("nrm") * col("qnrm"))).as("cos"))
+    // a vector indexed in two probed cells surfaces twice — collapse
+    // exactly like d5's soft-assignment dedup
+    val scored = matched.groupBy(col("query_id"), col("cand_id"))
+      .agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"),
+              round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** d10 over the landed index: the probe join hits the cent_id
     * PARTITION column, so dynamic partition pruning turns "probe 8 of
     * nlist cells" into "open 8 of nlist directories" — the scan never

@@ -61,6 +61,15 @@ class WarehouseSpec extends SparkSpec {
     assert(fromIndex == selfContained)
   }
 
+  test("IVF-flat over the landed index is result-identical to d5") {
+    Warehouse.buildIvf(spark, sf)
+    val fromIndex = Warehouse.annIvfFlatIndexed(spark, sf)
+      .collect().toSeq.map(_.toString)
+    val selfContained = graft.operators.SimOps.annIvf(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(fromIndex == selfContained && fromIndex.nonEmpty)
+  }
+
   test("bucketed d7 semi join is exchange-free and result-identical to plain d7") {
     Warehouse.buildAnn(spark, sf)
     val bucketed = Warehouse.annFilteredBucketed(spark)
