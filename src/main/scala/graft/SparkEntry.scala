@@ -125,6 +125,9 @@ object SparkEntry {
     // feeds-channel directory + pool rewards (app.service.ts:2415, :2351)
     "b41_feeds_channels"        -> ((s: SparkSession, d: String) => MarketOps.feedsChannels(s, d)),
     "b42_pool_rewards"          -> MarketOps.poolRewards _,
+    "b43_today_earned"          -> MarketOps.todayEarned _,
+    "b44_earned_list"           -> ((s: SparkSession, d: String) => MarketOps.earnedList(s, d)),
+    "b45_v1_wallet_market"      -> ((s: SparkSession, d: String) => MarketOps.v1WalletMarket(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1263,6 +1266,44 @@ object SparkEntry {
          count(*) AS n_rewards
          FROM events WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY pool""",
+    // b43: "today" = the latest day with a filled order; same
+    // earnings match as b10 windowed to that one day.
+    "b43_today_earned" ->
+      """WITH f AS (SELECT o_custkey, o_totalprice,
+                    CAST(o_orderdate AS DATE) AS day
+             FROM orders WHERE o_orderstatus = 'F'),
+         t AS (SELECT max(day) AS today FROM f)
+         SELECT c_custkey, c_name, today,
+                round(sum(o_totalprice), 2) AS earned_today,
+                count(*) AS n_filled_today
+         FROM f JOIN t ON day = today
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2, 3
+         ORDER BY earned_today DESC, c_custkey""",
+    // b44: b32's wallet-filled-lines shape without paging, plus the
+    // fee/net projection of the reference's earnings list.
+    "b44_earned_list" ->
+      """SELECT l_orderkey AS orderkey, l_linenumber,
+         CAST(l_shipdate AS DATE) AS ship_day, l_extendedprice AS price,
+         l_tax AS royalty_fee, l_discount AS platform_fee,
+         round(l_extendedprice * (1.0 - l_discount), 2) AS net_earned,
+         o_custkey AS buyer, p_partkey, p_name
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN part ON l_partkey = p_partkey
+         WHERE l_suppkey = 1 AND o_orderstatus = 'F'
+         ORDER BY ship_day DESC, orderkey DESC, l_linenumber, p_partkey,
+                  price""",
+    // b45: seller + V1 chain (priority arm) + open state, first 5 in
+    // insertion order.
+    "b45_v1_wallet_market" ->
+      """SELECT l_orderkey AS orderkey, l_linenumber,
+         CAST(l_shipdate AS DATE) AS ship_day, l_extendedprice AS price,
+         o_custkey AS buyer, o_orderpriority AS chain
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_suppkey = 1 AND o_orderstatus = 'O'
+           AND o_orderpriority = '1-URGENT'
+         ORDER BY orderkey, l_linenumber LIMIT 5""",
     // b37: the same page through the DEFAULT sort arm — the
     // reference's getSortOfToken default branch is listing-date
     // descending (mode 0), which any unknown mode also degrades to.

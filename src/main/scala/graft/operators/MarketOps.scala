@@ -974,4 +974,88 @@ object MarketOps {
       .agg(round(sum(col("value")), 2).as("total_amount"),
            count(lit(1)).as("n_rewards"))
       .orderBy(col("pool"))
+
+  /** b43: "today's" earnings per customer — the `isToday=true` arm of
+    * `getEarnedByAddress` (app.service.ts:276-287: the same filled-
+    * order earnings match windowed to [00:00:00, 23:59:59] of the
+    * current day). Deterministic analog of "now": the LATEST day any
+    * filled order exists on. The 1-row max-day aggregate broadcasts
+    * into the orders scan — the day filter then prunes at the scan,
+    * and the per-customer aggregate runs over one day's orders only.
+    */
+  def todayEarned(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"), col("o_totalprice"),
+              col("o_orderdate").cast("date").as("day"))
+    val today = f.agg(max(col("day")).as("today"))
+    val earned = f.join(broadcast(today), col("day") === col("today"))
+      .groupBy(col("o_custkey"), col("today"))
+      .agg(round(sum(col("o_totalprice")), 2).as("earned_today"),
+           count(lit(1)).as("n_filled_today"))
+    Tables.customer(spark, dir)
+      .join(broadcast(earned), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("today"),
+              col("earned_today"), col("n_filled_today"))
+      .orderBy(col("earned_today").desc, col("c_custkey"))
+  }
+
+  /** b44: a wallet's per-order earnings list — the `isReturnList=true`
+    * arm of `getEarnedByAddress` (app.service.ts:321-323: the matched
+    * orders themselves with the token lookup, newest first, NO paging).
+    * Net per line = price·(1−platform fee), with the royalty (l_tax)
+    * carried alongside like the reference's projection. Same
+    * pushed-wallet-scan + broadcast shape as b29/b32.
+    */
+  def earnedList(spark: SparkSession, dir: String,
+                 suppkey: Long = 1L): DataFrame = {
+    val mine = Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") === suppkey)        // pushed to the scan
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+              col("l_extendedprice"), col("l_discount"), col("l_tax"),
+              col("l_shipdate").cast("date").as("ship_day"))
+    val matched = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(mine), col("l_orderkey") === col("o_orderkey"))
+    Tables.part(spark, dir)
+      .join(broadcast(matched), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("orderkey"), col("l_linenumber"),
+              col("ship_day"), col("l_extendedprice").as("price"),
+              col("l_tax").as("royalty_fee"),
+              col("l_discount").as("platform_fee"),
+              round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+                .as("net_earned"),
+              col("o_custkey").as("buyer"), col("p_partkey"), col("p_name"))
+      // value-deterministic order (see b29): the base triple can tie
+      .orderBy(col("ship_day").desc, col("orderkey").desc,
+               col("l_linenumber"), col("p_partkey"), col("price"))
+  }
+
+  /** b45: legacy V1-chain market listings of one wallet —
+    * `getV1MarketNFTByWalletAddr` (app.service.ts:2394: sellerAddr +
+    * chain V1 + OrderState.Created, first 5, no lookup). Chain arm
+    * analog = order priority '1-URGENT'; the reference's unordered
+    * `.find().limit(5)` is made deterministic by the insertion-order
+    * analog (orderkey, linenumber).
+    */
+  def v1WalletMarket(spark: SparkSession, dir: String, suppkey: Long = 1L,
+                     pageSize: Int = 5): DataFrame = {
+    val mine = Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") === suppkey)        // pushed to the scan
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+              col("l_extendedprice"),
+              col("l_shipdate").cast("date").as("ship_day"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O" &&
+              col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .join(broadcast(mine), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("orderkey"), col("l_linenumber"),
+              col("ship_day"), col("l_extendedprice").as("price"),
+              col("o_custkey").as("buyer"),
+              col("o_orderpriority").as("chain"))
+      .orderBy(col("orderkey"), col("l_linenumber"))
+      .limit(pageSize)
+  }
 }

@@ -250,6 +250,67 @@ class MarketOpsSpec extends SparkSpec {
     }
   }
 
+  test("b43 today-earned: only the latest filled day, sums match naive") {
+    val got = MarketOps.todayEarned(spark, sf).collect()
+    assert(got.nonEmpty)
+    val filled = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"), col("o_totalprice"),
+              col("o_orderdate").cast("date").as("day")).collect()
+    val today = filled.map(_.getAs[java.sql.Date]("day")).max
+    // every emitted row is on "today", and the per-customer sums are
+    // exactly the naive single-day aggregation
+    val naive = filled.filter(_.getAs[java.sql.Date]("day") == today)
+      .groupBy(_.getAs[Long]("o_custkey"))
+      .map { case (ck, rs) =>
+        ck -> (BigDecimal(rs.map(_.getAs[Double]("o_totalprice")).sum)
+                 .setScale(2, BigDecimal.RoundingMode.HALF_UP), rs.length)
+      }
+    assert(got.length == naive.size)
+    got.foreach { r =>
+      assert(r.getAs[java.sql.Date]("today") == today)
+      val (sum, n) = naive(r.getAs[Long]("c_custkey"))
+      assert(math.abs(r.getAs[Double]("earned_today") - sum.toDouble) < 1e-6)
+      assert(r.getAs[Long]("n_filled_today") == n)
+    }
+  }
+
+  test("b44 earned list: all the wallet's filled lines, net = price(1-fee)") {
+    val got = MarketOps.earnedList(spark, sf).collect()
+    assert(got.nonEmpty)
+    val naive = Tables.lineitem(spark, sf).filter(col("l_suppkey") === 1)
+      .join(Tables.orders(spark, sf).filter(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey")).collect()
+    // unpaged: the COMPLETE earnings list comes back, newest first
+    assert(got.length == naive.length)
+    got.foreach { r =>
+      val expect = r.getAs[Double]("price") * (1.0 - r.getAs[Double]("platform_fee"))
+      assert(math.abs(r.getAs[Double]("net_earned") - expect) < 0.01)
+    }
+    val days = got.map(_.getAs[java.sql.Date]("ship_day").toString).toSeq
+    assert(days == days.sorted.reverse, "not newest-first")
+  }
+
+  test("b45 V1 wallet market: open urgent lines of the wallet, first 5") {
+    val got = MarketOps.v1WalletMarket(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 5)
+    val naiveKeys = Tables.lineitem(spark, sf).filter(col("l_suppkey") === 1)
+      .join(Tables.orders(spark, sf)
+              .filter(col("o_orderstatus") === "O" &&
+                      col("o_orderpriority") === "1-URGENT"),
+            col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    got.foreach { r =>
+      assert(r.getAs[String]("chain") == "1-URGENT")
+      assert(naiveKeys((r.getAs[Long]("orderkey"), r.getAs[Int]("l_linenumber"))))
+    }
+    // deterministic page: ascending insertion-order analog
+    val ord = got.map(r => (r.getAs[Long]("orderkey"),
+                            r.getAs[Int]("l_linenumber"))).toSeq
+    assert(ord == ord.sorted)
+  }
+
   test("b31 minted: every returned part was first-sold by the wallet") {
     val got = MarketOps.walletMinted(spark, sf).collect()
     assert(got.nonEmpty)
