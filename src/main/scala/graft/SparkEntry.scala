@@ -229,10 +229,47 @@ object SparkEntry {
          arg_max(event_type, printf('%019d|%019d', epoch_ms(ts), event_id)) AS current_state,
          max(epoch_ms(ts)) AS state_ms
          FROM events GROUP BY user_id ORDER BY user_id""",
-    // c2/c3/c5 involve seeded xxhash64 signatures / LSH banding DuckDB
+    // c2/c5 involve seeded xxhash64 signatures / LSH banding DuckDB
     // cannot reproduce, so the driver records rows-only and
     // DedupOpsSpec carries correctness. c1/c4/c6 are exact and
-    // string-based → oracled.
+    // string-based → oracled; c3's word hash is md5-derived since
+    // round 7 exactly so its full signature/banding pipeline replays
+    // in DuckDB (below).
+    // c3: md5hash64 = first 16 md5 hex chars as two 32-bit halves
+    // (hex digit parsed via strpos over the lowercase alphabet, bit b
+    // living in digit (63-b)/4 at bit b%4); per-bit ±1 votes summed,
+    // sig packed via bit_or (bit 63 as the min-long literal — DuckDB
+    // errors on 1<<63); 8×8-bit pigeonhole bands from the same
+    // arithmetic-shift-and-mask both engines share; bucket cap 64,
+    // distinct pairs, hamming = bit_count(xor), top-100 on the full
+    // deterministic (hamming, a, b) key.
+    "c3_dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents WHERE text IS NOT NULL),
+         h AS (SELECT doc_id, md5(tok) AS m FROM t),
+         bv AS (SELECT doc_id, b,
+             CASE WHEN ((strpos('0123456789abcdef',
+                                substr(m, ((63 - b) // 4 + 1)::INT, 1)) - 1)
+                        >> (b % 4)::INT) & 1 = 1 THEN 1 ELSE -1 END AS v
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)),
+         s AS (SELECT doc_id, b, sum(v) AS sv FROM bv GROUP BY 1, 2),
+         sg AS (SELECT doc_id,
+             bit_or(CASE WHEN sv > 0 THEN
+               CASE WHEN b = 63 THEN (-9223372036854775808)::BIGINT
+                    ELSE 1::BIGINT << b::INT END
+               ELSE 0 END) AS sig
+           FROM s GROUP BY 1),
+         e AS (SELECT doc_id, sig, band, (sig >> (band * 8)::INT) & 255 AS bkey
+           FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band)),
+         cap AS (SELECT * FROM (
+             SELECT e.*, count(*) OVER (PARTITION BY band, bkey) AS n FROM e)
+           WHERE n <= 64),
+         p AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+             CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+           FROM cap x JOIN cap y ON x.band = y.band AND x.bkey = y.bkey
+             AND x.doc_id < y.doc_id)
+         SELECT a_id, b_id, hamming FROM p
+         ORDER BY hamming, a_id, b_id LIMIT 100""",
     "c1_dedup_exact" ->
       """SELECT doc_id, md5(text) AS fp,
          count(*) OVER (PARTITION BY md5(text)) AS dup_count,

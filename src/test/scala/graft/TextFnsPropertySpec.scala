@@ -63,11 +63,15 @@ class TextFnsPropertySpec extends SparkSpec {
     run(Prop.forAll(doc.suchThat(_.nonEmpty)) { t =>
       val got = evalOnce(t)(TextFns.simhash64(TextFns.tokens(col("text"))))
         .getLong(0)
-      // JVM model must reuse Spark's xxhash64 for the per-token hash —
-      // evaluate it through a column too, then vote bits in plain Scala
-      import spark.implicits._
-      val hs = t.split(" ", -1).toSeq.toDF("tok")
-        .select(xxhash64(col("tok"))).collect().map(_.getLong(0))
+      // fully independent JVM model: md5-derived word hash (first 16
+      // hex chars as two 32-bit halves — TextFns.md5hash64's contract)
+      // + plain-Scala bit votes
+      def md5h64(s: String): Long = {
+        val hex = md5hex(s)
+        (java.lang.Long.parseLong(hex.substring(0, 8), 16) << 32) |
+          java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      }
+      val hs = t.split(" ", -1).toSeq.map(md5h64)
       var want = 0L
       (0 until 64).foreach { b =>
         val vote = hs.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
