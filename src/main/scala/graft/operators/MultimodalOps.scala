@@ -120,7 +120,17 @@ object MultimodalOps {
         case 6 => 4   // RGBA
         case _ => -1
       }
-      if (w <= 0 || h <= 0 || channels < 0 || bytes(24) < 1) None
+      // PNG-legal bit depths per color type (spec §11.2.2): grayscale
+      // any of {1,2,4,8,16}, indexed ≤8, the multi-channel types only
+      // {8,16} — an illegal depth/type combination is not a PNG.
+      val depth = bytes(24).toInt
+      val depthOk = bytes(25) match {
+        case 0 => Set(1, 2, 4, 8, 16)(depth)
+        case 3 => Set(1, 2, 4, 8)(depth)
+        case 2 | 4 | 6 => depth == 8 || depth == 16
+        case _ => false
+      }
+      if (w <= 0 || h <= 0 || channels < 0 || !depthOk) None
       else Some(MediaMeta(doc_id, "image", bytes.length,
         w, h, channels, 0L, fnv1a(bytes)))
     }
@@ -266,40 +276,91 @@ object MultimodalOps {
                      out_w: Int, out_h: Int, scale: Double,
                      est_bytes: Long)
 
-  /** f5: batch thumbnail/resize plumbing — the remaining north-star
-    * verb (decode f1, features/frames f2/f4, resize here). The REAL
-    * parts: aspect-preserving fit-inside geometry (never upscale),
-    * modality pruned declaratively before the decode boundary, and the
-    * per-partition batch shape a real libvips/Pillow resizer drops
-    * into (decoder + scaler state initialized once per partition).
-    * The pixel transform itself is the stub: output byte size is
-    * estimated as scaled-area × channels.
+  /** REAL pixel arm for the resize stage — `javax.imageio` (public
+    * JVM API, no native deps; PNG/BMP/GIF/JPEG via registered
+    * readers). Decodes the payload to a BufferedImage, applies the
+    * SAME aspect-preserving fit-inside geometry to actual pixels
+    * (bilinear Graphics2D scale into a fresh raster), and reports the
+    * resized raster's true byte footprint. None when no registered
+    * reader recognizes the payload (the synthetic text corpus) — the
+    * header/stub geometry then handles the record, so the registered
+    * f5 query stays deterministic on the test data while real image
+    * payloads take the real path end-to-end (spec-proven with
+    * ImageIO-encoded PNG and BMP inputs).
     */
-  /** The resize decode stage alone (un-sorted) — shared by f5 and the
-    * bench per-stage split.
+  private[graft] def resizePixels(doc_id: Long, bytes: Array[Byte],
+                                  maxW: Int, maxH: Int): Option[Resized] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      // a malformed-but-sniffed payload must fall to the stub arm, not
+      // kill the partition (readers throw IIOException and occasionally
+      // unchecked errors on truncated data)
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val scale = math.min(
+        1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+      val ow = math.max(1, math.floor(w * scale).toInt)
+      val oh = math.max(1, math.floor(h * scale).toInt)
+      val out = new java.awt.image.BufferedImage(
+        ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(im, 0, 0, ow, oh, null)
+      g.dispose()
+      val channels = im.getColorModel.getNumComponents
+      Resized(doc_id, w, h, out.getWidth, out.getHeight,
+              BigDecimal(scale).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble,
+              out.getWidth.toLong * out.getHeight.toLong * channels)
+    }
+  }
+
+  /** f5: batch thumbnail/resize — the remaining north-star verb
+    * (decode f1, features/frames f2/f4, resize here). The REAL parts:
+    * a true pixel path (`resizePixels` — javax.imageio decode +
+    * bilinear rescale) for payloads a registered reader recognizes,
+    * aspect-preserving fit-inside geometry (never upscale) shared
+    * with the header/stub arm for everything else, modality pruned
+    * declaratively before the decode boundary, and the per-partition
+    * batch shape a real libvips resizer drops into (decoder + scaler
+    * state initialized once per partition).
     */
-  private def resized(spark: SparkSession, dir: String,
-                      maxW: Int, maxH: Int): DataFrame = {
-    import spark.implicits._
-    mediaTable(spark, dir)
-      .filter(col("media_type") === "image")
-      .as[MediaRecord]
+  /** The resize stage over a caller-supplied media Dataset (un-sorted)
+    * — shared by f5, the bench per-stage split, and the spec's
+    * real-PNG/BMP end-to-end feed.
+    */
+  private[graft] def resizedFrom(media: org.apache.spark.sql.Dataset[MediaRecord],
+                                 maxW: Int, maxH: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media
       .mapPartitions { it =>
         // a real implementation initializes the codec/scaler HERE,
         // once per partition, then streams records through it
         it.map { r =>
-          val m = decode(r)
-          val scale = math.min(
-            1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
-          val ow = math.max(1, math.floor(m.width * scale).toInt)
-          val oh = math.max(1, math.floor(m.height * scale).toInt)
-          Resized(r.doc_id, m.width, m.height, ow, oh,
-                  BigDecimal(scale).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-                    .toDouble,
-                  ow.toLong * oh.toLong * m.channels)
+          resizePixels(r.doc_id, r.payload, maxW, maxH).getOrElse {
+            val m = decode(r)
+            val scale = math.min(
+              1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+            val ow = math.max(1, math.floor(m.width * scale).toInt)
+            val oh = math.max(1, math.floor(m.height * scale).toInt)
+            Resized(r.doc_id, m.width, m.height, ow, oh,
+                    BigDecimal(scale)
+                      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+                    ow.toLong * oh.toLong * m.channels)
+          }
         }
       }
       .toDF()
+  }
+
+  private def resized(spark: SparkSession, dir: String,
+                      maxW: Int, maxH: Int): DataFrame = {
+    import spark.implicits._
+    resizedFrom(mediaTable(spark, dir)
+      .filter(col("media_type") === "image").as[MediaRecord], maxW, maxH)
   }
 
   def resizeImages(spark: SparkSession, dir: String,

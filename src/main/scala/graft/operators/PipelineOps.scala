@@ -254,8 +254,11 @@ object PipelineOps {
     d.join(broadcast(offsets), Seq("lang", "bucket"))
       .withColumn("rnk", col("offset") + row_number().over(wIn))
       .join(broadcast(quotas), Seq("lang"))
+      // `div` = exact integral division on longs (the DuckDB oracle's
+      // `//`); double-divide + cast can flip the truncated integer for
+      // very large token counts
       .withColumn("n_copies",
-        (col("target_docs") / col("n_docs")).cast("long") +
+        expr("target_docs div n_docs") +
         when(col("rnk") <= col("target_docs") % col("n_docs"), 1L)
           .otherwise(0L))
       .filter(col("n_copies") > 0)
@@ -302,11 +305,13 @@ object PipelineOps {
     val strt = col("offset") + sum(col("n_tokens")).over(wIn) - col("n_tokens")
     d.join(broadcast(offsets), "bucket")
       .withColumn("strt", strt)
+      // `div` = exact long division, bit-identical to the oracle's `//`
+      // at any token count / non-power-of-two seqLen
       .select(col("doc_id"), col("n_tokens"),
-              (col("strt") / seqLen).cast("long").as("bin_id"),
+              expr(s"strt div ${seqLen}L").as("bin_id"),
               (col("strt") % seqLen).as("bin_offset"),
-              (((col("strt") + col("n_tokens") - 1) / seqLen).cast("long") -
-               (col("strt") / seqLen).cast("long")).as("extra_bins"))
+              (expr(s"(strt + n_tokens - 1) div ${seqLen}L") -
+               expr(s"strt div ${seqLen}L")).as("extra_bins"))
       .orderBy(col("bin_id"), col("bin_offset"))
   }
 

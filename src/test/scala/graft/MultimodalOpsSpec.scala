@@ -213,6 +213,11 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(decodePng(33L, pngBytes(0, 32, 2)).isEmpty)             // zero width
     val badType = pngBytes(16, 32, 2); badType(25) = 7.toByte
     assert(decodePng(34L, badType).isEmpty)                        // bad color type
+    val badDepth = pngBytes(16, 32, 2); badDepth(24) = 3.toByte
+    assert(decodePng(35L, badDepth).isEmpty)          // 3 is never PNG-legal
+    val badCombo = pngBytes(16, 32, 2); badCombo(24) = 4.toByte
+    assert(decodePng(36L, badCombo).isEmpty)          // truecolor@4 illegal
+    assert(decodePng(37L, pngBytes(16, 32, 0)).nonEmpty)  // gray@8 legal
 
     // and through the FULL mapPartitions pipeline shape, mixed with a
     // stub-decoded payload — the seam a real codec swap exercises
@@ -225,5 +230,46 @@ class MultimodalOpsSpec extends SparkSpec {
       .collect().map(r => r.doc_id -> r).toMap
     assert(mixed(10L).duration_ms == 1000L && mixed(10L).channels == 1)
     assert(mixed(11L).duration_ms >= 1000L)   // stub's hash-derived arm
+  }
+
+  test("f5 real-pixel arm: ImageIO PNG/BMP decode + resize end-to-end") {
+    import graft.operators.MultimodalOps.{MediaRecord, resizePixels, resizedFrom}
+    // real encoded images, produced by the same public JVM API the
+    // decode arm uses (deterministic synthetic pixels)
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        im.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    // direct arm: geometry computed from TRUE decoded dimensions and
+    // applied to real pixels (640x400 fits 256 at scale 0.4 -> 256x160)
+    val big = encode("png", 640, 400)
+    val r = resizePixels(1L, big, 256, 256).get
+    assert(r.width == 640 && r.height == 400)
+    assert(r.out_w == 256 && r.out_h == 160)
+    assert(r.est_bytes == 256L * 160L * 3L)
+    // a recognized image already inside the box is untouched
+    val small = resizePixels(2L, encode("bmp", 100, 50), 256, 256).get
+    assert(small.out_w == 100 && small.out_h == 50 && small.scale == 1.0)
+    // text bytes are not an image: the real arm must decline
+    assert(resizePixels(3L, "just text".getBytes("UTF-8"), 256, 256).isEmpty)
+    // end-to-end through the Spark mapPartitions resize stage, real
+    // PNG + real BMP + stub-decoded text mixed in one Dataset
+    val spark2 = spark; import spark2.implicits._
+    val rows = resizedFrom(Seq(
+        MediaRecord(1L, "image", big),
+        MediaRecord(2L, "image", encode("bmp", 100, 50)),
+        MediaRecord(3L, "image", "just text".getBytes("UTF-8"))).toDS(),
+        256, 256)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Int]("out_w") == 256 &&
+           rows(1L).getAs[Int]("out_h") == 160)
+    assert(rows(2L).getAs[Int]("out_w") == 100 &&
+           rows(2L).getAs[Int]("out_h") == 50)
+    assert(rows(3L).getAs[Int]("width") > 0)   // stub arm took the text
   }
 }
