@@ -49,7 +49,14 @@ object Bench {
     // Sorted name order: hash-map iteration order shifts whenever a
     // query is added, which silently re-assigns cold-scan/warmup costs
     // to different queries and breaks round-over-round comparison.
+    // SPARK_GRAFT_BENCH_ONLY (comma-separated names) narrows the run
+    // for dev iteration; the driver never sets it, so official rounds
+    // always run the full suite (and the splits/recall blocks below
+    // are skipped when a subset is active — their inputs may be absent).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val timesByName = scala.collection.mutable.LinkedHashMap(
       names.map { case (n, _) => n -> Vector.empty[Double] }: _*)
     for (_ <- 1 to repeats; (name, fn) <- names) {
@@ -97,7 +104,8 @@ object Bench {
     // loop's min. (decode - scan) isolates the stub decoder's cost so a
     // real codec swap has a before/after number.
     val bestMap = best.toMap
-    val mmJson = graft.operators.MultimodalOps.benchStages(spark, sfDir)
+    val mmJson = if (only.isDefined) "{}" else
+      graft.operators.MultimodalOps.benchStages(spark, sfDir)
       .map { case (q, stage, mk) =>
         val ts = (1 to repeats).map { _ =>
           val t0 = System.nanoTime()
@@ -128,7 +136,8 @@ object Bench {
     // d5/d10, the trained book for d9) — the number that scales with
     // query traffic rather than corpus size.
     val annSplit: String =
-      try {
+      if (only.isDefined) "{}"
+      else try {
         import graft.operators.SimOps
         import graft.sources.{Tables, Warehouse}
         def minOf(f: => Unit): Double = (1 to repeats).map { _ =>
@@ -207,7 +216,8 @@ object Bench {
         .mkString("{", ",", "}")
     }
     val recalls =
-      try recallJson
+      if (only.isDefined) "{}"
+      else try recallJson
       catch { case e: Throwable =>
         System.err.println(s"[bench] recall computation FAILED: ${e.getMessage}")
         "{}"

@@ -229,12 +229,56 @@ object SparkEntry {
          arg_max(event_type, printf('%019d|%019d', epoch_ms(ts), event_id)) AS current_state,
          max(epoch_ms(ts)) AS state_ms
          FROM events GROUP BY user_id ORDER BY user_id""",
-    // c2/c5 involve seeded xxhash64 signatures / LSH banding DuckDB
-    // cannot reproduce, so the driver records rows-only and
-    // DedupOpsSpec carries correctness. c1/c4/c6 are exact and
-    // string-based → oracled; c3's word hash is md5-derived since
-    // round 7 exactly so its full signature/banding pipeline replays
-    // in DuckDB (below).
+    // c5 involves seeded xxhash64 embedding-LSH banding DuckDB cannot
+    // reproduce, so the driver records rows-only and DedupOpsSpec
+    // carries correctness. c1/c4/c6 are exact and string-based →
+    // oracled; c2's shingle hash and band key, and c3's word hash,
+    // are md5-derived since round 7 exactly so their full
+    // signature/banding pipelines replay in DuckDB (below).
+    // c2: the 128 (a,b) permutation constants interpolate straight
+    // from TextFns.minhashPerms so Scala and SQL can never drift; the
+    // shingle hash needs only md5hash64 mod 2^31, and since the hi
+    // half is ≡ 0 (2^32 ≡ 0 mod 2^31) that is just the LOW 8 hex
+    // chars parsed (list_reduce fold) and masked. Band key = md5 of
+    // the comma-joined 4-slice — the exact string Spark hashes.
+    "c2_dedup_minhash" -> {
+      val permRows = graft.functions.TextFns.minhashPerms(128).zipWithIndex
+        .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                THEN list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [] END) AS gs FROM t),
+         sh AS (SELECT doc_id,
+             list_reduce(list_transform(generate_series(9, 16),
+               i -> (strpos('0123456789abcdef', substr(m, i::INT, 1)) - 1)::BIGINT),
+               (acc, x) -> acc * 16 + x) & 2147483647 AS h
+           FROM (SELECT doc_id, md5(unnest(gs)) AS m FROM g)),
+         perms(i, pa, pb) AS (VALUES $permRows),
+         sv AS (SELECT doc_id, i, min((pa * h + pb) % 2147483648) AS v
+                FROM sh CROSS JOIN perms GROUP BY 1, 2),
+         sg AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sv GROUP BY 1),
+         bx AS (SELECT doc_id, band,
+             md5(array_to_string(
+               list_slice(sig, band * 4 + 1, band * 4 + 4), ',')) AS bkey
+           FROM sg CROSS JOIN
+             (SELECT unnest(generate_series(0, 31)) AS band)),
+         cap AS (SELECT * FROM (
+             SELECT bx.*, count(*) OVER (PARTITION BY band, bkey) AS n
+             FROM bx) WHERE n <= 64),
+         pr AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                FROM cap x JOIN cap y ON x.band = y.band
+                  AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         est AS (SELECT a_id, b_id,
+             round(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+               p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / 128.0, 4)
+               AS est_jaccard
+           FROM pr JOIN sg sa ON a_id = sa.doc_id
+                   JOIN sg sb ON b_id = sb.doc_id)
+         SELECT a_id, b_id, est_jaccard FROM est
+         ORDER BY est_jaccard DESC, a_id, b_id LIMIT 50"""
+    },
     // c3: md5hash64 = first 16 md5 hex chars as two 32-bit halves
     // (hex digit parsed via strpos over the lowercase alphabet, bit b
     // living in digit (63-b)/4 at bit b%4); per-bit ±1 votes summed,
