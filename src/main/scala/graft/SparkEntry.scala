@@ -229,12 +229,52 @@ object SparkEntry {
          arg_max(event_type, printf('%019d|%019d', epoch_ms(ts), event_id)) AS current_state,
          max(epoch_ms(ts)) AS state_ms
          FROM events GROUP BY user_id ORDER BY user_id""",
-    // c5 involves seeded xxhash64 embedding-LSH banding DuckDB cannot
-    // reproduce, so the driver records rows-only and DedupOpsSpec
-    // carries correctness. c1/c4/c6 are exact and string-based →
-    // oracled; c2's shingle hash and band key, and c3's word hash,
-    // are md5-derived since round 7 exactly so their full
-    // signature/banding pipelines replay in DuckDB (below).
+    // c1/c4/c6 are exact and string-based → oracled; c2's shingle
+    // hash and band key, and c3's word hash, are md5-derived since
+    // round 7 exactly so their full signature/banding pipelines
+    // replay in DuckDB (below). c5's hyperplane LSH replays too: the
+    // planes are FIXED-SEED LITERAL arrays baked into the Spark plan
+    // (VectorFns.plane), so the oracle interpolates the same
+    // constants via VectorFns.planeValues and re-runs the identical
+    // double left-fold projection (list_reduce — Spark's aggregate
+    // starts at 0.0 and 0.0+x1 == x1, so the fold orders coincide; a
+    // sign flip would need a projection within 1 ulp of 0).
+    "c5_dedup_embedding" -> {
+      val planeRows = (0 until 12).map { p =>
+        graft.functions.VectorFns.planeValues(p, 64)
+          .mkString(s"($p, [", ",", "]::DOUBLE[])")
+      }.mkString(",")
+      s"""WITH pl(p, pv) AS (VALUES $planeRows),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         nr AS (SELECT vec_id,
+             sqrt(list_reduce(list_transform(emb, v -> v * v),
+                              (a, x) -> a + x)) AS nrm FROM e),
+         pj AS (SELECT vec_id, p,
+             list_reduce(list_transform(list_zip(emb, pv),
+                                        z -> z[1] * z[2]),
+                         (a, x) -> a + x) AS pr
+           FROM e CROSS JOIN pl),
+         ky AS (SELECT vec_id, p // 4 AS band,
+             sum(CASE WHEN pr > 0 THEN 1::BIGINT << (p % 4)::INT
+                      ELSE 0 END)::BIGINT AS bkey
+           FROM pj GROUP BY 1, 2),
+         cap AS (SELECT * FROM (
+             SELECT ky.*, count(*) OVER (PARTITION BY band, bkey) AS n
+             FROM ky) WHERE n <= 1024),
+         pr2 AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+                 FROM cap x JOIN cap y ON x.band = y.band
+                   AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+         cs AS (SELECT a_id, b_id,
+             list_reduce(list_transform(list_zip(ea.emb, eb.emb),
+                                        z -> z[1] * z[2]), (a, x) -> a + x)
+               / (na.nrm * nb.nrm) AS cos
+           FROM pr2 JOIN e ea ON a_id = ea.vec_id
+                    JOIN e eb ON b_id = eb.vec_id
+                    JOIN nr na ON a_id = na.vec_id
+                    JOIN nr nb ON b_id = nb.vec_id)
+         SELECT a_id, b_id, round(cos, 6) AS cosine FROM cs
+         ORDER BY cosine DESC, a_id, b_id LIMIT 50"""
+    },
     // c2: the 128 (a,b) permutation constants interpolate straight
     // from TextFns.minhashPerms so Scala and SQL can never drift; the
     // shingle hash needs only md5hash64 mod 2^31, and since the hi
@@ -434,7 +474,51 @@ object SparkEntry {
     // D-module: exact double cosine reproduced in DuckDB via
     // list_zip/list_transform/list_sum over ::DOUBLE[] casts — the same
     // sequential fold Spark's aggregate() runs, so values match to the
-    // 6dp round. d2's LSH banding is signature-dependent → rows-only.
+    // 6dp round. d2's hyperplane LSH replays since round 7 exactly
+    // like c5 (literal planes via VectorFns.planeValues, list_reduce
+    // left fold), plus the multi-probe query fan-out: each query band
+    // key XORs {0, 1, 2, 4, 8} (self + the four hamming-1 neighbors
+    // of the 4-bit key) — the same explode Spark builds.
+    "d2_ann_lsh" -> {
+      val planeRows = (0 until 16).map { p =>
+        graft.functions.VectorFns.planeValues(p, 64)
+          .mkString(s"($p, [", ",", "]::DOUBLE[])")
+      }.mkString(",")
+      s"""WITH pl(p, pv) AS (VALUES $planeRows),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         nr AS (SELECT vec_id,
+             sqrt(list_reduce(list_transform(emb, v -> v * v),
+                              (a, x) -> a + x)) AS nrm FROM e),
+         pj AS (SELECT vec_id, p,
+             list_reduce(list_transform(list_zip(emb, pv),
+                                        z -> z[1] * z[2]),
+                         (a, x) -> a + x) AS pr
+           FROM e CROSS JOIN pl),
+         ky AS (SELECT vec_id, p // 4 AS band,
+             sum(CASE WHEN pr > 0 THEN 1::BIGINT << (p % 4)::INT
+                      ELSE 0 END)::BIGINT AS bkey
+           FROM pj GROUP BY 1, 2),
+         qk AS (SELECT ky.vec_id AS query_id, band,
+                       xor(bkey, fl.f) AS bkey
+                FROM ky CROSS JOIN (VALUES (0::BIGINT), (1), (2), (4), (8))
+                  AS fl(f)
+                WHERE ky.vec_id % 50 = 0),
+         pr2 AS (SELECT DISTINCT qk.query_id, ky.vec_id AS cand_id
+                 FROM ky JOIN qk ON ky.band = qk.band
+                   AND ky.bkey = qk.bkey AND ky.vec_id <> qk.query_id),
+         cs AS (SELECT query_id, cand_id,
+             list_reduce(list_transform(list_zip(ec.emb, eq.emb),
+                                        z -> z[1] * z[2]), (a, x) -> a + x)
+               / (nc.nrm * nq.nrm) AS cos
+           FROM pr2 JOIN e ec ON cand_id = ec.vec_id
+                    JOIN e eq ON query_id = eq.vec_id
+                    JOIN nr nc ON cand_id = nc.vec_id
+                    JOIN nr nq ON query_id = nq.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id) AS rnk FROM cs)
+         SELECT query_id, cand_id, rnk, round(cos, 6) AS cosine
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+    },
     "d1_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                     FROM embeddings WHERE vec_id % 50 = 0),

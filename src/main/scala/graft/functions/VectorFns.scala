@@ -38,9 +38,17 @@ object VectorFns {
     * derived each component from xxhash64 per row: 768 hashes/row).
     * Identical on every executor, session, and scale.
     */
-  private def plane(p: Int, dims: Int): Column = {
+  private def plane(p: Int, dims: Int): Column =
+    array(planeValues(p, dims).map(lit): _*)
+
+  /** The plane's raw component values — public so SparkEntry can
+    * interpolate the SAME constants into a DuckDB oracle as literals
+    * (Double.toString is shortest-round-trip, so the SQL parser
+    * recovers bit-identical doubles and the projection folds match).
+    */
+  def planeValues(p: Int, dims: Int): Seq[Double] = {
     val rnd = new scala.util.Random(0xC0FFEE + p)
-    array(Seq.fill(dims)(lit(rnd.nextDouble() * 2.0 - 1.0)): _*)
+    Seq.fill(dims)(rnd.nextDouble() * 2.0 - 1.0)
   }
 
   /** Random-hyperplane LSH signature: bit p = sign(vec · plane_p),
