@@ -130,6 +130,59 @@ object SparkEntry {
     "b45_v1_wallet_market"      -> ((s: SparkSession, d: String) => MarketOps.v1WalletMarket(s, d)),
   )
 
+  /** Shared DuckDB prelude for the f-family oracles: rebuilds
+    * MultimodalOps' media table + stub decode in SQL. The stub's
+    * checksum is Md5Hash64.hashBytes(payload) and the payload IS the
+    * document text's UTF-8 bytes, so `u` (the unsigned form, HUGEINT)
+    * parses md5(text)'s first 16 hex chars; `s` re-signs it to Spark's
+    * BIGINT checksum. Modality = pmod(md5hash64(source), 3) exactly as
+    * mediaTable computes it. The pick() arithmetic: Java `h >>> k`
+    * becomes `u // 2^k` (nonneg), and the shift-0 arm keeps Java's
+    * trunc-% + normalize on the SIGNED value (DuckDB % is trunc too).
+    * The real WAV/BMP/PNG decode arms never fire on the synthetic
+    * corpus (no text starts with their magic bytes — checked per SF),
+    * so the stub is the whole story for the oracle.
+    */
+  private def mediaMetaSql: String =
+    """md0 AS (SELECT doc_id, lang, length(text)::BIGINT AS n_bytes,
+           md5(text) AS mt, md5(source) AS msrc FROM documents),
+       hx AS (SELECT doc_id, lang, n_bytes,
+           list_reduce(list_transform(generate_series(1, 16),
+             i -> (strpos('0123456789abcdef', substr(mt, i::INT, 1)) - 1)::HUGEINT),
+             (a, x) -> a * 16 + x) AS u,
+           list_reduce(list_transform(generate_series(1, 16),
+             i -> (strpos('0123456789abcdef', substr(msrc, i::INT, 1)) - 1)::HUGEINT),
+             (a, x) -> a * 16 + x) AS usrc
+         FROM md0),
+       sx AS (SELECT doc_id, lang, n_bytes, u,
+           CASE WHEN u >= 9223372036854775808::HUGEINT
+                THEN (u - 18446744073709551616::HUGEINT)::BIGINT
+                ELSE u::BIGINT END AS s,
+           ((CASE WHEN usrc >= 9223372036854775808::HUGEINT
+                  THEN (usrc - 18446744073709551616::HUGEINT)::BIGINT
+                  ELSE usrc::BIGINT END % 3) + 3) % 3 AS mty
+         FROM hx),
+       meta AS (SELECT doc_id, lang,
+           ['image','audio','video'][(mty + 1)::INT] AS media_type,
+           n_bytes, u, s AS checksum,
+           CASE mty WHEN 0 THEN (16 + ((s % 4096 + 4096) % 4096))::INT
+                    WHEN 1 THEN 0
+                    ELSE (320 + ((s % 1920 + 1920) % 1920))::INT
+             END AS width,
+           CASE mty WHEN 0 THEN (16 + ((u // 4096) % 4096))::INT
+                    WHEN 1 THEN 0
+                    ELSE (240 + ((u // 4096) % 1080))::INT
+             END AS height,
+           CASE mty WHEN 0 THEN 3
+                    WHEN 1 THEN (1 + ((s % 2 + 2) % 2))::INT
+                    ELSE 3
+             END AS channels,
+           CASE mty WHEN 0 THEN 0::BIGINT
+                    WHEN 1 THEN (1000 + ((u // 256) % 600000))::BIGINT
+                    ELSE (1000 + ((u // 16777216) % 7200000))::BIGINT
+             END AS duration_ms
+         FROM sx)"""
+
   def oracleSql: Map[String, String] = Map(
     // A-module rule: ALL time logic on epoch-ms longs in both engines
     // (epoch_ms(ts) here ≡ unix_millis(cast) in Spark) — the parquet ns
@@ -847,6 +900,75 @@ object SparkEntry {
                 md5(coalesce(string_agg(CASE WHEN df < 2 THEN chunk END,
                                         ' ' ORDER BY pos), '')) AS clean_fp
          FROM k GROUP BY doc_id ORDER BY doc_id""",
+    // F-module (round 7): the stub decode is md5-derived end-to-end
+    // (checksum64 = Md5Hash64.hashBytes(payload), modality =
+    // pmod(md5hash64(source), 3)), so the whole family replays in
+    // DuckDB via the shared mediaMetaSql prelude. f2/f4's per-frame
+    // hashes only need LOW bit-windows of `checksum ^ (i * K)`:
+    // bits [0,8) and [16,32) of an xor are the xor of the operands'
+    // same bit-windows, and (i*K) mod 2^64 is exact in HUGEINT — so
+    // the oracle never materializes the full 64-bit seed.
+    "f1_multimodal_meta" ->
+      s"""WITH $mediaMetaSql
+         SELECT doc_id, media_type, n_bytes, width, height, channels,
+                duration_ms, checksum
+         FROM meta ORDER BY doc_id""",
+    "f2_frame_sample" ->
+      s"""WITH $mediaMetaSql,
+         fr AS (SELECT doc_id, u,
+             least(greatest(1, duration_ms // 1000), 16) AS n FROM meta),
+         fx AS (SELECT doc_id,
+             unnest(generate_series(0, n - 1)) AS i, u FROM fr),
+         ft AS (SELECT doc_id, i,
+             ((xor((u % 256)::BIGINT, ((i * 21) % 256)::BIGINT) - 128)
+               / 128.0) AS feat0
+           FROM fx)
+         SELECT doc_id, count(*)::BIGINT AS n_frames,
+                (max(i) * 1000)::BIGINT AS last_frame_ms,
+                round(avg(feat0), 6) AS avg_feat0
+         FROM ft GROUP BY doc_id ORDER BY doc_id""",
+    "f3_media_by_lang" ->
+      s"""WITH $mediaMetaSql
+         SELECT lang, media_type, count(*)::BIGINT AS n_media,
+                sum(n_bytes)::BIGINT AS total_bytes,
+                round(avg(n_bytes), 4) AS avg_bytes,
+                sum(duration_ms)::BIGINT AS total_duration_ms
+         FROM meta GROUP BY lang, media_type ORDER BY lang, media_type""",
+    "f4_audio_windows" ->
+      s"""WITH $mediaMetaSql,
+         au AS (SELECT doc_id, u, greatest(duration_ms, 1000) AS dur
+                FROM meta WHERE media_type = 'audio'),
+         wn AS (SELECT doc_id, u,
+                least((dur - 1000) // 500 + 1, 32) AS n FROM au),
+         wx AS (SELECT doc_id, u,
+                unnest(generate_series(0, n - 1)) AS i FROM wn),
+         wr AS (SELECT doc_id, i,
+             xor(((u // 65536) % 65536)::BIGINT,
+                 (((i::HUGEINT * ${java.lang.Long
+                     .toUnsignedString(0xD6E8FEB86659FD93L)}::HUGEINT)
+                   % 18446744073709551616::HUGEINT // 65536) % 65536)::BIGINT)
+               / 65535.0 AS rms
+           FROM wx),
+         pk AS (SELECT doc_id, i, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY rms DESC, i DESC) AS rn FROM wr)
+         SELECT wr.doc_id, count(*)::BIGINT AS n_windows,
+                round(avg(rms), 6) AS avg_rms,
+                round(max(rms), 6) AS peak_rms,
+                any_value(pk.i)::INT AS peak_window
+         FROM wr JOIN pk ON wr.doc_id = pk.doc_id AND pk.rn = 1
+         GROUP BY wr.doc_id ORDER BY wr.doc_id""",
+    "f5_resize_images" ->
+      s"""WITH $mediaMetaSql,
+         im AS (SELECT doc_id, width, height,
+             least(1.0, least(256.0 / width, 256.0 / height)) AS sc
+           FROM meta WHERE media_type = 'image'),
+         rz AS (SELECT doc_id, width, height,
+             greatest(1, floor(width * sc))::INT AS out_w,
+             greatest(1, floor(height * sc))::INT AS out_h, sc FROM im)
+         SELECT doc_id, width, height, out_w, out_h,
+                round(sc, 6) AS scale,
+                (out_w::BIGINT * out_h * 3) AS est_bytes
+         FROM rz ORDER BY doc_id""",
     // p4: md5(doc_id) is the deterministic pseudo-random order in both
     // engines; rank-based selection meets each lang quota exactly.
     "p4_stratified_sample" ->

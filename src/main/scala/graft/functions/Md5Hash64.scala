@@ -54,10 +54,17 @@ object Md5Hash64 {
       java.security.MessageDigest.getInstance("MD5"))
 
   /** First 8 digest bytes, big-endian — callable from generated code. */
-  def hash(s: UTF8String): Long = {
+  def hash(s: UTF8String): Long = hashBytes(s.getBytes)
+
+  /** Same contract over raw bytes — the multimodal stubs' payload
+    * checksum (a payload that IS a UTF-8 string hashes identically to
+    * the string, which is what lets a DuckDB oracle replay it as
+    * md5(text)).
+    */
+  def hashBytes(bytes: Array[Byte]): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(s.getBytes)
+    val d = md.digest(bytes)
     ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
       ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
       ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |

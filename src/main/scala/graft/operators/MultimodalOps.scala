@@ -35,15 +35,16 @@ object MultimodalOps {
                        width: Int, height: Int, channels: Int,
                        duration_ms: Long, checksum: Long)
 
-  /** FNV-1a over the payload — a stand-in for decoder output that is
-    * deterministic, order-independent of partitioning, and cheap.
+  /** Payload checksum — md5-derived (first 8 digest bytes, big-endian;
+    * graft.functions.Md5Hash64.hashBytes) since round 7, replacing
+    * FNV-1a: deterministic and partitioning-independent like before,
+    * but ALSO replayable by a DuckDB oracle (the synthetic payloads
+    * are UTF-8 text, so this equals parsing md5(text)'s first 16 hex
+    * chars — the same contract c2/c3 use), which is what flips the
+    * f-family from rows-only to hash-checked.
     */
-  private def fnv1a(bytes: Array[Byte]): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
-    h
-  }
+  private def checksum64(bytes: Array[Byte]): Long =
+    graft.functions.Md5Hash64.hashBytes(bytes)
 
   /** REAL decoder arm — RIFF/WAVE PCM header parse, pure JVM (a WAV
     * header is length-prefixed chunks; no codec library needed).
@@ -74,7 +75,7 @@ object MultimodalOps {
         val byteRate = le32(fmt + 8)
         if (channels < 1 || byteRate <= 0) None
         else Some(MediaMeta(doc_id, "audio", bytes.length,
-          0, 0, channels, dataLen * 1000L / byteRate, fnv1a(bytes)))
+          0, 0, channels, dataLen * 1000L / byteRate, checksum64(bytes)))
       }
     }
   }
@@ -94,7 +95,7 @@ object MultimodalOps {
       val w = le32(18); val h = le32(22); val bpp = le16(28)
       if (w <= 0 || h == 0 || bpp < 1) None
       else Some(MediaMeta(doc_id, "image", bytes.length,
-        w, math.abs(h), math.max(1, bpp / 8), 0L, fnv1a(bytes)))
+        w, math.abs(h), math.max(1, bpp / 8), 0L, checksum64(bytes)))
     }
   }
 
@@ -132,7 +133,7 @@ object MultimodalOps {
       }
       if (w <= 0 || h <= 0 || channels < 0 || !depthOk) None
       else Some(MediaMeta(doc_id, "image", bytes.length,
-        w, h, channels, 0L, fnv1a(bytes)))
+        w, h, channels, 0L, checksum64(bytes)))
     }
   }
 
@@ -154,7 +155,7 @@ object MultimodalOps {
     * codecs, so dimensions/duration are derived from the payload hash.
     */
   private def decodeStub(r: MediaRecord): MediaMeta = {
-    val h = fnv1a(r.payload)
+    val h = checksum64(r.payload)
     def pick(shift: Int, mod: Int, base: Int) =
       base + (((h >>> shift) % mod + mod) % mod).toInt
     r.media_type match {
@@ -174,8 +175,11 @@ object MultimodalOps {
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
+      // md5-derived (was xxhash64) since round 7 so the modality
+      // assignment replays in a DuckDB oracle
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(xxhash64(col("source")), lit(3)) + 1).cast("int")).as("media_type"),
+        (pmod(graft.functions.Md5Hash64(col("source")), lit(3)) + 1)
+          .cast("int")).as("media_type"),
       col("text").cast("binary").as("payload"))
 
   /** One sampled frame: parent id + frame index/timestamp + a frame
