@@ -585,6 +585,123 @@ object SparkEntry {
                  ORDER BY cos DESC, cand_id) AS rnk FROM p)
          SELECT query_id, cand_id, rnk, round(cos, 6) AS cosine
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    // d5 (round 7): at the registered defaults the whole IVF path is
+    // deterministic SQL — centroids are the 32 smallest
+    // (md5(vec_id), vec_id) vectors (the same md5-rank sample d9's
+    // oracle replays), soft assignment keeps each vector's 2 nearest
+    // cells, probes keep each query's 8, and the match+dedup+top-k is
+    // ordinary relational algebra over bit-exact double cosine folds.
+    "d5_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                    FROM embeddings),
+         nr AS (SELECT vec_id,
+             sqrt(list_reduce(list_transform(emb, v -> v * v),
+                              (a, x) -> a + x)) AS nrm FROM e),
+         ct AS (SELECT e.vec_id AS cent_id, emb AS ce, nrm AS cnrm
+                FROM e JOIN nr ON e.vec_id = nr.vec_id
+                ORDER BY md5(e.vec_id::VARCHAR), e.vec_id LIMIT 32),
+         sc AS (SELECT e.vec_id, ct.cent_id,
+             list_reduce(list_transform(list_zip(e.emb, ct.ce),
+                                        z -> z[1] * z[2]), (a, x) -> a + x)
+               / (nr.nrm * ct.cnrm) AS csim
+           FROM e JOIN nr ON e.vec_id = nr.vec_id CROSS JOIN ct),
+         asg AS (SELECT vec_id, cent_id FROM sc
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY csim DESC, cent_id) <= 2),
+         prb AS (SELECT vec_id AS query_id, cent_id FROM sc
+                 WHERE vec_id % 50 = 0
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY csim DESC, cent_id) <= 8),
+         dd AS (SELECT DISTINCT prb.query_id, asg.vec_id AS cand_id
+                FROM asg JOIN prb ON asg.cent_id = prb.cent_id
+                  AND asg.vec_id <> prb.query_id),
+         cs AS (SELECT query_id, cand_id,
+             list_reduce(list_transform(list_zip(ec.emb, eq.emb),
+                                        z -> z[1] * z[2]), (a, x) -> a + x)
+               / (nc.nrm * nq.nrm) AS cos
+           FROM dd JOIN e ec ON cand_id = ec.vec_id
+                   JOIN e eq ON query_id = eq.vec_id
+                   JOIN nr nc ON cand_id = nc.vec_id
+                   JOIN nr nq ON query_id = nq.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id) AS rnk FROM cs)
+         SELECT query_id, cand_id, rnk, round(cos, 6) AS cosine
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    // d10 (round 7): d5's IVF routing + d9's md5-rank 256-entry PQ
+    // codebook replay, composed end-to-end: encode = per-(vec,sub)
+    // argmin of dist = sn + cn − 2·dot with ascending-cent_id
+    // tie-break (PqNearestCentroid's strict `<` over id-sorted
+    // entries), ADC = Σ_j dot(q_j, ce_j) / (√Σ_j cn_j · ‖q‖),
+    // shortlist = top rerank·k by (adc_cos, cand_id), then the exact
+    // rerank re-reads full vectors — final scores are the same
+    // bit-exact cosine folds d1 hashes.
+    "d10_ann_ivfpq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                    FROM embeddings),
+         nr AS (SELECT vec_id,
+             sqrt(list_reduce(list_transform(emb, v -> v * v),
+                              (a, x) -> a + x)) AS nrm FROM e),
+         ct AS (SELECT e.vec_id AS cent_id, emb AS ce, nrm AS cnrm
+                FROM e JOIN nr ON e.vec_id = nr.vec_id
+                ORDER BY md5(e.vec_id::VARCHAR), e.vec_id LIMIT 32),
+         sc AS (SELECT e.vec_id, ct.cent_id,
+             list_reduce(list_transform(list_zip(e.emb, ct.ce),
+                                        z -> z[1] * z[2]), (a, x) -> a + x)
+               / (nr.nrm * ct.cnrm) AS csim
+           FROM e JOIN nr ON e.vec_id = nr.vec_id CROSS JOIN ct),
+         asg AS (SELECT vec_id, cent_id FROM sc
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY csim DESC, cent_id) <= 2),
+         prb AS (SELECT vec_id AS query_id, cent_id FROM sc
+                 WHERE vec_id % 50 = 0
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY csim DESC, cent_id) <= 8),
+         dd AS (SELECT DISTINCT prb.query_id, asg.vec_id AS cand_id
+                FROM asg JOIN prb ON asg.cent_id = prb.cent_id
+                  AND asg.vec_id <> prb.query_id),
+         sub AS (SELECT vec_id, unnest(generate_series(0, 7)) AS sub_j,
+             unnest(list_transform(generate_series(0, 7),
+               j -> list_slice(emb, (j*8 + 1)::INT, (j*8 + 8)::INT))) AS s
+           FROM e),
+         sel AS (SELECT vec_id FROM e
+                 ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 256),
+         cb AS (SELECT sub_j, vec_id AS cent_id, s AS ce,
+                  list_sum(list_transform(s, x -> x * x)) AS cn
+                FROM sub WHERE vec_id IN (SELECT vec_id FROM sel)),
+         enc AS (SELECT sub.vec_id AS cand_id, sub.sub_j, cb.ce, cb.cn
+           FROM sub JOIN cb ON sub.sub_j = cb.sub_j
+           QUALIFY row_number() OVER (PARTITION BY sub.vec_id, sub.sub_j
+             ORDER BY list_sum(list_transform(sub.s, x -> x * x)) + cb.cn
+               - 2 * list_sum(list_transform(list_zip(sub.s, cb.ce),
+                                             x -> x[1] * x[2])),
+               cb.cent_id) = 1),
+         qs AS (SELECT vec_id AS query_id, sub_j, s AS qsub FROM sub
+                WHERE vec_id % 50 = 0),
+         adc AS (SELECT dd.query_id, dd.cand_id,
+             sum(list_sum(list_transform(list_zip(q.qsub, enc.ce),
+                                         x -> x[1] * x[2]))) AS adot,
+             sum(enc.cn) AS rn2
+           FROM dd JOIN enc ON dd.cand_id = enc.cand_id
+                   JOIN qs q ON dd.query_id = q.query_id
+                     AND enc.sub_j = q.sub_j
+           GROUP BY 1, 2 HAVING sum(enc.cn) > 0),
+         shr AS (SELECT adc.query_id, adc.cand_id FROM adc
+                 JOIN nr ON adc.query_id = nr.vec_id
+                 QUALIFY row_number() OVER (PARTITION BY adc.query_id
+                   ORDER BY adot / (sqrt(rn2) * nr.nrm) DESC, cand_id)
+                   <= 80),
+         ex AS (SELECT query_id, cand_id,
+             list_reduce(list_transform(list_zip(ec.emb, eq.emb),
+                                        z -> z[1] * z[2]), (a, x) -> a + x)
+               / (nc.nrm * nq.nrm) AS cos
+           FROM shr JOIN e ec ON cand_id = ec.vec_id
+                    JOIN e eq ON query_id = eq.vec_id
+                    JOIN nr nc ON cand_id = nc.vec_id
+                    JOIN nr nq ON query_id = nq.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id) AS rnk FROM ex)
+         SELECT query_id, cand_id, rnk, round(cos, 6) AS cosine
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
     // d4 shares d1's oracle verbatim — the custom TopKAggregator must
     // reproduce the window top-k bit-for-bit.
     "d4_ann_topk_agg" ->
