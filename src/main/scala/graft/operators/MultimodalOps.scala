@@ -292,10 +292,25 @@ object MultimodalOps {
     * payloads take the real path end-to-end (spec-proven with
     * ImageIO-encoded PNG and BMP inputs).
     */
+  /** Container magic sniff gating the ImageIO attempt: PNG, BMP, GIF,
+    * JPEG. Without this gate every non-image payload (the entire
+    * synthetic corpus) pays a full ImageIO reader search + stream
+    * setup per ROW before failing — measured ~2.5x on f5 at sf0.1.
+    * A real corpus pays nothing: its payloads match and proceed.
+    */
+  private def imageMagic(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P'.toByte) ||           // PNG
+      (b(0) == 'B'.toByte && b(1) == 'M'.toByte) ||            // BMP
+      (b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+       b(2) == 'F'.toByte && b(3) == '8'.toByte) ||            // GIF
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte))            // JPEG
+
   private[graft] def resizePixels(doc_id: Long, bytes: Array[Byte],
                                   maxW: Int, maxH: Int): Option[Resized] = {
     val img =
-      try Option(javax.imageio.ImageIO.read(
+      if (!imageMagic(bytes)) None
+      else try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes)))
       // a malformed-but-sniffed payload must fall to the stub arm, not
       // kill the partition (readers throw IIOException and occasionally
