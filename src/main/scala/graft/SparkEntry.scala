@@ -72,6 +72,8 @@ object SparkEntry {
     "e7_dup_ngram_ratio"        -> ((s: SparkSession, d: String) => TextOps.dupNgramRatio(s, d)),
     "e8_pii_scrub"              -> TextOps.piiScrub _,
     "e9_para_dedup"             -> ((s: SparkSession, d: String) => TextOps.paraDedup(s, d)),
+    "e10_top_ngram_share"       -> TextOps.topNgramShare _,
+    "e11_unigram_logprob"       -> TextOps.unigramLogprob _,
     "d9_pq_quantize"            -> ((s: SparkSession, d: String) => SimOps.pqQuantize(s, d)),
     "d10_ann_ivfpq"             -> ((s: SparkSession, d: String) => SimOps.annIvfPq(s, d)),
     // B. marketplace/analytics
@@ -1017,6 +1019,63 @@ object SparkEntry {
                 md5(coalesce(string_agg(CASE WHEN df < 2 THEN chunk END,
                                         ' ' ORDER BY pos), '')) AS clean_fp
          FROM k GROUP BY doc_id ORDER BY doc_id""",
+    // e10: the oracle takes the RELATIONAL route to the same mode
+    // (explode → count → rank with (cnt DESC, gram) — the rank
+    // tie-break equals Spark's sorted-run fold, which keeps the
+    // lexicographically-smallest gram among ties); docs with no
+    // n-grams fall out of the rank CTEs and coalesce to 0.
+    "e10_top_ngram_share" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                    FROM documents),
+         g2 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+                  THEN list_transform(generate_series(1, len(toks) - 1),
+                         i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                  ELSE [] END) AS gram FROM t),
+         g3 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+                  THEN list_transform(generate_series(1, len(toks) - 2),
+                         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                  ELSE [] END) AS gram FROM t),
+         g4 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 4
+                  THEN list_transform(generate_series(1, len(toks) - 3),
+                         i -> array_to_string(list_slice(toks, i, i + 3), ' '))
+                  ELSE [] END) AS gram FROM t),
+         t2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                  ORDER BY cnt DESC, gram) = 1),
+         t3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                  ORDER BY cnt DESC, gram) = 1),
+         t4 AS (SELECT doc_id, gram, count(*) AS cnt FROM g4 GROUP BY 1, 2
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                  ORDER BY cnt DESC, gram) = 1)
+         SELECT t.doc_id,
+           coalesce(round(t2.cnt * length(t2.gram) / length(t.text), 6),
+                    0.0) AS top2gram_frac,
+           coalesce(round(t3.cnt * length(t3.gram) / length(t.text), 6),
+                    0.0) AS top3gram_frac,
+           coalesce(round(t4.cnt * length(t4.gram) / length(t.text), 6),
+                    0.0) AS top4gram_frac
+         FROM t LEFT JOIN t2 ON t.doc_id = t2.doc_id
+                LEFT JOIN t3 ON t.doc_id = t3.doc_id
+                LEFT JOIN t4 ON t.doc_id = t4.doc_id
+         ORDER BY t.doc_id""",
+    // e11: same unigram table, same log10 average (round 4 absorbs
+    // libm/sum-order ulps), and ntile(3) over (ROUNDED score DESC,
+    // doc_id) — the standard first-buckets-take-the-remainder
+    // assignment Spark computes arithmetically from its block-ranked
+    // global rank.
+    "e11_unigram_logprob" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         uni AS (SELECT tok, count(*)::BIGINT AS c FROM t GROUP BY 1),
+         tot AS (SELECT sum(c) AS total FROM uni),
+         sc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                  round(avg(log10(c::DOUBLE / total)), 4) AS avg_logprob
+                FROM t JOIN uni USING (tok) CROSS JOIN tot
+                GROUP BY doc_id)
+         SELECT doc_id, n_tokens, avg_logprob,
+           ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS bucket
+         FROM sc ORDER BY doc_id""",
     // F-module (round 7): the stub decode is md5-derived end-to-end
     // (checksum64 = Md5Hash64.hashBytes(payload), modality =
     // pmod(md5hash64(source), 3)), so the whole family replays in

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 import graft.sources.Tables
@@ -285,6 +286,125 @@ object TextOps {
           array_sort(collect_list(when(kept,
             struct(col("pos"), col("chunk"))))),
           s => s.getField("chunk")), " ")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** e10: Gopher-style top-n-gram repetition fractions (Rae et al.
+    * 2021 §A1.1: "fraction of characters in the most common n-gram",
+    * n = 2, 3, 4 — a pretraining quality filter cuts docs where any
+    * of these exceeds its threshold). Complements e7, which measures
+    * DISTINCTNESS of all windows; this measures the mass of the
+    * single heaviest one.
+    *
+    * 100 TB shape: zero shuffles — per-row expression work only. The
+    * per-doc mode-of-array is a sorted-run fold: array_sort the
+    * n-gram windows, then one aggregate() pass tracks (prev, run,
+    * best, best_gram); the longest run of equal adjacent elements IS
+    * the mode, and sorted order makes the tie-break deterministic
+    * (lexicographically smallest gram wins). No explode, no
+    * groupBy(doc, gram) — the 3×windows intermediate a naive plan
+    * shuffles never exists.
+    */
+  def topNgramShare(spark: SparkSession, dir: String): DataFrame = {
+    def acc(prev: Column, run: Column, best: Column, bg: Column) =
+      struct(prev.as("prev"), run.as("run"), best.as("best"), bg.as("bg"))
+    def folded(n: Int): Column = aggregate(
+      array_sort(TextFns.shingles(col("toks"), n)),
+      acc(lit(""), lit(0L), lit(0L), lit("")),
+      (a, x) => {
+        val run = when(x === a.getField("prev"), a.getField("run") + 1)
+          .otherwise(lit(1L))
+        val better = run > a.getField("best")
+        acc(x, run,
+            when(better, run).otherwise(a.getField("best")),
+            when(better, x).otherwise(a.getField("bg")))
+      })
+    def share(n: Int): Column = {
+      val best = col(s"f$n").getField("best")
+      val bg = col(s"f$n").getField("bg")
+      round(when(best === 0, 0.0)
+              .otherwise(best.cast("double") * length(bg) /
+                         length(col("text"))), 6).as(s"top${n}gram_frac")
+    }
+    // Three projection stages (e7's lesson — CollapseProject keeps
+    // them apart because each alias is non-cheap and multiply
+    // referenced): tokens once per doc; each fold ONCE per doc (the
+    // share() extraction reads two fields of `f$n` — inlining the
+    // fold there would evaluate the whole sort+fold twice per n);
+    // then the cheap field reads.
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"),
+              TextFns.tokens(col("text")).as("toks"))
+      .select(Seq(col("doc_id"), col("text")) ++
+              (2 to 4).map(n => folded(n).as(s"f$n")): _*)
+      .select(col("doc_id") +: (2 to 4).map(share): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** e11: corpus-unigram log-probability scoring — the CCNet-style
+    * language-model quality proxy (Wenzek et al. 2020: score each doc
+    * by model perplexity, bucket into head/middle/tail thirds; a
+    * corpus-unigram model is the degenerate-but-shuffle-honest form).
+    * score = avg over the doc's tokens of log10 p(tok), with
+    * p = corpus frequency.
+    *
+    * 100 TB shape: the unigram table is VOCAB-sized (≪ corpus) — one
+    * partial-aggregable count pass, then the per-token lookup is a
+    * broadcast hash join (at a vocabulary too large to broadcast it
+    * becomes an ordinary co-partitioned join on the token; nothing
+    * else changes). The total-token scalar rides the same broadcast
+    * (1-row cross join). Buckets rank on the ROUNDED score + doc_id
+    * so the cut is reproducible across engines and partitionings.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("total"))
+    val scored = toks
+      .join(broadcast(uni), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           round(avg(log10(col("c").cast("double") / col("total"))), 4)
+             .as("avg_logprob"))
+    // Global rank WITHOUT a single-partition sort (p6/p8's block
+    // prefix-sum pattern): per-score counts first (partial-aggregable,
+    // distinct-score cardinality ≪ corpus), the running offset over
+    // that TINY table (its unpartitioned window is over distinct
+    // scores only), then rank = offset + row_number within the score
+    // (partitioned window). Bucket = the standard ntile(3) assignment
+    // computed arithmetically from (rank, N): the first N%3 buckets
+    // take one extra row — identical to the oracle's ntile.
+    val offs = scored.groupBy(col("avg_logprob"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        sum(col("cnt")).over(
+          Window.orderBy(col("avg_logprob").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("cnt"))
+      .select(col("avg_logprob"), col("off"))
+    val ranked = scored
+      .join(broadcast(offs), "avg_logprob")
+      .withColumn("rank",
+        col("off") + row_number().over(
+          Window.partitionBy(col("avg_logprob")).orderBy(col("doc_id"))))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_docs"))))
+    // `div` = exact integral division (the round-6 ADVICE rule: a
+    // double `/` + cast can flip the truncated integer at scale)
+    ranked
+      .withColumn("q", expr("n_docs div 3"))
+      .withColumn("r", col("n_docs") % 3)
+      .withColumn("bucket",
+        when(col("rank") <= (col("q") + 1) * col("r"),
+             expr("(rank - 1) div (q + 1) + 1"))
+          // greatest(q,1): when n_docs < 3, q = 0 and every rank takes
+          // the `when` branch — the guard only keeps the unevaluated
+          // divisor legal under ANSI
+          .otherwise(expr("r + (rank - r * (q + 1) - 1) div greatest(q, 1) + 1"))
+          .cast("int"))
+      .select(col("doc_id"), col("n_tokens"), col("avg_logprob"),
+              col("bucket"))
       .orderBy(col("doc_id"))
   }
 }

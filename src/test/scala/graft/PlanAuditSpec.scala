@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSpec {
     "d1_ann_bruteforce", "d4_ann_topk_agg", "d6_ann_range",
     "d7_ann_filtered",         // broadcast query batch (exact baseline)
     "d5_ann_ivf",              // broadcast centroid probe
-    "d10_ann_ivfpq")           // broadcast centroid probe + query subs
+    "d10_ann_ivfpq",           // broadcast centroid probe + query subs
+    "e11_unigram_logprob")     // 1-row total-tokens + n_docs broadcasts
 
   test("no cartesian products; BNLJ only in the documented broadcast patterns") {
     SparkEntry.queries.keys.filterNot(streamingBacked).toSeq.sorted.foreach { name =>

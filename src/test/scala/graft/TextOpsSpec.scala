@@ -191,4 +191,56 @@ class TextOpsSpec extends SparkSpec {
     // boilerplate filter must actually fire at this SF
     assert(dropped > 0, "no chunk dropped — boilerplate path untested")
   }
+
+  test("e10 top-ngram fractions match a naive mode recompute per doc") {
+    val got = TextOps.topNgramShare(spark, sf).collect()
+    assert(got.length == texts.size)
+    def naive(text: String, n: Int): Double = {
+      val toks = text.split(" ", -1)
+      if (toks.length < n) 0.0
+      else {
+        val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+        // max count, then lexicographically-smallest gram — the fold's
+        // sorted-order tie-break
+        val best = grams.groupBy(identity).view.mapValues(_.size).toSeq
+          .sortBy { case (g, c) => (-c, g) }.head
+        BigDecimal(best._2.toDouble * best._1.length / text.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    got.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      Seq(2, 3, 4).foreach { n =>
+        val exp = naive(t, n)
+        val g = r.getAs[Double](s"top${n}gram_frac")
+        assert(math.abs(g - exp) < 2e-6,
+          s"doc ${r.getAs[Long]("doc_id")} n=$n: $g vs $exp")
+      }
+    }
+    // non-vacuous: the corpus' template-heavy docs repeat bigrams
+    assert(got.exists(_.getAs[Double]("top2gram_frac") > 0.05))
+  }
+
+  test("e11 unigram logprob: score matches naive LM, buckets are exact thirds") {
+    val got = TextOps.unigramLogprob(spark, sf).collect()
+    assert(got.length == texts.size)
+    val all = texts.values.flatMap(_.split(" ", -1)).toSeq
+    val freq = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = all.size.toDouble
+    got.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id")).split(" ", -1)
+      val exp = t.map(w => math.log10(freq(w) / total)).sum / t.length
+      assert(math.abs(r.getAs[Double]("avg_logprob") - exp) < 1e-3)
+      assert(r.getAs[Long]("n_tokens") == t.length)
+    }
+    // buckets: sizes differ by at most 1 and ordering respects score
+    val sizes = got.groupBy(_.getAs[Int]("bucket")).view.mapValues(_.size)
+    assert(sizes.keys.toSet == Set(1, 2, 3))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    val b1min = got.filter(_.getAs[Int]("bucket") == 1)
+      .map(_.getAs[Double]("avg_logprob")).min
+    val b3max = got.filter(_.getAs[Int]("bucket") == 3)
+      .map(_.getAs[Double]("avg_logprob")).max
+    assert(b1min >= b3max, "bucket 1 must dominate bucket 3")
+  }
 }
