@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge
 
 /** Text helpers — all native `functions._` / SQL-expression built
   * (codegen'd; no Scala UDF anywhere on the hot path). Every helper has
@@ -21,19 +22,16 @@ object TextFns {
     regexp_extract_all(text, lit("[a-zA-Z0-9]+"), lit(0))
 
   /** Word n-gram shingles of the token array: sliding windows joined by
-    * a space. Native: transform over an index sequence + slice.
+    * a space — the codegen'd `ShingleWindows` expression (one native
+    * loop; see its scaladoc for why the composable
+    * transform/slice/concat_ws chain was retired). A doc shorter than
+    * the shingle yields NO shingles (caught by TextFnsPropertySpec on
+    * randomized short docs). DuckDB twin unchanged: windows over
+    * string_split.
     */
-  def shingles(toks: Column, n: Int): Column = {
-    // indices 1..(len-n+1); slice is 1-based. A doc shorter than the
-    // shingle yields NO shingles: two-arg sequence(1, 0) would pick a
-    // DESCENDING default step and emit [1, 0] — two phantom windows —
-    // so the short case returns an explicit empty array (caught by
-    // TextFnsPropertySpec on randomized short docs).
-    val count = size(toks) - (n - 1)
-    when(count < 1, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), count),
-                           i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  def shingles(toks: Column, n: Int): Column =
+    graftbridge.column(
+      ShingleWindows(graftbridge.expression(toks), n))
 
   /** Deterministic 64-bit hash of a column (xxhash64 with fixed seed —
     * stable across partitions, sessions and cluster sizes).

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TextFns
+import graft.functions.{MaxRun, TextFns}
 import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §2.E)
@@ -297,41 +297,33 @@ object TextOps {
     * single heaviest one.
     *
     * 100 TB shape: zero shuffles — per-row expression work only. The
-    * per-doc mode-of-array is a sorted-run fold: array_sort the
-    * n-gram windows, then one aggregate() pass tracks (prev, run,
-    * best, best_gram); the longest run of equal adjacent elements IS
-    * the mode, and sorted order makes the tie-break deterministic
-    * (lexicographically smallest gram wins). No explode, no
+    * per-doc mode-of-array is `MaxRun`, a codegen'd expression that
+    * sorts the n-gram windows and scans adjacent runs in one tight
+    * loop (the longest run of equal sorted elements IS the mode, and
+    * sorted order makes the tie-break deterministic —
+    * lexicographically smallest gram wins). No explode, no
     * groupBy(doc, gram) — the 3×windows intermediate a naive plan
-    * shuffles never exists.
+    * shuffles never exists. First shipped as an `aggregate()`
+    * sorted-run fold; higher-order lambdas are interpreted per element
+    * with a struct allocation per step, and those three folds were the
+    * entire cost of the query (~2.8 s → native at sf0.1).
     */
   def topNgramShare(spark: SparkSession, dir: String): DataFrame = {
-    def acc(prev: Column, run: Column, best: Column, bg: Column) =
-      struct(prev.as("prev"), run.as("run"), best.as("best"), bg.as("bg"))
-    def folded(n: Int): Column = aggregate(
-      array_sort(TextFns.shingles(col("toks"), n)),
-      acc(lit(""), lit(0L), lit(0L), lit("")),
-      (a, x) => {
-        val run = when(x === a.getField("prev"), a.getField("run") + 1)
-          .otherwise(lit(1L))
-        val better = run > a.getField("best")
-        acc(x, run,
-            when(better, run).otherwise(a.getField("best")),
-            when(better, x).otherwise(a.getField("bg")))
-      })
+    def folded(n: Int): Column =
+      MaxRun(TextFns.shingles(col("toks"), n))
     def share(n: Int): Column = {
       val best = col(s"f$n").getField("best")
-      val bg = col(s"f$n").getField("bg")
+      val bg = col(s"f$n").getField("gram")
       round(when(best === 0, 0.0)
               .otherwise(best.cast("double") * length(bg) /
                          length(col("text"))), 6).as(s"top${n}gram_frac")
     }
     // Three projection stages (e7's lesson — CollapseProject keeps
     // them apart because each alias is non-cheap and multiply
-    // referenced): tokens once per doc; each fold ONCE per doc (the
-    // share() extraction reads two fields of `f$n` — inlining the
-    // fold there would evaluate the whole sort+fold twice per n);
-    // then the cheap field reads.
+    // referenced): tokens once per doc; each sort+scan ONCE per doc
+    // (the share() extraction reads two fields of `f$n` — inlining
+    // MaxRun there would evaluate it twice per n); then the cheap
+    // field reads.
     docs(spark, dir)
       .select(col("doc_id"), col("text"),
               TextFns.tokens(col("text")).as("toks"))

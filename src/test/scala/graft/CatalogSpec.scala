@@ -47,4 +47,15 @@ class CatalogSpec extends SparkSpec {
     assert(got.length == 5)
     assert(got.forall(_.getAs[Double]("sq") > 0.0))
   }
+
+  test("md5_hash64 and max_run are callable from SQL (extension registration)") {
+    val r = spark.sql(
+      """SELECT md5_hash64('abc') AS h,
+                max_run(array('b', 'a', 'b')) AS m""").collect()(0)
+    // first 16 hex chars of md5('abc') = 900150983cd24fb0, as a signed long
+    assert(r.getAs[Long]("h") == java.lang.Long.parseUnsignedLong(
+      "900150983cd24fb0", 16))
+    val m = r.getStruct(r.fieldIndex("m"))
+    assert(m.getAs[Long]("best") == 2L && m.getAs[String]("gram") == "b")
+  }
 }

@@ -43,6 +43,31 @@ class TextFnsPropertySpec extends SparkSpec {
     }, "shingles")
   }
 
+  test("MaxRun == JVM mode with (count desc, gram asc) tie-break") {
+    // e10's kernel: arrays drawn from a SMALL token alphabet so
+    // repeated elements and count-ties are common, plus the empty
+    // array (fold-initial) case.
+    val smallTok: Gen[String] =
+      Gen.oneOf("a", "b", "aa", "ab", "b0", "zz9")
+    val arr: Gen[List[String]] =
+      Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, smallTok))
+    run(Prop.forAll(arr) { xs =>
+      import spark.implicits._
+      val got = Seq(Tuple1(xs)).toDF("xs")
+        .select(graft.functions.MaxRun(col("xs")).as("m"))
+        .select(col("m.best"), col("m.gram")).collect()(0)
+      val want =
+        if (xs.isEmpty) (0L, "")
+        else {
+          val counts = xs.groupBy(identity).view.mapValues(_.size.toLong)
+          val bestCount = counts.values.max
+          (bestCount,
+           counts.filter(_._2 == bestCount).keys.min)
+        }
+      (got.getLong(0), got.getString(1)) == want
+    }, "maxRun")
+  }
+
   test("rolling fingerprint == JVM Rabin-Karp fold") {
     run(Prop.forAll(doc) { t =>
       val vals = t.split(" ", -1).map { tok =>
