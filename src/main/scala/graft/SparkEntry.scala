@@ -38,6 +38,7 @@ object SparkEntry {
     "c5_dedup_embedding"        -> ((s: SparkSession, d: String) => DedupOps.dedupEmbedding(s, d)),
     "c6_dedup_clusters"         -> ((s: SparkSession, d: String) => DedupOps.dedupClusters(s, d)),
     "c7_cdc_chunks"             -> ((s: SparkSession, d: String) => DedupOps.cdcChunks(s, d)),
+    "c8_dup_spans"              -> ((s: SparkSession, d: String) => DedupOps.dupSpans(s, d)),
     // D. similarity search
     "d1_ann_bruteforce"         -> ((s: SparkSession, d: String) => SimOps.annBruteforce(s, d)),
     "d2_ann_lsh"                -> ((s: SparkSession, d: String) => SimOps.annLsh(s, d)),
@@ -1608,6 +1609,49 @@ object SparkEntry {
          JOIN sz sa ON pr.a_id = sa.doc_id
          JOIN sz sb ON pr.b_id = sb.doc_id
          ORDER BY overlap DESC, a_id, b_id LIMIT 50""",
+    // c8: DuckDB groups windows on substr(md5(gram), 1, 16) — the same
+    // equivalence classes as Spark's Md5Hash64 long (a bijection of the
+    // first 8 digest bytes), so the duplicated-window set matches
+    // without any hex parse; lag() is NULL on each doc's first
+    // duplicated window, and NULL > k falls to ELSE 0 in both engines.
+    "c8_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         g AS (SELECT doc_id, len(toks) AS n_tokens,
+             CASE WHEN len(toks) >= 8
+               THEN list_transform(generate_series(1, len(toks) - 7),
+                      i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+               ELSE [] END AS gs
+           FROM t),
+         px AS (SELECT doc_id, gs,
+             unnest(generate_series(1, len(gs))) AS pos
+           FROM g),
+         w AS (SELECT doc_id, pos, substr(md5(gs[pos::INT]), 1, 16) AS h
+           FROM px),
+         dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+         dp AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (h)),
+         m AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS ni
+           FROM dp),
+         isl AS (SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+           FROM m),
+         sp AS (SELECT doc_id, island,
+             (max(pos) - min(pos) + 8)::BIGINT AS span_tokens
+           FROM isl GROUP BY 1, 2),
+         pd AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
+             sum(span_tokens)::BIGINT AS dup_tokens
+           FROM sp GROUP BY 1)
+         SELECT g.doc_id,
+                coalesce(n_spans, 0)::BIGINT AS n_spans,
+                coalesce(dup_tokens, 0)::BIGINT AS dup_tokens,
+                round(coalesce(dup_tokens, 0)::DOUBLE / n_tokens, 6)
+                  AS dup_token_frac
+         FROM g LEFT JOIN pd USING (doc_id) ORDER BY g.doc_id""",
     // d8: same double-precision folds as the d1 oracle family;
     // floor(x + 0.5) quantization in both engines (round() disagrees
     // on HALF_UP vs HALF_EVEN at exact .5).

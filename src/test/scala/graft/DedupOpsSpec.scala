@@ -339,4 +339,64 @@ class DedupOpsSpec extends SparkSpec {
     assert(got.exists(r => r.getAs[Long]("a_id") == 1L &&
       r.getAs[Long]("b_id") == 3L && r.getAs[Double]("overlap") == 1.0))
   }
+
+  test("c8 duplicate spans equal a naive JVM recompute of the same definition") {
+    val k = 8
+    val winCounts = scala.collection.mutable.Map.empty[String, Int]
+    val docWins = texts.map { case (id, t) =>
+      val ws = t.split(" ", -1).sliding(k).filter(_.size == k)
+        .map(_.mkString(" ")).toVector
+      ws.foreach(w => winCounts(w) = winCounts.getOrElse(w, 0) + 1)
+      id -> ws
+    }
+    val want = docWins.map { case (id, ws) =>
+      val dupPos = ws.zipWithIndex.collect {
+        case (w, i) if winCounts(w) > 1 => i + 1
+      }
+      // gaps-and-islands merge: gap <= k between starts ⇒ same span
+      val spans = dupPos.foldLeft(List.empty[(Int, Int)]) {
+        case ((lo, hi) :: rest, p) if p - hi <= k => (lo, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }
+      val dupTokens = spans.map { case (lo, hi) => hi - lo + k }.sum.toLong
+      id -> ((spans.size.toLong, dupTokens,
+              BigDecimal(dupTokens.toDouble / texts(id).split(" ", -1).length)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = DedupOps.dupSpans(spark, sf).collect()
+    assert(got.length == texts.size)
+    assert(got.exists(_.getAs[Long]("n_spans") > 0L),
+      "corpus should contain at least one duplicated span")
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (ns, dt, frac) = want(id)
+      assert(r.getAs[Long]("n_spans") == ns, s"doc $id n_spans")
+      assert(r.getAs[Long]("dup_tokens") == dt, s"doc $id dup_tokens")
+      assert(math.abs(r.getAs[Double]("dup_token_frac") - frac) < 1e-6,
+        s"doc $id frac")
+    }
+  }
+
+  test("c8 merges overlapping windows into one span; separates distant repeats") {
+    val spark2 = spark; import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spans_").toString
+    val block = (1 to 9).map(i => s"w$i").mkString(" ") // 9 toks: 2 windows
+    val filler = (1 to 20).map(i => s"u$i").mkString(" ")
+    Seq(
+      // doc 1 and 2 share `block`: both get ONE span of 9 tokens (the
+      // two overlapping 8-windows merge), plus doc-unique tails
+      (1L, s"$block $filler", "en", "s"),
+      (2L, s"$block ${filler.replace("u", "v")}", "en", "s"),
+      // doc 3 repeats the block internally, far apart: two spans
+      (3L, s"$block ${filler.replace("u", "x")} $block", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupOps.dupSpans(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens")))).toMap
+    assert(got(1L) == ((1L, 9L)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((1L, 9L)), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ((2L, 18L)), s"doc 3: ${got(3L)}")
+  }
 }
