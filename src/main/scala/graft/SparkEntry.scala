@@ -63,6 +63,7 @@ object SparkEntry {
     "p6_token_budget_mix"       -> ((s: SparkSession, d: String) => PipelineOps.tokenBudgetMix(s, d)),
     "p7_temperature_mix"        -> ((s: SparkSession, d: String) => PipelineOps.temperatureMix(s, d)),
     "p8_sequence_pack"          -> ((s: SparkSession, d: String) => PipelineOps.sequencePack(s, d)),
+    "p9_filter_funnel"          -> ((s: SparkSession, d: String) => PipelineOps.filterFunnel(s, d)),
     // E. text analysis
     "e1_token_stats"            -> TextOps.tokenStats _,
     "e2_quality_score"          -> TextOps.qualityScore _,
@@ -492,6 +493,63 @@ object SparkEntry {
                 round(avg(quality), 6) AS avg_quality
          FROM kept JOIN reps USING (cluster_id, doc_id)
          GROUP BY lang ORDER BY lang""",
+    // p9: the same CTE chain as p1 (quality formula, chunk-fingerprint
+    // edges, recursive-CTE components, min-id representatives), read
+    // out as per-stage totals instead of the final per-lang rollup.
+    "p9_filter_funnel" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         chunks AS (
+           SELECT DISTINCT doc_id, cfp FROM (
+             SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(t), 8),
+                      s -> md5(array_to_string(list_slice(t, s, s + 7), ' '))))
+                      AS cfp
+             FROM toks WHERE len(t) > 0)),
+         capped AS (
+           SELECT doc_id, cfp FROM (
+             SELECT doc_id, cfp, count(*) OVER (PARTITION BY cfp) AS df
+             FROM chunks)
+           WHERE df <= 100),
+         prs AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM capped x JOIN capped y
+             ON x.cfp = y.cfp AND x.doc_id < y.doc_id),
+         edges AS (SELECT a, b FROM prs
+                   UNION ALL SELECT b AS a, a AS b FROM prs),
+         reach(src, dst) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                  FROM reach GROUP BY src),
+         q AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             round(0.25 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                 + 0.25 * (1.0 - len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the','a','of','to','and')))::DOUBLE
+                     / len(string_split(text, ' ')))
+                 + 0.25 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+                     / length(text))
+                 + 0.25 * len(list_distinct(string_split(text, ' ')))::DOUBLE
+                     / len(string_split(text, ' ')), 4) AS quality
+           FROM documents),
+         kept AS (
+           SELECT q.doc_id, q.n_tokens, q.quality, comp.cluster_id
+           FROM q JOIN comp USING (doc_id) WHERE q.quality >= 0.72),
+         reps AS (SELECT cluster_id, min(doc_id) AS doc_id
+                  FROM kept GROUP BY cluster_id)
+         SELECT 0 AS stage_id, 'raw' AS stage,
+                count(*)::BIGINT AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM q
+         UNION ALL
+         SELECT 1, 'quality', count(*)::BIGINT,
+                CAST(sum(n_tokens) AS BIGINT) FROM kept
+         UNION ALL
+         SELECT 2, 'dedup', count(*)::BIGINT,
+                CAST(sum(n_tokens) AS BIGINT)
+         FROM kept JOIN reps USING (cluster_id, doc_id)
+         ORDER BY stage_id""",
     // c6: connected components — DuckDB computes the same 8-token
     // chunk-fingerprint edges, then closes them with a recursive-CTE
     // reachability fixpoint (identity ∪ one-hop extension, UNION

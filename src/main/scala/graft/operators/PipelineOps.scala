@@ -328,4 +328,33 @@ object PipelineOps {
     corpusDocs(spark, dir, minQuality)
       .repartition(col("lang"))
       .write.partitionBy("lang").mode("overwrite").parquet(outPath)
+
+  /** p9: the filter-funnel attrition report — how many documents and
+    * tokens survive each stage of the p1 pipeline (raw → quality cut →
+    * dedup representative). Every production pretraining pipeline
+    * ships this table next to the corpus: it is how a data run is
+    * reviewed ("the quality cut removed 31%, dedup another 12%") and
+    * how a filter regression is caught before a training job burns on
+    * it.
+    *
+    * 100 TB shape: each stage is a 1-row partial aggregate over the
+    * same stages p1 already runs (quality is expression-only; the
+    * dedup stage reuses corpusDocs' CC + min_by winner); the union of
+    * three 1-row frames is free. Nothing here adds a shuffle the
+    * pipeline doesn't already have.
+    */
+  def filterFunnel(spark: SparkSession, dir: String,
+                   minQuality: Double = 0.72): DataFrame = {
+    def stage(df: DataFrame, id: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("n_tokens"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+                col("n_docs"), col("n_tokens"))
+    val q = TextOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    stage(q, 0, "raw")
+      .unionByName(stage(q.filter(col("quality") >= minQuality), 1, "quality"))
+      .unionByName(stage(corpusDocs(spark, dir, minQuality), 2, "dedup"))
+      .orderBy(col("stage_id"))
+  }
 }

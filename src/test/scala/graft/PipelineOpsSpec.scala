@@ -204,4 +204,19 @@ class PipelineOpsSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("lang") === oneLang)
     assert(pruned.count() == expected.count(_._2 == oneLang))
   }
+
+  test("p9 funnel: stages shrink monotonically and tie out to their sources") {
+    val got = PipelineOps.filterFunnel(spark, sf).collect()
+    assert(got.map(_.getAs[String]("stage")).toSeq ==
+      Seq("raw", "quality", "dedup"))
+    val docs = got.map(_.getAs[Long]("n_docs"))
+    val toks = got.map(_.getAs[Long]("n_tokens"))
+    assert(docs(0) >= docs(1) && docs(1) >= docs(2), docs.toSeq.toString)
+    assert(toks(0) >= toks(1) && toks(1) >= toks(2), toks.toSeq.toString)
+    assert(docs(0) == Tables.documents(spark, sf).count(), "raw = all docs")
+    assert(docs(2) == PipelineOps.corpusDocs(spark, sf).count(),
+      "dedup stage = the shipped corpus")
+    assert(docs(1) > docs(2), "the corpus plants near-dup clusters, " +
+      "so dedup must remove at least one quality-passing doc")
+  }
 }
