@@ -76,6 +76,7 @@ object SparkEntry {
     "e9_para_dedup"             -> ((s: SparkSession, d: String) => TextOps.paraDedup(s, d)),
     "e10_top_ngram_share"       -> TextOps.topNgramShare _,
     "e11_unigram_logprob"       -> TextOps.unigramLogprob _,
+    "e12_gopher_rules"          -> TextOps.gopherRules _,
     "d9_pq_quantize"            -> ((s: SparkSession, d: String) => SimOps.pqQuantize(s, d)),
     "d10_ann_ivfpq"             -> ((s: SparkSession, d: String) => SimOps.annIvfPq(s, d)),
     // B. marketplace/analytics
@@ -1135,6 +1136,38 @@ object SparkEntry {
          SELECT doc_id, n_tokens, avg_logprob,
            ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS bucket
          FROM sc ORDER BY doc_id""",
+    // e12: identical arithmetic on both sides — mean word length from
+    // (chars - spaces)/words, symbol count from replace-diff + regex
+    // count, rule booleans on the UNROUNDED values (same doubles from
+    // the same expressions ⇒ same flags).
+    "e12_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id,
+             len(toks)::BIGINT AS n_tokens,
+             (length(text)::DOUBLE - len(toks) + 1) / len(toks) AS mw,
+             ((length(text) - length(replace(text, '#', '')))
+              + len(regexp_extract_all(text, '\.\.\.')))::DOUBLE
+               / len(toks) AS sr,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+               / len(toks) AS af,
+             len(list_distinct(list_filter(toks,
+               x -> x IN ('the','a','of','to','and'))))::BIGINT AS ns
+           FROM t)
+         SELECT doc_id, n_tokens,
+           round(mw, 6) AS mean_word_len,
+           round(sr, 6) AS symbol_ratio,
+           round(af, 6) AS alpha_word_frac,
+           ns AS n_distinct_stops,
+           (n_tokens >= 50 AND n_tokens <= 100000) AS r_len,
+           (mw >= 3.0 AND mw <= 10.0) AS r_mean_word,
+           (sr < 0.1) AS r_symbol,
+           (af > 0.8) AS r_alpha,
+           (ns >= 2) AS r_stops,
+           ((n_tokens >= 50 AND n_tokens <= 100000) AND
+            (mw >= 3.0 AND mw <= 10.0) AND (sr < 0.1) AND
+            (af > 0.8) AND (ns >= 2)) AS keep
+         FROM s ORDER BY doc_id""",
     // F-module (round 7): the stub decode is md5-derived end-to-end
     // (checksum64 = Md5Hash64.hashBytes(payload), modality =
     // pmod(md5hash64(source), 3)), so the whole family replays in

@@ -399,4 +399,52 @@ object TextOps {
               col("bucket"))
       .orderBy(col("doc_id"))
   }
+
+  /** e12: the Gopher RULE set (Rae et al. 2021 §A1.1) — the
+    * hard-threshold word-level filters, reported as per-rule booleans
+    * plus the combined keep flag. e2 scores quality on a continuous
+    * scale; this is the form the paper (and most production cleanups)
+    * actually apply: a doc is dropped the moment any rule trips, and
+    * the per-rule columns say WHICH rule, which is what gets reviewed
+    * when a filter change shifts corpus volume.
+    *
+    * Rules (word-level subset — the corpus is single-line, so the
+    * line-shape rules are vacuous here): 50 ≤ tokens ≤ 100 000; mean
+    * word length in [3, 10]; symbol-to-word ratio (# and …) < 0.1;
+    * > 80 % of words contain an alphabetic character; ≥ 2 distinct
+    * stop words present.
+    *
+    * 100 TB shape: pure per-row expression work, no shuffle at all
+    * (even the final sort is the driver-contract orderBy). Mean word
+    * length needs no fold: single-space text makes it
+    * (chars − spaces) / words = (length − n + 1) / n exactly.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val n = size(toks).cast("double")
+    val meanWord = (length(col("text")).cast("double") - n + 1.0) / n
+    val nSymbols =
+      (length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
+        size(regexp_extract_all(col("text"), lit("\\.\\.\\."), lit(0)))
+    val symbolRatio = nSymbols.cast("double") / n
+    val alphaFrac =
+      size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / n
+    val nStops = size(array_distinct(
+      filter(toks, t => t.isin("the", "a", "of", "to", "and"))))
+    docs(spark, dir)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+              round(meanWord, 6).as("mean_word_len"),
+              round(symbolRatio, 6).as("symbol_ratio"),
+              round(alphaFrac, 6).as("alpha_word_frac"),
+              nStops.cast("long").as("n_distinct_stops"),
+              (size(toks) >= 50 && size(toks) <= 100000).as("r_len"),
+              (meanWord >= 3.0 && meanWord <= 10.0).as("r_mean_word"),
+              (symbolRatio < 0.1).as("r_symbol"),
+              (alphaFrac > 0.8).as("r_alpha"),
+              (nStops >= 2).as("r_stops"))
+      .withColumn("keep",
+        col("r_len") && col("r_mean_word") && col("r_symbol") &&
+          col("r_alpha") && col("r_stops"))
+      .orderBy(col("doc_id"))
+  }
 }

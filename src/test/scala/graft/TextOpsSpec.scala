@@ -243,4 +243,34 @@ class TextOpsSpec extends SparkSpec {
       .map(_.getAs[Double]("avg_logprob")).max
     assert(b1min >= b3max, "bucket 1 must dominate bucket 3")
   }
+
+  test("e12 Gopher rules match a naive recompute; keep = AND of the rules") {
+    val got = TextOps.gopherRules(spark, sf).collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val toks = t.split(" ", -1)
+      val n = toks.length
+      val mw = toks.map(_.length).sum.toDouble / n
+      val sym = (t.count(_ == '#') +
+        "\\.\\.\\.".r.findAllIn(t).size).toDouble / n
+      val af = toks.count(_.exists(_.isLetter)).toDouble / n
+      val ns = toks.filter(Set("the", "a", "of", "to", "and")).distinct.length
+      assert(math.abs(r.getAs[Double]("mean_word_len") - mw) < 2e-6)
+      assert(math.abs(r.getAs[Double]("alpha_word_frac") - af) < 2e-6)
+      assert(r.getAs[Long]("n_distinct_stops") == ns.toLong)
+      assert(r.getAs[Boolean]("r_len") == (n >= 50 && n <= 100000))
+      assert(r.getAs[Boolean]("r_mean_word") == (mw >= 3.0 && mw <= 10.0))
+      assert(r.getAs[Boolean]("r_symbol") == (sym < 0.1))
+      assert(r.getAs[Boolean]("r_alpha") == (af > 0.8))
+      assert(r.getAs[Boolean]("r_stops") == (ns >= 2))
+      assert(r.getAs[Boolean]("keep") ==
+        (r.getAs[Boolean]("r_len") && r.getAs[Boolean]("r_mean_word") &&
+         r.getAs[Boolean]("r_symbol") && r.getAs[Boolean]("r_alpha") &&
+         r.getAs[Boolean]("r_stops")))
+    }
+    // non-vacuous in BOTH directions at this SF
+    assert(got.exists(_.getAs[Boolean]("keep")), "no doc keeps")
+    assert(got.exists(!_.getAs[Boolean]("keep")), "no doc drops")
+  }
 }
