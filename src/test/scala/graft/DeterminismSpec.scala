@@ -25,7 +25,13 @@ class DeterminismSpec extends SparkSpec {
     // equality + min(cent_id) tie-break), IVF-PQ ADC shortlist →
     // exact rerank (soft-assignment pair dedup + two group limits)
     "e9_para_dedup", "p7_temperature_mix", "d9_pq_quantize",
-    "d10_ann_ivfpq")
+    "d10_ann_ivfpq",
+    // round 7: block-prefix-sum global rank with arithmetic ntile
+    // (score ties broken by doc_id); gaps-and-islands span merge over
+    // a partitioned running sum; sorted-order mode tie-break inside
+    // MaxRun; newest-first list form with id tiebreak
+    "e11_unigram_logprob", "c8_dup_spans", "e10_top_ngram_share",
+    "b44_earned_list")
 
   private def snap(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
