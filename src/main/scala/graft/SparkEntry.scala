@@ -64,6 +64,7 @@ object SparkEntry {
     "p7_temperature_mix"        -> ((s: SparkSession, d: String) => PipelineOps.temperatureMix(s, d)),
     "p8_sequence_pack"          -> ((s: SparkSession, d: String) => PipelineOps.sequencePack(s, d)),
     "p9_filter_funnel"          -> ((s: SparkSession, d: String) => PipelineOps.filterFunnel(s, d)),
+    "p10_holdout_split"         -> PipelineOps.holdoutSplit _,
     // E. text analysis
     "e1_token_stats"            -> TextOps.tokenStats _,
     "e2_quality_score"          -> TextOps.qualityScore _,
@@ -551,6 +552,22 @@ object SparkEntry {
                 CAST(sum(n_tokens) AS BIGINT)
          FROM kept JOIN reps USING (cluster_id, doc_id)
          ORDER BY stage_id""",
+    // p10: c2's md5 lower-half parse (chars 9-16 = the long's low 32
+    // bits), 31-bit mask, mod 1000 — same bucket on both engines.
+    "p10_holdout_split" ->
+      """WITH b AS (SELECT doc_id,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             list_reduce(list_transform(generate_series(9, 16),
+               i -> (strpos('0123456789abcdef',
+                            substr(md5(doc_id::VARCHAR), i::INT, 1))
+                     - 1)::BIGINT),
+               (acc, x) -> acc * 16 + x) & 2147483647 AS h
+           FROM documents)
+         SELECT doc_id, n_tokens,
+           CASE WHEN h % 1000 < 10 THEN 'test'
+                WHEN h % 1000 < 60 THEN 'val'
+                ELSE 'train' END AS split
+         FROM b ORDER BY doc_id""",
     // c6: connected components — DuckDB computes the same 8-token
     // chunk-fingerprint edges, then closes them with a recursive-CTE
     // reachability fixpoint (identity ∪ one-hop extension, UNION

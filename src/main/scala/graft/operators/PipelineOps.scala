@@ -329,6 +329,35 @@ object PipelineOps {
       .repartition(col("lang"))
       .write.partitionBy("lang").mode("overwrite").parquet(outPath)
 
+  /** p10: deterministic held-out split — every pretraining pipeline
+    * carves train/val/test by a HASH of a stable document key, never
+    * by position or random(): the assignment must be reproducible
+    * across runs, engines and partitionings, and a doc must keep its
+    * split when the corpus around it grows (positional or sampled
+    * splits silently leak val into train on every re-shard).
+    * Buckets: md5-derived 31-bit hash of the doc id, mod 1000 —
+    * <10 test (1 %), <60 val (5 %), else train; same mask-and-mod
+    * contract c2's MinHash shingle hash established, so DuckDB
+    * replays the assignment bit-for-bit.
+    *
+    * 100 TB shape: pure per-row expression work, zero shuffles (the
+    * orderBy is the driver contract). Downstream joins on `split`
+    * prune with a pushed filter.
+    */
+  def holdoutSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      pmod(graft.functions.TextFns.md5hash64(col("doc_id").cast("string"))
+             .bitwiseAND(lit(2147483647L)), lit(1000L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              size(graft.functions.TextFns.tokens(col("text")))
+                .cast("long").as("n_tokens"),
+              when(bucket < 10, "test")
+                .when(bucket < 60, "val")
+                .otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** p9: the filter-funnel attrition report — how many documents and
     * tokens survive each stage of the p1 pipeline (raw → quality cut →
     * dedup representative). Every production pretraining pipeline

@@ -219,4 +219,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(docs(1) > docs(2), "the corpus plants near-dup clusters, " +
       "so dedup must remove at least one quality-passing doc")
   }
+
+  test("p10 holdout split: deterministic, exhaustive, near the 1/5/94 quotas") {
+    val got = PipelineOps.holdoutSplit(spark, sf).collect()
+    assert(got.length == Tables.documents(spark, sf).count())
+    // deterministic: the split is a pure function of doc_id
+    val again = PipelineOps.holdoutSplit(spark, sf).collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    val bySplit = got.groupBy(_.getAs[String]("split")).view.mapValues(_.length)
+    assert(bySplit.keys.toSet.subsetOf(Set("train", "val", "test")))
+    val n = got.length.toDouble
+    // hash buckets at 500 docs: generous tolerance, but all three
+    // splits must be present and train must dominate
+    assert(bySplit.getOrElse("train", 0) / n > 0.85, bySplit.toMap.toString)
+    assert(bySplit.getOrElse("val", 0) > 0, "no val docs")
+    assert(bySplit.getOrElse("test", 0) > 0, "no test docs")
+    // a doc keeps its split when the corpus around it changes: the
+    // assignment computed on a 1-doc corpus equals the full-corpus one
+    val spark2 = spark; import spark2.implicits._
+    val one = got.head
+    val tmp = java.nio.file.Files.createTempDirectory("graft_split_").toString
+    Seq((one.getAs[Long]("doc_id"), "solo text", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val solo = PipelineOps.holdoutSplit(spark, tmp).collect()(0)
+    assert(solo.getAs[String]("split") == one.getAs[String]("split"),
+      "split must not depend on the surrounding corpus")
+  }
 }
