@@ -366,24 +366,30 @@ object PipelineOps {
     * how a filter regression is caught before a training job burns on
     * it.
     *
-    * 100 TB shape: each stage is a 1-row partial aggregate over the
-    * same stages p1 already runs (quality is expression-only; the
-    * dedup stage reuses corpusDocs' CC + min_by winner); the union of
-    * three 1-row frames is free. Nothing here adds a shuffle the
-    * pipeline doesn't already have.
+    * 100 TB shape: the raw and quality stages come out of ONE
+    * conditional-aggregate pass over one scan (not one branch per
+    * stage — a union of per-stage aggregates re-scans and re-scores
+    * the corpus once per stage); the dedup stage reuses corpusDocs'
+    * CC + min_by winner. Nothing here adds a shuffle the pipeline
+    * doesn't already have.
     */
   def filterFunnel(spark: SparkSession, dir: String,
                    minQuality: Double = 0.72): DataFrame = {
-    def stage(df: DataFrame, id: Int, name: String): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-             sum(col("n_tokens")).as("n_tokens"))
-        .select(lit(id).as("stage_id"), lit(name).as("stage"),
-                col("n_docs"), col("n_tokens"))
-    val q = TextOps.qualityScore(spark, dir)
-      .select(col("doc_id"), col("n_tokens"), col("quality"))
-    stage(q, 0, "raw")
-      .unionByName(stage(q.filter(col("quality") >= minQuality), 1, "quality"))
-      .unionByName(stage(corpusDocs(spark, dir, minQuality), 2, "dedup"))
-      .orderBy(col("stage_id"))
+    val pass = col("quality") >= minQuality
+    val s01 = TextOps.qualityScore(spark, dir)
+      .select(col("n_tokens"), col("quality"))
+      .agg(count(lit(1)).as("d0"), sum(col("n_tokens")).as("t0"),
+           sum(when(pass, 1L).otherwise(0L)).as("d1"),
+           sum(when(pass, col("n_tokens")).otherwise(0L)).as("t1"))
+      .select(inline(array(
+        struct(lit(0).as("stage_id"), lit("raw").as("stage"),
+               col("d0").as("n_docs"), col("t0").as("n_tokens")),
+        struct(lit(1).as("stage_id"), lit("quality").as("stage"),
+               col("d1").as("n_docs"), col("t1").as("n_tokens")))))
+    val s2 = corpusDocs(spark, dir, minQuality)
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .select(lit(2).as("stage_id"), lit("dedup").as("stage"),
+              col("n_docs"), col("n_tokens"))
+    s01.unionByName(s2).orderBy(col("stage_id"))
   }
 }
