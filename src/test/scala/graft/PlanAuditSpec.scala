@@ -41,4 +41,26 @@ class PlanAuditSpec extends SparkSpec {
           s"$name plans a BroadcastNestedLoopJoin outside the documented set")
     }
   }
+
+  test("the native kernels stay in the hot plans (no interpreted fold regression)") {
+    // the round-7 kernel rewrites are easy to silently undo with a
+    // well-meaning refactor back to transform/aggregate lambdas; the
+    // optimized plan must carry the codegen'd expressions
+    def planOf(name: String) =
+      SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+    assert(planOf("e10_top_ngram_share").contains("max_run"),
+      "e10 lost MaxRun")
+    // (c2's signatures cross a typed-Aggregator LogicalRDD boundary,
+    // so its shingle stage isn't visible in the final plan — its
+    // kernel use is covered by the shared shingleSets helper c4 audits)
+    Seq("e7_dup_ngram_ratio", "e6_ngram_freq",
+        "c4_ngram_jaccard", "c8_dup_spans", "p2_decontaminate")
+      .foreach { q =>
+        assert(planOf(q).contains("shingle_windows"),
+          s"$q lost ShingleWindows")
+      }
+    assert(planOf("p10_holdout_split").contains("md5_hash64"),
+      "p10 lost Md5Hash64")
+  }
 }
