@@ -768,7 +768,7 @@ object SparkEntry {
                  JOIN nr ON adc.query_id = nr.vec_id
                  QUALIFY row_number() OVER (PARTITION BY adc.query_id
                    ORDER BY adot / (sqrt(rn2) * nr.nrm) DESC, cand_id)
-                   <= 80),
+                   <= 160),
          ex AS (SELECT query_id, cand_id,
              list_reduce(list_transform(list_zip(ec.emb, eq.emb),
                                         z -> z[1] * z[2]), (a, x) -> a + x)

@@ -276,11 +276,13 @@ object SimOps {
     * `rerank`·k ADC candidates get their full vector re-read for exact
     * cosine. At scale the expensive exact pass thus touches
     * rerank·k rows per query instead of every list member; ADC's
-    * ranking error is absorbed by the rerank margin. rerank=8 chosen
-    * from a measured grid (graft.tools.PqGrid): sf0.1 recall 0.44 →
-    * 0.495 over rerank=4, one step from the 0.505 ceiling the IVF
-    * routing itself sets (rerank=16 reaches it exactly), at unchanged
-    * runtime.
+    * ranking error is absorbed by the rerank margin. rerank=16 chosen
+    * from a measured grid (graft.tools.PqGrid, re-run after the
+    * round-7 fixed-codebook redesign): sf0.1 recall 0.588 / 0.672 /
+    * 0.730 at rerank 4 / 8 / 16, i.e. rerank=16 sits essentially at
+    * the 0.7425 ceiling the IVF routing itself sets, at unchanged
+    * runtime (the exact pass reads rerank·k rows per query — still
+    * negligible next to the probed-list ADC scan at any scale).
     *
     * Plan shape: broadcast centroid probe (documented BNLJ) → cell
     * join → pair dedup → shuffle join to the code table on cand_id →
@@ -292,7 +294,7 @@ object SimOps {
   def annIvfPq(spark: SparkSession, dir: String, k: Int = 10,
                qmod: Int = 50, nlist: Int = 32, nProbe: Int = 8,
                nAssign: Int = 2, ks: Int = 256, m: Int = 8,
-               subDim: Int = 8, rerank: Int = 8): DataFrame = {
+               subDim: Int = 8, rerank: Int = 16): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               VectorFns.norm(col("embedding")).as("nrm"))

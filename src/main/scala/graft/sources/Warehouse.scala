@@ -203,7 +203,7 @@ object Warehouse {
   def annIvfPqIndexed(spark: SparkSession, dir: String, k: Int = 10,
                       qmod: Int = 50, nlist: Int = 32,
                       nProbe: Int = 8, m: Int = 8, subDim: Int = 8,
-                      rerank: Int = 8): DataFrame = {
+                      rerank: Int = 16): DataFrame = {
     import graft.operators.SimOps
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)

@@ -205,11 +205,18 @@ class SimOpsSpec extends SparkSpec {
     // ADC ranks the same probed lists d5 scores exactly; the rerank
     // margin must keep most of d5's recall (d5 measured 0.78 here)
     assert(r10 > 0.5, s"IVF-PQ recall $r10 collapsed vs the IVF stage")
-    // a wider rerank margin than the default 8 can only help (more
-    // ADC candidates get the exact pass)
-    val r20 = recallOf(SimOps.annIvfPq(spark, sf, rerank = 16).collect()
+    // a wider rerank margin than the default (16 since the PqGrid
+    // re-run — this must stay STRICTLY above it or the check is
+    // vacuous, the round-6 ADVICE trap) can only help: more ADC
+    // candidates get the exact pass
+    val r32 = recallOf(SimOps.annIvfPq(spark, sf, rerank = 32).collect()
       .groupBy(_.getAs[Long]("query_id")))
-    assert(r20 >= r10 - 1e-9, s"wider rerank lost recall: $r10 -> $r20")
+    assert(r32 >= r10 - 1e-9, s"wider rerank lost recall: $r10 -> $r32")
+    // and a NARROWER margin must not beat the default (sanity that the
+    // margin is what moves recall)
+    val r8 = recallOf(SimOps.annIvfPq(spark, sf, rerank = 8).collect()
+      .groupBy(_.getAs[Long]("query_id")))
+    assert(r8 <= r10 + 1e-9, s"narrower rerank beat the default: $r8 > $r10")
   }
 
   test("d9 PQ accounting matches a naive JVM product quantizer") {
