@@ -678,7 +678,7 @@ object SparkEntry {
                               (a, x) -> a + x)) AS nrm FROM e),
          ct AS (SELECT e.vec_id AS cent_id, emb AS ce, nrm AS cnrm
                 FROM e JOIN nr ON e.vec_id = nr.vec_id
-                ORDER BY md5(e.vec_id::VARCHAR), e.vec_id LIMIT 32),
+                ORDER BY md5(e.vec_id::VARCHAR), e.vec_id LIMIT 64),
          sc AS (SELECT e.vec_id, ct.cent_id,
              list_reduce(list_transform(list_zip(e.emb, ct.ce),
                                         z -> z[1] * z[2]), (a, x) -> a + x)
@@ -686,7 +686,7 @@ object SparkEntry {
            FROM e JOIN nr ON e.vec_id = nr.vec_id CROSS JOIN ct),
          asg AS (SELECT vec_id, cent_id FROM sc
                  QUALIFY row_number() OVER (PARTITION BY vec_id
-                   ORDER BY csim DESC, cent_id) <= 2),
+                   ORDER BY csim DESC, cent_id) <= 4),
          prb AS (SELECT vec_id AS query_id, cent_id FROM sc
                  WHERE vec_id % 50 = 0
                  QUALIFY row_number() OVER (PARTITION BY vec_id
@@ -722,7 +722,7 @@ object SparkEntry {
                               (a, x) -> a + x)) AS nrm FROM e),
          ct AS (SELECT e.vec_id AS cent_id, emb AS ce, nrm AS cnrm
                 FROM e JOIN nr ON e.vec_id = nr.vec_id
-                ORDER BY md5(e.vec_id::VARCHAR), e.vec_id LIMIT 32),
+                ORDER BY md5(e.vec_id::VARCHAR), e.vec_id LIMIT 64),
          sc AS (SELECT e.vec_id, ct.cent_id,
              list_reduce(list_transform(list_zip(e.emb, ct.ce),
                                         z -> z[1] * z[2]), (a, x) -> a + x)
@@ -730,7 +730,7 @@ object SparkEntry {
            FROM e JOIN nr ON e.vec_id = nr.vec_id CROSS JOIN ct),
          asg AS (SELECT vec_id, cent_id FROM sc
                  QUALIFY row_number() OVER (PARTITION BY vec_id
-                   ORDER BY csim DESC, cent_id) <= 2),
+                   ORDER BY csim DESC, cent_id) <= 4),
          prb AS (SELECT vec_id AS query_id, cent_id FROM sc
                  WHERE vec_id % 50 = 0
                  QUALIFY row_number() OVER (PARTITION BY vec_id

@@ -146,10 +146,13 @@ object SimOps {
     * with it the broadcast size and the O(N·nlist) assignment cost —
     * is independent of corpus size; at real scale pick nlist ≈ √N
     * (the classic IVF sizing: cells of ~√N vectors each) — the
-    * default 32 fits the test corpora (N ≤ 2000). Two recall levers,
-    * both measured in grid runs at sf0.1: soft corpus assignment
-    * `nAssign=2` (default — a boundary vector is indexed in both
-    * flanking cells; recall up at equal probe cost, index ×2) and
+    * default 64 fits the test corpora (N ≤ 2000). Two recall levers,
+    * both measured in grid runs at sf0.1 (graft.tools.IvfGrid; the
+    * nlist=64/nProbe=8/nAssign=4 default is the measured frontier
+    * point: recall 0.793 at the same ~50 % scan fraction the old
+    * 32/8/2 point spent for 0.743): soft corpus assignment
+    * `nAssign=4` (default — a boundary vector is indexed in its 4
+    * nearest cells; recall up at equal probe cost, index ×4) and
     * `kmeansIters` Lloyd rounds (a BUILD-time cost — per-query here
     * because the bench rebuilds the index, amortized to zero on a
     * real corpus where centroids are trained once and reused).
@@ -226,8 +229,8 @@ object SimOps {
   }
 
   def annIvf(spark: SparkSession, dir: String, k: Int = 10,
-             qmod: Int = 50, nlist: Int = 32, nProbe: Int = 8,
-             kmeansIters: Int = 0, nAssign: Int = 2): DataFrame = {
+             qmod: Int = 50, nlist: Int = 64, nProbe: Int = 8,
+             kmeansIters: Int = 0, nAssign: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               VectorFns.norm(col("embedding")).as("nrm"))
@@ -292,8 +295,8 @@ object SimOps {
     * scores (they're true cosines) is spec-checked like d5's.
     */
   def annIvfPq(spark: SparkSession, dir: String, k: Int = 10,
-               qmod: Int = 50, nlist: Int = 32, nProbe: Int = 8,
-               nAssign: Int = 2, ks: Int = 256, m: Int = 8,
+               qmod: Int = 50, nlist: Int = 64, nProbe: Int = 8,
+               nAssign: Int = 4, ks: Int = 256, m: Int = 8,
                subDim: Int = 8, rerank: Int = 16): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),

@@ -118,8 +118,8 @@ object Warehouse {
     * vector in two cells has its codes duplicated in both, exactly
     * like a real IVF posting list.
     */
-  def buildIvf(spark: SparkSession, dir: String, nlist: Int = 32,
-               nAssign: Int = 2, ks: Int = 256, m: Int = 8,
+  def buildIvf(spark: SparkSession, dir: String, nlist: Int = 64,
+               nAssign: Int = 4, ks: Int = 256, m: Int = 8,
                subDim: Int = 8): Unit = {
     import graft.operators.SimOps
     dropManaged(spark, Seq("graft_ivf_lists"))
@@ -154,7 +154,7 @@ object Warehouse {
     * build amortized out.
     */
   def annIvfFlatIndexed(spark: SparkSession, dir: String, k: Int = 10,
-                        qmod: Int = 50, nlist: Int = 32,
+                        qmod: Int = 50, nlist: Int = 64,
                         nProbe: Int = 8): DataFrame = {
     import graft.operators.SimOps
     import org.apache.spark.sql.expressions.Window
@@ -201,7 +201,7 @@ object Warehouse {
     * same index parameters.
     */
   def annIvfPqIndexed(spark: SparkSession, dir: String, k: Int = 10,
-                      qmod: Int = 50, nlist: Int = 32,
+                      qmod: Int = 50, nlist: Int = 64,
                       nProbe: Int = 8, m: Int = 8, subDim: Int = 8,
                       rerank: Int = 16): DataFrame = {
     import graft.operators.SimOps
