@@ -76,7 +76,7 @@ object SparkEntry {
     "e8_pii_scrub"              -> TextOps.piiScrub _,
     "e9_para_dedup"             -> ((s: SparkSession, d: String) => TextOps.paraDedup(s, d)),
     "e10_top_ngram_share"       -> TextOps.topNgramShare _,
-    "e11_unigram_logprob"       -> TextOps.unigramLogprob _,
+    "e11_unigram_logprob"       -> ((s: SparkSession, d: String) => TextOps.unigramLogprob(s, d)),
     "e12_gopher_rules"          -> TextOps.gopherRules _,
     "d9_pq_quantize"            -> ((s: SparkSession, d: String) => SimOps.pqQuantize(s, d)),
     "d10_ann_ivfpq"             -> ((s: SparkSession, d: String) => SimOps.annIvfPq(s, d)),

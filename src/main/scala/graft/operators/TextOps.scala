@@ -348,13 +348,18 @@ object TextOps {
     * (1-row cross join). Buckets rank on the ROUNDED score + doc_id
     * so the cut is reproducible across engines and partitionings.
     */
-  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+  def unigramLogprob(spark: SparkSession, dir: String,
+                     broadcastVocab: Boolean = true): DataFrame = {
     val toks = docs(spark, dir)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = uni.agg(sum(col("c")).as("total"))
+    // `broadcastVocab=false` is the too-big-to-broadcast escape hatch:
+    // an ordinary shuffle join on the token — same rows, same scores
+    // (parity-checked in TextOpsSpec), only the join
+    // strategy changes
     val scored = toks
-      .join(broadcast(uni), "tok")
+      .join(if (broadcastVocab) broadcast(uni) else uni, "tok")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),

@@ -244,6 +244,16 @@ class TextOpsSpec extends SparkSpec {
     assert(b1min >= b3max, "bucket 1 must dominate bucket 3")
   }
 
+  test("e11 co-partitioned vocab path is row-identical to the broadcast path") {
+    // the scaladoc's "at a vocabulary too large to broadcast it
+    // becomes an ordinary co-partitioned join — nothing else changes"
+    // claim, as a tested fact rather than a comment
+    val a = TextOps.unigramLogprob(spark, sf).collect().map(_.toString).toSeq
+    val b = TextOps.unigramLogprob(spark, sf, broadcastVocab = false)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("e12 Gopher rules match a naive recompute; keep = AND of the rules") {
     val got = TextOps.gopherRules(spark, sf).collect()
     assert(got.length == texts.size)
