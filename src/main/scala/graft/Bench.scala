@@ -24,6 +24,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * spacing between repeats a burst must span the entire suite to
   * contaminate every pass of any single query. All raw passes are
   * preserved in `queries_runs` so burst shape stays diagnosable.
+  *
+  * In-run ambient control: two constant-size reference tasks are timed
+  * throughout the run and reported under `ambient`, so any bench can be
+  * normalized against host contention without trusting session notes:
+  *   - cpu:   a 32-partition scan of a fixed in-memory range through a
+  *            codegen'd hash+sum — slows in proportion to stolen cores.
+  *   - sched: 512 one-row tasks with trivial work — isolates per-task
+  *            launch/scheduling overhead, the component that dominates
+  *            the sub-second fixed-cost-bound queries.
+  * Neither touches disk and both are deterministic in work, so on a
+  * quiet host they repeat to within a few percent. A pair runs before
+  * each pass, every `SPARK_GRAFT_BENCH_CONTROL_EVERY` (default 15)
+  * queries within a pass, and once after the last pass; each sample
+  * records its offset (seconds since bench start) so contention-burst
+  * shape stays visible. Normalization contract: divide a run's
+  * suite-vs-baseline ratio by (this run's control median / the blessed
+  * control minimum recorded in BASELINE.md).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,6 +62,42 @@ object Bench {
       System.err.println(s"[bench] warmup FAILED: ${e.getMessage}")
     }
     val warmup = (System.nanoTime() - tw) / 1e9
+
+    // ---- in-run ambient control (see scaladoc) ----
+    val benchStart = System.nanoTime()
+    def offset(): Double = (System.nanoTime() - benchStart) / 1e9
+    def timeNoop(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def controlCpu(): Double = {
+      // bit_xor, not sum: summing 192M hash values overflows Long under
+      // ANSI mode; xor keeps the identical per-row hash work.
+      import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+      timeNoop(spark.range(0, 768L << 20, 1, 32)
+        .select(bit_xor(xxhash64(col("id")))))
+    }
+    def controlSched(): Double = {
+      import org.apache.spark.sql.functions.{col, sum}
+      timeNoop(spark.range(0, 512, 1, 512).select(sum(col("id"))))
+    }
+    val controlEvery = sys.env.get("SPARK_GRAFT_BENCH_CONTROL_EVERY")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1)
+      .getOrElse(15)
+    val cpuRuns = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    val schedRuns = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    def runControls(): Unit =
+      try {
+        val o1 = offset(); cpuRuns += ((o1, controlCpu()))
+        val o2 = offset(); schedRuns += ((o2, controlSched()))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ambient control FAILED: ${e.getMessage}")
+      }
+    // Warm the control plans (codegen) outside the measured samples so
+    // the first sample isn't a compile-time outlier.
+    try { controlCpu(); controlSched() } catch { case _: Throwable => () }
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Sorted name order: hash-map iteration order shifts whenever a
     // query is added, which silently re-assigns cold-scan/warmup costs
@@ -59,22 +112,29 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val timesByName = scala.collection.mutable.LinkedHashMap(
       names.map { case (n, _) => n -> Vector.empty[Double] }: _*)
-    for (_ <- 1 to repeats; (name, fn) <- names) {
-      val t0 = System.nanoTime()
-      val t =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          // Report the FIRST failure only; later passes of a failing
-          // query fail identically and would spam stderr.
-          if (!errors.contains(name)) {
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+    for (_ <- 1 to repeats) {
+      runControls()
+      var sinceControl = 0
+      for ((name, fn) <- names) {
+        val t0 = System.nanoTime()
+        val t =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            // Report the FIRST failure only; later passes of a failing
+            // query fail identically and would spam stderr.
+            if (!errors.contains(name)) {
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+            }
+            -1.0
           }
-          -1.0
-        }
-      timesByName(name) = timesByName(name) :+ t
+        timesByName(name) = timesByName(name) :+ t
+        sinceControl += 1
+        if (sinceControl >= controlEvery) { runControls(); sinceControl = 0 }
+      }
     }
+    runControls()
     val results = names.map { case (name, _) => name -> timesByName(name) }
     def fmt(d: Double): String = if (d < 0) "-1" else f"$d%.4f"
     val best = results.map { case (name, ts) =>
@@ -223,7 +283,23 @@ object Bench {
         "{}"
       }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_runs":$runs,"repeats":$repeats,"sf":"$sfDir","failed":$nFail,"warmup_sec":${fmt(warmup)},"total_excl_first":${fmt(totalExclFirst)},"total_firstpass":${fmt(firstPassTotal)},"multimodal_split":$mmJson,"ann_split":$annSplit,"recall":$recalls}""")
+    val ambient = {
+      def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
+      def med(xs: Seq[Double]): Double =
+        if (xs.isEmpty) -1.0
+        else {
+          val s = xs.sorted; val n = s.length
+          if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+        }
+      def mn(xs: Seq[Double]): Double = if (xs.isEmpty) -1.0 else xs.min
+      val cs = cpuRuns.map(_._2).toSeq
+      val ss = schedRuns.map(_._2).toSeq
+      s"""{"cpu_runs":${arr(cs)},"cpu_at":${arr(cpuRuns.map(_._1).toSeq)},""" +
+        s""""sched_runs":${arr(ss)},"sched_at":${arr(schedRuns.map(_._1).toSeq)},""" +
+        s""""cpu_min":${fmt(mn(cs))},"cpu_median":${fmt(med(cs))},""" +
+        s""""sched_min":${fmt(mn(ss))},"sched_median":${fmt(med(ss))}}"""
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_runs":$runs,"repeats":$repeats,"sf":"$sfDir","failed":$nFail,"warmup_sec":${fmt(warmup)},"total_excl_first":${fmt(totalExclFirst)},"total_firstpass":${fmt(firstPassTotal)},"ambient":$ambient,"multimodal_split":$mmJson,"ann_split":$annSplit,"recall":$recalls}""")
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }
