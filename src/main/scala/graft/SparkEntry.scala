@@ -134,6 +134,10 @@ object SparkEntry {
     "b43_today_earned"          -> MarketOps.todayEarned _,
     "b44_earned_list"           -> ((s: SparkSession, d: String) => MarketOps.earnedList(s, d)),
     "b45_v1_wallet_market"      -> ((s: SparkSession, d: String) => MarketOps.v1WalletMarket(s, d)),
+    // final two query-shaped endpoints: DID point lookup + latest rate
+    // (app.service.ts:356, :39)
+    "b46_did_lookup"            -> ((s: SparkSession, d: String) => MarketOps.didLookup(s, d)),
+    "b47_latest_rate"           -> ((s: SparkSession, d: String) => MarketOps.latestRate(s, d)),
   )
 
   /** Shared DuckDB prelude for the f-family oracles: rebuilds
@@ -1928,5 +1932,15 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_orderstatus = 'O'
          ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 20""",
+    // b46: findOne({address}) — unique-key point lookup.
+    "b46_did_lookup" ->
+      """SELECT c_custkey AS did, c_name AS address, c_nationkey,
+         c_mktsegment
+         FROM customer WHERE c_name = 'Customer#000000042' LIMIT 1""",
+    // b47: findOne sorted timestamp desc — latest rate tick.
+    "b47_latest_rate" ->
+      """SELECT epoch_ms(ts) AS ms, event_id, event_type AS rate_type,
+         value AS rate
+         FROM events ORDER BY ms DESC, event_id DESC LIMIT 1""",
   )
 }

@@ -1058,4 +1058,37 @@ object MarketOps {
       .orderBy(col("orderkey"), col("l_linenumber"))
       .limit(pageSize)
   }
+
+  /** b46: DID-by-address point lookup — `getDidByAddress`
+    * (app.service.ts:356): `findOne({address})` on the `address_did`
+    * collection, hit on every profile view. Here: one customer's
+    * identity card fetched by its unique string key. The equality
+    * predicate pushes into the parquet scan (PushedFilters +
+    * dictionary/stats row-group skipping), so the plan is a
+    * CollectLimit over a filtered scan — no shuffle, no join. At
+    * 100 TB this is the shape you'd serve from a bucketed/sorted
+    * layout keyed on the address column; the query itself stays
+    * identical.
+    */
+  def didLookup(spark: SparkSession, dir: String,
+                address: String = "Customer#000000042"): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_name") === address)
+      .select(col("c_custkey").as("did"), col("c_name").as("address"),
+              col("c_nationkey"), col("c_mktsegment"))
+      .limit(1)
+
+  /** b47: latest platform rate — `getPrice` (app.service.ts:39):
+    * `findOne({}, {sort: {timestamp: -1}})` of `tokens_price`. Here:
+    * the single most recent event row (the rate tick), tie-broken on
+    * event_id for determinism. TakeOrderedAndProject keeps a
+    * per-partition top-1 and reduces the ≤#partitions candidates at
+    * the driver — no global sort, no shuffle of the fact table.
+    */
+  def latestRate(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(expr("ts div 1000000").as("ms"), col("event_id"),
+              col("event_type").as("rate_type"), col("value").as("rate"))
+      .orderBy(col("ms").desc, col("event_id").desc)
+      .limit(1)
 }

@@ -361,4 +361,31 @@ class MarketOpsSpec extends SparkSpec {
       .take(20).map(_._2).toSeq
     assert(got == naive)
   }
+
+  test("b46 point lookup returns exactly the addressed row, predicate pushed") {
+    val df = MarketOps.didLookup(spark, sf, "Customer#000000042")
+    val got = df.collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("did") == 42L)
+    assert(got(0).getAs[String]("address") == "Customer#000000042")
+    // the equality predicate must reach the parquet scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+           plan.contains("EqualTo(c_name"), plan)
+    // a missing address yields zero rows, not an error
+    assert(MarketOps.didLookup(spark, sf, "Customer#nope").count() == 0L)
+  }
+
+  test("b47 latest rate is the global max-(ts,event_id) event row") {
+    val got = MarketOps.latestRate(spark, sf).collect()
+    assert(got.length == 1)
+    val naive = Tables.events(spark, sf)
+      .select(expr("ts div 1000000").as("ms"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).max
+    assert((got(0).getAs[Long]("ms"), got(0).getAs[Long]("event_id")) == naive)
+    // findOne-sorted shape: per-partition top-1, no global sort exchange
+    val plan = MarketOps.latestRate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
