@@ -261,6 +261,15 @@ object Bench {
         "d5_ann_ivf_kmeans2" -> recallVs(exactTop,
           graft.operators.SimOps.annIvf(spark, sfDir, kmeansIters = 2),
           annCols),
+        // the build-once landed index (Lloyd-refined routing/codebooks,
+        // built by ann_split above): the recall the production probe
+        // path actually serves; -1 if the index isn't landed
+        "d5_ann_ivf_indexed" -> (try recallVs(exactTop,
+          graft.sources.Warehouse.annIvfFlatIndexed(spark, sfDir), annCols)
+          catch { case _: Throwable => -1.0 }),
+        "d10_ann_ivfpq_indexed" -> (try recallVs(exactTop,
+          graft.sources.Warehouse.annIvfPqIndexed(spark, sfDir), annCols)
+          catch { case _: Throwable => -1.0 }),
         "c2_dedup_minhash" -> recallVs(dupPairs, run("c2_dedup_minhash"), pairCols),
         "c3_dedup_simhash" -> recallVs(dupPairs, run("c3_dedup_simhash"), pairCols),
         // the occupancy-adequate-cap variant (not a registered query):

@@ -297,11 +297,12 @@ object SimOps {
   def annIvfPq(spark: SparkSession, dir: String, k: Int = 10,
                qmod: Int = 50, nlist: Int = 64, nProbe: Int = 8,
                nAssign: Int = 4, ks: Int = 256, m: Int = 8,
-               subDim: Int = 8, rerank: Int = 16): DataFrame = {
+               subDim: Int = 8, rerank: Int = 16,
+               kmeansIters: Int = 0): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               VectorFns.norm(col("embedding")).as("nrm"))
-    val cells = nearestCells(ivfCentroids(emb, nlist, 0)) _
+    val cells = nearestCells(ivfCentroids(emb, nlist, kmeansIters)) _
     val lists = cells(emb, "vec_id", "embedding", "nrm", nAssign)
       .select(col("vec_id").as("cand_id"), col("cent_id"))
     val queries = emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
@@ -317,7 +318,7 @@ object SimOps {
     // expression argmin against the fixed ≤256-entry codebook (no join)
     val codes = pqEncode(
         pqSubs(emb.select(col("vec_id"), col("embedding")),
-               Seq("vec_id"), m, subDim), ks, m)
+               Seq("vec_id"), m, subDim), ks, m, kmeansIters)
       .select(col("vec_id").as("cand_id"), col("sub_j"), col("ce"),
               col("cn"))
     val qsubs = pqSubs(

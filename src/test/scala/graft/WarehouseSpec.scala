@@ -54,9 +54,11 @@ class WarehouseSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning"),
       "probe join did not produce a dynamic partition pruning filter")
     // and the landed index must answer exactly what the self-contained
-    // d10 computes per run (same routing, same codes, same rerank)
+    // d10 computes per run at the SAME build parameters (the build-once
+    // path defaults to Lloyd-refined routing/codebooks, kmeansIters=2)
     val fromIndex = indexed.collect().toSeq.map(_.toString)
-    val selfContained = graft.operators.SimOps.annIvfPq(spark, sf)
+    val selfContained = graft.operators.SimOps
+      .annIvfPq(spark, sf, kmeansIters = 2)
       .collect().toSeq.map(_.toString)
     assert(fromIndex == selfContained)
   }
@@ -65,7 +67,8 @@ class WarehouseSpec extends SparkSpec {
     Warehouse.buildIvf(spark, sf)
     val fromIndex = Warehouse.annIvfFlatIndexed(spark, sf)
       .collect().toSeq.map(_.toString)
-    val selfContained = graft.operators.SimOps.annIvf(spark, sf)
+    val selfContained = graft.operators.SimOps
+      .annIvf(spark, sf, kmeansIters = 2)
       .collect().toSeq.map(_.toString)
     assert(fromIndex == selfContained && fromIndex.nonEmpty)
   }
