@@ -550,8 +550,18 @@ object EventStream {
         "this caller's deterministic-winner semantics require a single " +
         "AvailableNow batch (did a trigger/maxFilesPerTrigger option change?)")
     }
+    lastMicroBatchPlan =
+      org.apache.spark.sql.graftbridge.lastStreamPlan(q).getOrElse("")
     spark.table(name)
   }
+
+  /** Executed plan of the final micro-batch of the most recent
+    * [[runToBatch]] stream — the streaming analog of
+    * `queryExecution.executedPlan`, captured so PlanAuditSpec can
+    * audit the streaming family (state-store operator placement, no
+    * cartesians) exactly like the batch sweep.
+    */
+  @volatile var lastMicroBatchPlan: String = ""
 
   /** a9: the hourly rollup computed through the streaming path. */
   def streamHourly(spark: SparkSession, dir: String): DataFrame =

@@ -63,4 +63,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(planOf("p10_holdout_split").contains("md5_hash64"),
       "p10 lost Md5Hash64")
   }
+
+  test("streaming micro-batch plans: state stores placed, no cartesians") {
+    // the expected STATEFUL operator per stream — the placement that
+    // makes each one a true incremental computation (state store keyed
+    // by the shuffle partitioning) rather than a re-aggregation
+    val statefulOp = Map(
+      "a9_stream_hourly"   -> "StateStoreSave",            // windowed agg
+      "a10_stream_state"   -> "FlatMapGroupsWithState",    // per-user fold
+      "a13_stream_join"    -> "StreamingSymmetricHashJoin",// stream⋈stream
+      "a14_stream_asof"    -> "FlatMapGroupsWithState",    // as-of state
+      "a15_stream_asof_ooo" -> "FlatMapGroupsWithState",   // OOO buffer
+      "p5_stream_ingest"   -> "FlatMapGroupsWithState")    // dedup winner
+    statefulOp.keys.toSeq.sorted.foreach { name =>
+      SparkEntry.queries(name)(spark, sf).collect()
+      val plan = graft.streaming.EventStream.lastMicroBatchPlan
+      assert(plan.nonEmpty, s"$name: no micro-batch plan captured")
+      assert(plan.contains(statefulOp(name)),
+        s"$name micro-batch plan lost its ${statefulOp(name)} operator")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name micro-batch plans a CartesianProduct")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name micro-batch plans a BroadcastNestedLoopJoin")
+    }
+  }
 }
