@@ -65,6 +65,9 @@ object SparkEntry {
     "p8_sequence_pack"          -> ((s: SparkSession, d: String) => PipelineOps.sequencePack(s, d)),
     "p9_filter_funnel"          -> ((s: SparkSession, d: String) => PipelineOps.filterFunnel(s, d)),
     "p10_holdout_split"         -> PipelineOps.holdoutSplit _,
+    // incremental (cross-batch) fuzzy dedup: arriving docs labeled
+    // against the standing corpus' LSH band index
+    "p11_incremental_dedup"     -> ((s: SparkSession, d: String) => DedupOps.incrementalMinhash(s, d)),
     // E. text analysis
     "e1_token_stats"            -> TextOps.tokenStats _,
     "e2_quality_score"          -> TextOps.qualityScore _,
@@ -572,6 +575,53 @@ object SparkEntry {
                 WHEN h % 1000 < 60 THEN 'val'
                 ELSE 'train' END AS split
          FROM b ORDER BY doc_id""",
+    // p11: c2's replay with a batch split — existing docs (id%10!=0)
+    // form the capped band index, arriving docs (id%10==0) probe it;
+    // label = best standing partner with est >= 0.5, NULL = novel.
+    "p11_incremental_dedup" -> {
+      val permRows = graft.functions.TextFns.minhashPerms(128).zipWithIndex
+        .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                THEN list_transform(generate_series(1, len(toks) - 2),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [] END) AS gs FROM t),
+         sh AS (SELECT doc_id,
+             list_reduce(list_transform(generate_series(9, 16),
+               i -> (strpos('0123456789abcdef', substr(m, i::INT, 1)) - 1)::BIGINT),
+               (acc, x) -> acc * 16 + x) & 2147483647 AS h
+           FROM (SELECT doc_id, md5(unnest(gs)) AS m FROM g)),
+         perms(i, pa, pb) AS (VALUES $permRows),
+         sv AS (SELECT doc_id, i, min((pa * h + pb) % 2147483648) AS v
+                FROM sh CROSS JOIN perms GROUP BY 1, 2),
+         sg AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM sv GROUP BY 1),
+         bx AS (SELECT doc_id, band,
+             md5(array_to_string(
+               list_slice(sig, band * 4 + 1, band * 4 + 4), ',')) AS bkey
+           FROM sg CROSS JOIN
+             (SELECT unnest(generate_series(0, 31)) AS band)),
+         ex AS (SELECT * FROM (
+             SELECT b2.*, count(*) OVER (PARTITION BY band, bkey) AS n
+             FROM bx b2 WHERE b2.doc_id % 10 != 0) WHERE n <= 64),
+         nw AS (SELECT * FROM bx WHERE doc_id % 10 = 0),
+         pr AS (SELECT DISTINCT nw.doc_id AS doc_id, ex.doc_id AS ex_id
+                FROM nw JOIN ex ON nw.band = ex.band AND nw.bkey = ex.bkey),
+         est AS (SELECT pr.doc_id, pr.ex_id,
+             round(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+               p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / 128.0, 4)
+               AS est
+           FROM pr JOIN sg sa ON pr.doc_id = sa.doc_id
+                   JOIN sg sb ON pr.ex_id = sb.doc_id),
+         best AS (SELECT doc_id, ex_id, est, row_number()
+               OVER (PARTITION BY doc_id ORDER BY est DESC, ex_id) AS rk
+           FROM est WHERE est >= 0.5)
+         SELECT doc_id, b.ex_id AS dup_of, b.est AS est_jaccard
+         FROM (SELECT doc_id FROM documents
+               WHERE text IS NOT NULL AND doc_id % 10 = 0) d
+         LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+         ORDER BY doc_id"""
+    },
     // c6: connected components — DuckDB computes the same 8-token
     // chunk-fingerprint edges, then closes them with a recursive-CTE
     // reachability fixpoint (identity ∪ one-hop extension, UNION

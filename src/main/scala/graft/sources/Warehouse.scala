@@ -155,6 +155,32 @@ object Warehouse {
   def ivfLists(spark: SparkSession): DataFrame = spark.table("graft_ivf_lists")
   def ivfCents(spark: SparkSession): DataFrame = spark.table("graft_ivf_cents")
 
+  /** One-time MinHash index landing for p11's incremental dedup: the
+    * standing corpus' bucket-capped LSH band keys + signatures. An
+    * arriving batch probes these tables via a broadcast of ITS side —
+    * no standing row ever re-shards (WarehouseSpec asserts no exchange
+    * sits above either index scan in the probe plan). At 100 TB the
+    * bands table is the crawler's persistent dedup state, appended as
+    * batches are accepted; the cap is a build-time posting-list limit.
+    */
+  def buildMinhash(spark: SparkSession, dir: String, bucketCap: Int = 64,
+                   newMod: Int = 10): Unit = {
+    dropManaged(spark, Seq("graft_minhash_bands", "graft_minhash_sigs"))
+    val (bands, sigs) = graft.operators.DedupOps
+      .minhashIndexParts(spark, dir, bucketCap, newMod)
+    bands.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable("graft_minhash_bands")
+    sigs.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable("graft_minhash_sigs")
+  }
+
+  /** p11 over the landed standing index — see
+    * DedupOps.incrementalMinhashIndexed.
+    */
+  def incrementalMinhashIndexed(spark: SparkSession, dir: String,
+                                tau: Double = 0.5): DataFrame =
+    graft.operators.DedupOps.incrementalMinhashIndexed(spark, dir, tau)
+
   /** d5 (IVF-flat) over the landed index: probe-side only — the cell
     * membership comes from graft_ivf_lists' partition directories
     * (DPP-pruned by the broadcast probe join), candidate vectors are

@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{GraftSession, SparkEntry}
+
+/** Scaling-curve evidence (SURVEY §6): run the data-bound hot queries
+  * at a base SF dir and a ×N scaled dir (GenScale) in ONE session —
+  * same JVM, same ambient — and report per-query times + ratios, plus
+  * Bench's cpu/sched ambient controls so the run is normalizable.
+  *
+  * d5/d10 are benched twice at the scaled dir: the registered form
+  * (whose query batch is every-50th-vector and therefore grows ×N with
+  * the corpus — its cost is Q·scan, quadratic in SF by WORKLOAD
+  * definition, not an algorithm cliff) and a `_fixedq` form that scales
+  * qmod by the factor to hold the query-batch size constant — the
+  * production shape (query traffic doesn't grow because the corpus
+  * did), which should scale ~linearly.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleBench /root/testdata/sf0.1
+  * /root/repo/testdata_sf1 10"` → one JSON line.
+  */
+object ScaleBench {
+  private val Hot = Seq(
+    "a13_stream_join", "c2_dedup_minhash", "c4_ngram_jaccard",
+    "c6_dedup_clusters", "d5_ann_ivf", "d10_ann_ivfpq",
+    "e11_unigram_logprob", "p1_corpus_prep", "p3_fuzzy_dedup",
+    "p9_filter_funnel", "p11_incremental_dedup")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scaled = args.lift(1).getOrElse("/root/repo/testdata_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1).getOrElse(2)
+    val spark = GraftSession.build("graft-scale-bench")
+
+    def timeNoop(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { df.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[scale-bench] FAILED: ${e.getMessage}"); -1.0 }
+    }
+    def controlCpu(): Double = {
+      import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+      timeNoop(spark.range(0, 768L << 20, 1, 32)
+        .select(bit_xor(xxhash64(col("id")))))
+    }
+    def controlSched(): Double = {
+      import org.apache.spark.sql.functions.{col, sum}
+      timeNoop(spark.range(0, 512, 1, 512).select(sum(col("id"))))
+    }
+
+    // work items: (label, dir-tag, thunk)
+    def items: Seq[(String, String, () => DataFrame)] =
+      Hot.flatMap { q =>
+        Seq((q, "base", () => SparkEntry.queries(q)(spark, base)),
+            (q, "scaled", () => SparkEntry.queries(q)(spark, scaled)))
+      } ++ Seq(
+        ("d5_ann_ivf_fixedq", "base",
+         () => graft.operators.SimOps.annIvf(spark, base)),
+        ("d5_ann_ivf_fixedq", "scaled",
+         () => graft.operators.SimOps.annIvf(spark, scaled, qmod = 50 * factor)),
+        ("d10_ann_ivfpq_fixedq", "base",
+         () => graft.operators.SimOps.annIvfPq(spark, base)),
+        ("d10_ann_ivfpq_fixedq", "scaled",
+         () => graft.operators.SimOps.annIvfPq(spark, scaled, qmod = 50 * factor)))
+
+    // warmup: flagship-equivalent scan of both dirs
+    timeNoop(SparkEntry.queries("c1_dedup_exact")(spark, base))
+    timeNoop(SparkEntry.queries("c1_dedup_exact")(spark, scaled))
+    controlCpu(); controlSched() // warm the control plans
+
+    val times = scala.collection.mutable.LinkedHashMap[(String, String), Vector[Double]]()
+    val cpu = scala.collection.mutable.ArrayBuffer[Double]()
+    val sched = scala.collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 1 to repeats) {
+      cpu += controlCpu(); sched += controlSched()
+      for ((q, tag, mk) <- items) {
+        val t = timeNoop(mk())
+        times((q, tag)) = times.getOrElse((q, tag), Vector.empty) :+ t
+        System.err.println(f"[scale-bench] $q%-22s $tag%-6s ${t}%.2fs")
+      }
+    }
+    cpu += controlCpu(); sched += controlSched()
+
+    def fmt(d: Double) = if (d < 0) "-1" else f"$d%.4f"
+    def mn(v: Vector[Double]) = { val ok = v.filter(_ >= 0)
+      if (ok.nonEmpty) ok.min else -1.0 }
+    val labels = items.map(i => (i._1, i._2)).distinct.map(_._1).distinct
+    val baseMin = labels.map(q => q -> mn(times((q, "base")))).toMap
+    val scaledMin = labels.map(q => q -> mn(times((q, "scaled")))).toMap
+    def obj(m: Map[String, Double]) = labels
+      .map(q => "\"" + q + "\":" + fmt(m(q))).mkString("{", ",", "}")
+    val ratios = labels.map { q =>
+      val r = if (baseMin(q) > 0 && scaledMin(q) > 0) scaledMin(q) / baseMin(q)
+              else -1.0
+      "\"" + q + "\":" + fmt(r)
+    }.mkString("{", ",", "}")
+    val amb = s"""{"cpu_runs":${cpu.map(fmt).mkString("[", ",", "]")},""" +
+      s""""sched_runs":${sched.map(fmt).mkString("[", ",", "]")}}"""
+    println(s"""{"metric":"scale_curve","base_dir":"$base","scaled_dir":"$scaled","factor":$factor,"repeats":$repeats,"base":${obj(baseMin)},"scaled":${obj(scaledMin)},"ratio":$ratios,"ambient":$amb}""")
+    spark.stop()
+  }
+}

@@ -22,4 +22,25 @@ object graftbridge {
         Option(w.streamingQuery.lastExecution).map(_.executedPlan.toString)
       case _ => None
     }
+
+  /** Every physical node of an executed plan, descending through the
+    * AQE wrappers (`AdaptiveSparkPlanExec`, materialized
+    * `QueryStageExec`s, reused exchanges) that hide their subtrees
+    * from a plain `children` walk. Under AQE a finalized plan's top
+    * level is a single `ResultQueryStage` with NO children — a naive
+    * walk sees one node and counts zero exchanges, making any
+    * "shuffle-free" assertion vacuous. Spec helpers walk with this.
+    */
+  def planNodes(p: execution.SparkPlan): Seq[execution.SparkPlan] =
+    p +: planChildren(p).flatMap(planNodes)
+
+  /** Structural children of a physical node, looking through the AQE
+    * wrappers planNodes documents.
+    */
+  def planChildren(p: execution.SparkPlan): Seq[execution.SparkPlan] = p match {
+    case a: execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+    case q: execution.adaptive.QueryStageExec => Seq(q.plan)
+    case r: execution.exchange.ReusedExchangeExec => Seq(r.child)
+    case other => other.children
+  }
 }

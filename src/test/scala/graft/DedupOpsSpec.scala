@@ -399,4 +399,63 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(2L) == ((1L, 9L)), s"doc 2: ${got(2L)}")
     assert(got(3L) == ((2L, 18L)), s"doc 3: ${got(3L)}")
   }
+
+  test("p11 incremental labels equal the full-batch pipeline on a two-batch corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("p11corpus").toString
+    // standing corpus (ids % 10 != 0): mutually-distinct token streams;
+    // arriving batch (ids % 10 == 0): one exact copy, one near-copy,
+    // one moderate-overlap doc, one novel doc
+    def toks(tag: String) = (1 to 40).map(i => s"$tag$i").mkString(" ")
+    val standing = (1L to 19L).filter(_ % 10 != 0)
+      .map(i => (i, toks(s"d${i}t")))
+    val near = toks("d3t").split(" ").dropRight(2).mkString(" ") + " zz1 zz2"
+    val half = (toks("d7t").split(" ").take(24) ++
+                (1 to 16).map(i => s"q$i")).mkString(" ")
+    val arriving = Seq(
+      (10L, toks("d3t")),   // exact copy of doc 3 → est 1.0
+      (20L, near),          // near-copy of doc 3
+      (30L, half),          // moderate overlap with doc 7
+      (40L, toks("novel"))) // no standing partner
+    (standing ++ arriving).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    // incremental: arriving batch probes the standing index (cap
+    // unbound so the equality is about the algorithm, not the knob)
+    val inc = DedupOps.incrementalMinhash(spark, tmp, bucketCap = 1 << 20,
+        tau = 0.3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("est_jaccard")).map(_.toDouble))))
+      .toMap
+
+    // full-batch reference: the c2 pipeline over the UNION corpus,
+    // restricted to (standing, arriving) pairs, same tau, best
+    // partner per arriving doc by (max est, min standing id)
+    val pairs = DedupOps.dedupMinhash(spark, tmp, bucketCap = 1 << 20,
+        limit = 1 << 20).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+                 r.getAs[Double]("est_jaccard")))
+    val crossBatch = pairs.flatMap { case (a, b, e) =>
+      (a % 10 == 0, b % 10 == 0) match {
+        case (true, false) => Some((a, b, e)) // (new, existing)
+        case (false, true) => Some((b, a, e))
+        case _ => None
+      }
+    }.filter(_._3 >= 0.3)
+    val batchBest = crossBatch.groupBy(_._1).map { case (id, xs) =>
+      val best = xs.minBy { case (_, ex, e) => (-e, ex) }
+      id -> ((Option(best._2), Option(best._3)))
+    }
+    val expected = arriving.map(_._1)
+      .map(id => id -> batchBest.getOrElse(id, (None, None))).toMap
+    assert(inc == expected, s"inc=$inc expected=$expected")
+    // and the planted structure actually exercised all arms
+    assert(inc(10L)._1.contains(3L) && inc(10L)._2.contains(1.0))
+    assert(inc(20L)._1.contains(3L))
+    assert(inc(30L)._1.contains(7L))
+    assert(inc(40L)._1.isEmpty)
+  }
 }

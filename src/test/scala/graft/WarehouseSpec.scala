@@ -12,15 +12,17 @@ import graft.sources.{Tables, Warehouse}
   */
 class WarehouseSpec extends SparkSpec {
 
-  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+  // graftbridge.planNodes, NOT a naive children walk: under AQE the
+  // finalized plan's top is a childless ResultQueryStage, so a plain
+  // walk counts zero exchanges and every assertion here passes
+  // vacuously (it did, until round 8 caught it).
+  private def nodes(df: org.apache.spark.sql.DataFrame) = {
     df.collect() // finalize AQE
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
-      p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case other => other +: other.children.flatMap(walk)
-      }
-    walk(df.queryExecution.executedPlan).count(_.isInstanceOf[ShuffleExchangeLike])
+    org.apache.spark.sql.graftbridge.planNodes(df.queryExecution.executedPlan)
   }
+
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int =
+    nodes(df).count(_.isInstanceOf[ShuffleExchangeLike])
 
   test("bucketed orders-lineitem join is shuffle-free and result-identical") {
     Warehouse.build(spark, sf)
@@ -71,6 +73,33 @@ class WarehouseSpec extends SparkSpec {
       .annIvf(spark, sf, kmeansIters = 2)
       .collect().toSeq.map(_.toString)
     assert(fromIndex == selfContained && fromIndex.nonEmpty)
+  }
+
+  test("p11 landed index: probe never re-shards the standing corpus, identical to one-shot") {
+    Warehouse.buildMinhash(spark, sf)
+    val indexed = Warehouse.incrementalMinhashIndexed(spark, sf)
+    val got = nodes(indexed) // collects + walks the finalized plan
+    val result = indexed.collect().toSeq.map(_.toString)
+    val oneShot = graft.operators.DedupOps.incrementalMinhash(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(result == oneShot && result.nonEmpty)
+    // the "no re-sharding" contract: an index-table scan may reach a
+    // shuffle exchange ONLY through a BroadcastHashJoin (the probe —
+    // past it the data is candidate-sized, not corpus-sized). A
+    // shuffle whose subtree holds an index scan with NO intervening
+    // broadcast join means the standing corpus itself re-sharded.
+    def reshards(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      if (p.nodeName.contains("BroadcastHashJoin")) false
+      else if (p.children.isEmpty && p.toString.contains("graft_minhash")) true
+      else org.apache.spark.sql.graftbridge.planChildren(p).exists(reshards)
+    val offending = got.filter(p => p.isInstanceOf[ShuffleExchangeLike] &&
+      org.apache.spark.sql.graftbridge.planChildren(p).exists(reshards))
+    assert(offending.isEmpty,
+      s"standing index re-sharded:\n${offending.map(_.nodeName).mkString("\n")}")
+    // non-vacuity: the walker must actually see exchanges somewhere in
+    // the probe plan (the arriving batch's own aggregates shuffle)
+    assert(got.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "plan walk saw no exchanges at all — walker broken?")
   }
 
   test("bucketed d7 semi join is exchange-free and result-identical to plain d7") {
