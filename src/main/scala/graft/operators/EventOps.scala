@@ -31,14 +31,13 @@ import graft.sources.Tables
   */
 object EventOps {
 
-  /** Events with a canonical epoch-ms column. `ts` arrives as a raw
-    * nanosecond long (nanosAsLong — see GraftSession); integer `div`
-    * keeps the arithmetic exact (a double division would lose precision
-    * above 2^53 ≈ 9e15 ns).
+  /** Events with a canonical epoch-ms column — `Tables.eventsMs`
+    * (schema-adaptive: the generator has shipped `ts` both as raw
+    * nanosecond longs and as parquet µs timestamps; the ms derivation
+    * lives in ONE place, `Tables.epochMs`).
     */
   private def ev(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .withColumn("ms", expr("ts div 1000000"))
+    Tables.eventsMs(spark, dir)
 
   /** Unique, order-preserving sort key: lexicographic (ms, event_id).
     * A struct compares field-by-field, so the ordering is exact at ANY

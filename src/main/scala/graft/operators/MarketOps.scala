@@ -1086,8 +1086,8 @@ object MarketOps {
     * the driver — no global sort, no shuffle of the fact table.
     */
   def latestRate(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .select(expr("ts div 1000000").as("ms"), col("event_id"),
+    Tables.eventsMs(spark, dir)
+      .select(col("ms"), col("event_id"),
               col("event_type").as("rate_type"), col("value").as("rate"))
       .orderBy(col("ms").desc, col("event_id").desc)
       .limit(1)

@@ -137,9 +137,61 @@ object MultimodalOps {
     }
   }
 
+  /** REAL decoder arm #4 — JPEG SOF parse: SOI (FFD8), then a marker
+    * walk (skipping fill bytes, standalone RST/TEM markers, and
+    * length-prefixed segments) to the first start-of-frame marker
+    * (FFC0–FFCF excluding DHT C4 / JPG C8 / DAC CC), whose payload
+    * carries big-endian height/width and the component count —
+    * exactly what a JFIF/EXIF file from any encoder emits. Exact
+    * dimensions for real JPEG payloads without entropy-decoding a
+    * single MCU; None for anything else (truncated stream, EOI or
+    * scan data before a frame header, zero dimensions).
+    */
+  private[graft] def decodeJpeg(doc_id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    def u8(o: Int) = bytes(o) & 0xFF
+    def be16(o: Int) = (u8(o) << 8) | u8(o + 1)
+    if (bytes.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) None
+    else {
+      var i = 2
+      var out: Option[MediaMeta] = None
+      var done = false
+      while (!done && i + 1 < bytes.length) {
+        if (u8(i) != 0xFF) done = true          // not a marker stream
+        else {
+          var j = i + 1
+          while (j < bytes.length && u8(j) == 0xFF) j += 1   // fill bytes
+          if (j >= bytes.length) done = true
+          else u8(j) match {
+            case 0xD8 | 0x01 => i = j + 1                    // SOI dup / TEM
+            case m if m >= 0xD0 && m <= 0xD7 => i = j + 1    // RSTn
+            case 0xD9 | 0xDA => done = true  // EOI / scan data before SOF
+            case m =>
+              if (j + 2 >= bytes.length) done = true
+              else {
+                val len = be16(j + 1)            // includes its own 2 bytes
+                val isSof = m >= 0xC0 && m <= 0xCF &&
+                  m != 0xC4 && m != 0xC8 && m != 0xCC
+                if (isSof) {
+                  if (len >= 9 && j + 8 < bytes.length) {
+                    val h = be16(j + 4); val w = be16(j + 6); val nc = u8(j + 8)
+                    if (w > 0 && h > 0 && nc > 0)
+                      out = Some(MediaMeta(doc_id, "image", bytes.length,
+                        w, h, nc, 0L, checksum64(bytes)))
+                  }
+                  done = true
+                } else if (len < 2) done = true  // malformed segment
+                else i = j + 1 + len
+              }
+          }
+        }
+      }
+      out
+    }
+  }
+
   /** The decode dispatch every f-query runs: sniff real container
-    * formats first (WAV + BMP + PNG today; a jpeg/mp4 probe lands here
-    * the same way), fall back to the deterministic stub for the
+    * formats first (WAV + BMP + PNG + JPEG today; an mp4 probe lands
+    * here the same way), fall back to the deterministic stub for the
     * synthetic corpus. The Spark-side shape (mapPartitions batching,
     * typed output, pre-decode pruning) is identical either way — which
     * is the point of the seam.
@@ -148,6 +200,7 @@ object MultimodalOps {
     decodeWav(r.doc_id, r.payload)
       .orElse(decodeBmp(r.doc_id, r.payload))
       .orElse(decodePng(r.doc_id, r.payload))
+      .orElse(decodeJpeg(r.doc_id, r.payload))
       .getOrElse(decodeStub(r))
 
   /** STUB — deterministic fake decoder. A real implementation would

@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
+import graft.sources.Tables
+
 /** Structured Streaming re-expression of the reference's event listener
   * (src/modules/tasks/tasks.service.ts): the contract-event subscription
   * becomes a file-source stream, the per-entity update callbacks become
@@ -24,10 +26,15 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema under nanosAsLong: ts is a raw ns long. */
+  /** events.parquet schema: the generator ships `ts` as parquet µs
+    * timestamps (TIMESTAMP_NTZ under Spark's NTZ inference). The
+    * ms/event-time derivations below go through Tables.epochMs /
+    * Tables.eventTime, so they stay correct if this field ever
+    * reverts to the older raw-ns-long form.
+    */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -48,8 +55,8 @@ object EventStream {
     spark.readStream
       .schema(eventSchema)
       .parquet(d.toString)
-      .withColumn("ms", expr("ts div 1000000"))
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ms", Tables.epochMs(eventSchema("ts").dataType))
+      .withColumn("event_time", Tables.eventTime(eventSchema("ts").dataType))
   }
 
   /** Watermarked hourly rollup — the streaming twin of

@@ -11,8 +11,7 @@ class EventOpsSpec extends SparkSpec {
 
   /** (user_id, event_id, type, ms, value) collected once per suite. */
   private lazy val raw: Seq[(Long, Long, String, Long, Double)] =
-    Tables.events(spark, sf)
-      .withColumn("ms", expr("ts div 1000000"))
+    Tables.eventsMs(spark, sf)
       .select("user_id", "event_id", "event_type", "ms", "value")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))

@@ -108,8 +108,7 @@ class EventStreamSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"),
                  r.getAs[Long]("user_id"))).toSet
     // batch equivalent over the same ms-precision boundaries
-    val e = graft.sources.Tables.events(spark, sf)
-      .withColumn("ms", expr("ts div 1000000"))
+    val e = graft.sources.Tables.eventsMs(spark, sf)
     val p = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ms").as("pms"))
     val v = e.filter(col("event_type") === "view")
@@ -132,8 +131,7 @@ class EventStreamSpec extends SparkSpec {
         mode = "append")
       .collect()
     // batch ground truth: which purchases have >=1 view in-window
-    val e = graft.sources.Tables.events(spark, sf)
-      .withColumn("ms", expr("ts div 1000000"))
+    val e = graft.sources.Tables.eventsMs(spark, sf)
     val p = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ms").as("pms"))
     val v = e.filter(col("event_type") === "view")

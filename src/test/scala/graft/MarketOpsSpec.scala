@@ -379,8 +379,8 @@ class MarketOpsSpec extends SparkSpec {
   test("b47 latest rate is the global max-(ts,event_id) event row") {
     val got = MarketOps.latestRate(spark, sf).collect()
     assert(got.length == 1)
-    val naive = Tables.events(spark, sf)
-      .select(expr("ts div 1000000").as("ms"), col("event_id"))
+    val naive = Tables.eventsMs(spark, sf)
+      .select(col("ms"), col("event_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).max
     assert((got(0).getAs[Long]("ms"), got(0).getAs[Long]("event_id")) == naive)
     // findOne-sorted shape: per-partition top-1, no global sort exchange

@@ -232,6 +232,40 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(mixed(11L).duration_ms >= 1000L)   // stub's hash-derived arm
   }
 
+  test("jpeg arm: SOF marker parse on real encoder output") {
+    import graft.operators.MultimodalOps.{MediaRecord, decode, decodeJpeg}
+    def encodeJpg(w: Int, h: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        im.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, "jpg", bos), "no jpg writer")
+      bos.toByteArray
+    }
+    // a real JFIF stream (APP0 + quant/huffman tables before the SOF):
+    // the marker walk must skip the length-prefixed segments and read
+    // exact dimensions from the frame header
+    val jb = encodeJpg(512, 384)
+    assert(jb(0) == 0xFF.toByte && jb(1) == 0xD8.toByte)
+    val meta = decode(MediaRecord(40L, "video", jb))
+    assert(meta.media_type == "image" && meta.width == 512 &&
+      meta.height == 384 && meta.channels == 3 && meta.duration_ms == 0L)
+    // truncation BEFORE the SOF marker (keep only SOI + APP0 prefix)
+    assert(decodeJpeg(41L, jb.take(8)).isEmpty)
+    // EOI immediately after SOI: syntactically a JPEG, but no frame
+    assert(decodeJpeg(42L, Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)).isEmpty)
+    // text bytes are not a JPEG
+    assert(decodeJpeg(43L, "just text".getBytes("UTF-8")).isEmpty)
+    // a hand-built minimal stream: SOI, one RST (standalone, no
+    // length), a COM segment, then SOF0 — exercises every walk arm
+    val sof = Array[Int](0xFF, 0xD8, 0xFF, 0xD0, 0xFF, 0xFE, 0x00, 0x04,
+      0x61, 0x62, 0xFF, 0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x01, 0x00, 0x02,
+      0x00, 0x01, 0x11, 0x00).map(_.toByte)
+    val hand = decodeJpeg(44L, sof).get
+    assert(hand.width == 512 && hand.height == 256 && hand.channels == 1)
+  }
+
   test("f5 real-pixel arm: ImageIO PNG/BMP decode + resize end-to-end") {
     import graft.operators.MultimodalOps.{MediaRecord, resizePixels, resizedFrom}
     // real encoded images, produced by the same public JVM API the
@@ -255,15 +289,24 @@ class MultimodalOpsSpec extends SparkSpec {
     // a recognized image already inside the box is untouched
     val small = resizePixels(2L, encode("bmp", 100, 50), 256, 256).get
     assert(small.out_w == 100 && small.out_h == 50 && small.scale == 1.0)
+    // JPEG through the same ImageIO arm: true decoded dimensions
+    // (lossy pixels, exact geometry), real bilinear rescale
+    val jpg = resizePixels(4L, encode("jpg", 512, 384), 256, 256).get
+    assert(jpg.width == 512 && jpg.height == 384)
+    assert(jpg.out_w == 256 && jpg.out_h == 192)
+    assert(jpg.est_bytes == 256L * 192L * 3L)
+    // a sniffed-but-truncated JPEG must fall to the stub arm, not throw
+    assert(resizePixels(5L, encode("jpg", 64, 64).take(20), 256, 256).isEmpty)
     // text bytes are not an image: the real arm must decline
     assert(resizePixels(3L, "just text".getBytes("UTF-8"), 256, 256).isEmpty)
     // end-to-end through the Spark mapPartitions resize stage, real
-    // PNG + real BMP + stub-decoded text mixed in one Dataset
+    // PNG + real BMP + real JPEG + stub-decoded text in one Dataset
     val spark2 = spark; import spark2.implicits._
     val rows = resizedFrom(Seq(
         MediaRecord(1L, "image", big),
         MediaRecord(2L, "image", encode("bmp", 100, 50)),
-        MediaRecord(3L, "image", "just text".getBytes("UTF-8"))).toDS(),
+        MediaRecord(3L, "image", "just text".getBytes("UTF-8")),
+        MediaRecord(4L, "image", encode("jpg", 512, 384))).toDS(),
         256, 256)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(rows(1L).getAs[Int]("out_w") == 256 &&
@@ -271,5 +314,7 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(rows(2L).getAs[Int]("out_w") == 100 &&
            rows(2L).getAs[Int]("out_h") == 50)
     assert(rows(3L).getAs[Int]("width") > 0)   // stub arm took the text
+    assert(rows(4L).getAs[Int]("out_w") == 256 &&
+           rows(4L).getAs[Int]("out_h") == 192)
   }
 }

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import graft.sources.Tables
 import graft.streaming.EventStream
 
 /** Checkpoint-and-resume: the property the reference builds around its
@@ -29,22 +30,22 @@ class StreamResumeSpec extends SparkSpec {
     val ckpt = base.resolve("ckpt").toString
 
     // split events at the time midpoint into two files
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-    val Array(lo, hi) = ev.selectExpr("min(ts)", "max(ts)").collect()(0) match {
+    val ev = Tables.eventsMs(spark, sf)
+    val Array(lo, hi) = ev.selectExpr("min(ms)", "max(ms)").collect()(0) match {
       case r => Array(r.getLong(0), r.getLong(1))
     }
     val mid = lo + (hi - lo) / 2
     val t1 = Files.createTempDirectory("graft-part1")
     val t2 = Files.createTempDirectory("graft-part2")
-    ev.filter(col("ts") <= mid).coalesce(1).write.mode("overwrite").parquet(t1.toString)
-    ev.filter(col("ts") > mid).coalesce(1).write.mode("overwrite").parquet(t2.toString)
+    ev.filter(col("ms") <= mid).drop("ms").coalesce(1).write.mode("overwrite").parquet(t1.toString)
+    ev.filter(col("ms") > mid).drop("ms").coalesce(1).write.mode("overwrite").parquet(t2.toString)
 
     def runOnce(): Unit = {
       val events = spark.readStream
         .schema(EventStream.eventSchema)
         .parquet(streamDir.toString)
-        .withColumn("ms", expr("ts div 1000000"))
-        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ms", Tables.epochMs(EventStream.eventSchema("ts").dataType))
+        .withColumn("event_time", Tables.eventTime(EventStream.eventSchema("ts").dataType))
       val q = EventStream.hourlyRollup(events)
         .writeStream.format("parquet")
         .option("path", outDir)
@@ -90,22 +91,22 @@ class StreamResumeSpec extends SparkSpec {
     val outDir = base.resolve("out").toString
     val ckpt = base.resolve("ckpt").toString
 
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-    val Array(lo, hi) = ev.selectExpr("min(ts)", "max(ts)").collect()(0) match {
+    val ev = Tables.eventsMs(spark, sf)
+    val Array(lo, hi) = ev.selectExpr("min(ms)", "max(ms)").collect()(0) match {
       case r => Array(r.getLong(0), r.getLong(1))
     }
     val mid = lo + (hi - lo) / 2
     val t1 = Files.createTempDirectory("graft-asof-p1")
     val t2 = Files.createTempDirectory("graft-asof-p2")
-    ev.filter(col("ts") <= mid).coalesce(1).write.mode("overwrite").parquet(t1.toString)
-    ev.filter(col("ts") > mid).coalesce(1).write.mode("overwrite").parquet(t2.toString)
+    ev.filter(col("ms") <= mid).drop("ms").coalesce(1).write.mode("overwrite").parquet(t1.toString)
+    ev.filter(col("ms") > mid).drop("ms").coalesce(1).write.mode("overwrite").parquet(t2.toString)
 
     def runOnce(): Unit = {
       val events = spark.readStream
         .schema(EventStream.eventSchema)
         .parquet(streamDir.toString)
-        .withColumn("ms", expr("ts div 1000000"))
-        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ms", Tables.epochMs(EventStream.eventSchema("ts").dataType))
+        .withColumn("event_time", Tables.eventTime(EventStream.eventSchema("ts").dataType))
       val q = EventStream.asofStreamBuffered(spark, events).toDF()
         .writeStream.format("parquet")
         .option("path", outDir)
@@ -145,21 +146,21 @@ class StreamResumeSpec extends SparkSpec {
     val serve = base.resolve("serve").toString
     val ckpt = base.resolve("ckpt").toString
 
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-    val Array(lo, hi) = ev.selectExpr("min(ts)", "max(ts)").collect()(0) match {
+    val ev = Tables.eventsMs(spark, sf)
+    val Array(lo, hi) = ev.selectExpr("min(ms)", "max(ms)").collect()(0) match {
       case r => Array(r.getLong(0), r.getLong(1))
     }
     val mid = lo + (hi - lo) / 2
     val t1 = Files.createTempDirectory("graft-m1")
     val t2 = Files.createTempDirectory("graft-m2")
-    ev.filter(col("ts") <= mid).coalesce(1).write.mode("overwrite").parquet(t1.toString)
-    ev.filter(col("ts") > mid).coalesce(1).write.mode("overwrite").parquet(t2.toString)
+    ev.filter(col("ms") <= mid).drop("ms").coalesce(1).write.mode("overwrite").parquet(t1.toString)
+    ev.filter(col("ms") > mid).drop("ms").coalesce(1).write.mode("overwrite").parquet(t2.toString)
 
     def runOnce(): Unit = {
       val events = spark.readStream
         .schema(EventStream.eventSchema)
         .parquet(streamDir.toString)
-        .withColumn("ms", expr("ts div 1000000"))
+        .withColumn("ms", Tables.epochMs(EventStream.eventSchema("ts").dataType))
       val q = EventStream.maintainTypeStats(spark, events, serve, ckpt)
       q.awaitTermination()
     }
@@ -168,9 +169,9 @@ class StreamResumeSpec extends SparkSpec {
         .map(r => r.getAs[String]("event_type") ->
           (r.getAs[Long]("n_events"), r.getAs[Long]("last_ms"))).toMap
     def expect(upToTs: Long): Map[String, (Long, Long)] =
-      ev.filter(col("ts") <= upToTs)
+      ev.filter(col("ms") <= upToTs)
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), max(expr("ts div 1000000")).as("m"))
+        .agg(count(lit(1)).as("n"), max(col("ms")).as("m"))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
 
     // run 1: snapshot reflects exactly the first half
