@@ -19,15 +19,33 @@ private[streaming] object StreamFiles {
   private val dirs = new ConcurrentHashMap[(String, String), Path]()
   private val schemas = new ConcurrentHashMap[(String, String), StructType]()
 
-  /** Watchable directory for `dir/fileName`. */
+  /** Watchable directory for `dir/fileName`. The table may be a single
+    * parquet FILE (driver testdata) or a Spark-written DIRECTORY of
+    * part-files (GenScale output): the file source doesn't recurse into
+    * a symlinked subdirectory, so for the directory shape each
+    * part-file is linked individually into the flat watch dir.
+    */
   def dir(dir: String, fileName: String): Path =
     dirs.computeIfAbsent((dir, fileName), { key: (String, String) =>
       val (d, f) = key
       val p = Files.createTempDirectory("graft-stream")
       p.toFile.deleteOnExit()
-      val link = p.resolve(f)
-      Files.createSymbolicLink(link, Paths.get(s"$d/$f"))
-      link.toFile.deleteOnExit()
+      val src = Paths.get(s"$d/$f")
+      val parts: Seq[(Path, String)] =
+        if (Files.isDirectory(src)) {
+          val ls = Files.list(src)
+          try {
+            import scala.jdk.CollectionConverters._
+            ls.iterator().asScala.toVector
+              .filter(_.toString.endsWith(".parquet"))
+              .map(q => q -> q.getFileName.toString)
+          } finally ls.close()
+        } else Seq(src -> f)
+      parts.foreach { case (target, name) =>
+        val link = p.resolve(name)
+        Files.createSymbolicLink(link, target)
+        link.toFile.deleteOnExit()
+      }
       p
     })
 

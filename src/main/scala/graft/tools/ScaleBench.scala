@@ -99,7 +99,12 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val amb = s"""{"cpu_runs":${cpu.map(fmt).mkString("[", ",", "]")},""" +
       s""""sched_runs":${sched.map(fmt).mkString("[", ",", "]")}}"""
-    println(s"""{"metric":"scale_curve","base_dir":"$base","scaled_dir":"$scaled","factor":$factor,"repeats":$repeats,"base":${obj(baseMin)},"scaled":${obj(scaledMin)},"ratio":$ratios,"ambient":$amb}""")
+    // raw per-pass times (mirrors Bench's queries_runs): min-of-N hides
+    // a contention burst's shape, the arrays keep it diagnosable
+    def runsObj(tag: String) = labels.map { q =>
+      "\"" + q + "\":" + times((q, tag)).map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_curve","base_dir":"$base","scaled_dir":"$scaled","factor":$factor,"repeats":$repeats,"base":${obj(baseMin)},"scaled":${obj(scaledMin)},"ratio":$ratios,"base_runs":${runsObj("base")},"scaled_runs":${runsObj("scaled")},"ambient":$amb}""")
     spark.stop()
   }
 }
