@@ -83,6 +83,7 @@ object SparkEntry {
     "e12_gopher_rules"          -> TextOps.gopherRules _,
     "d9_pq_quantize"            -> ((s: SparkSession, d: String) => SimOps.pqQuantize(s, d)),
     "d10_ann_ivfpq"             -> ((s: SparkSession, d: String) => SimOps.annIvfPq(s, d)),
+    "d11_ann_incremental"       -> ((s: SparkSession, d: String) => SimOps.annIvfIncremental(s, d)),
     // B. marketplace/analytics
     "b1_pricing_summary"        -> MarketOps.pricingSummary _,
     "b2_top_sellers"            -> MarketOps.topSellers _,
@@ -732,6 +733,48 @@ object SparkEntry {
                               (a, x) -> a + x)) AS nrm FROM e),
          ct AS (SELECT e.vec_id AS cent_id, emb AS ce, nrm AS cnrm
                 FROM e JOIN nr ON e.vec_id = nr.vec_id
+                ORDER BY md5(e.vec_id::VARCHAR), e.vec_id LIMIT 64),
+         sc AS (SELECT e.vec_id, ct.cent_id,
+             list_reduce(list_transform(list_zip(e.emb, ct.ce),
+                                        z -> z[1] * z[2]), (a, x) -> a + x)
+               / (nr.nrm * ct.cnrm) AS csim
+           FROM e JOIN nr ON e.vec_id = nr.vec_id CROSS JOIN ct),
+         asg AS (SELECT vec_id, cent_id FROM sc
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY csim DESC, cent_id) <= 4),
+         prb AS (SELECT vec_id AS query_id, cent_id FROM sc
+                 WHERE vec_id % 50 = 0
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY csim DESC, cent_id) <= 8),
+         dd AS (SELECT DISTINCT prb.query_id, asg.vec_id AS cand_id
+                FROM asg JOIN prb ON asg.cent_id = prb.cent_id
+                  AND asg.vec_id <> prb.query_id),
+         cs AS (SELECT query_id, cand_id,
+             list_reduce(list_transform(list_zip(ec.emb, eq.emb),
+                                        z -> z[1] * z[2]), (a, x) -> a + x)
+               / (nc.nrm * nq.nrm) AS cos
+           FROM dd JOIN e ec ON cand_id = ec.vec_id
+                   JOIN e eq ON query_id = eq.vec_id
+                   JOIN nr nc ON cand_id = nc.vec_id
+                   JOIN nr nq ON query_id = nq.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id) AS rnk FROM cs)
+         SELECT query_id, cand_id, rnk, round(cos, 6) AS cosine
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    // d11 (round 8): d5's IVF replay with the centroid sample drawn
+    // from the STANDING corpus only (vec_id % 17 <> 0) — the frozen
+    // routing an incremental upsert leaves untouched; every vector
+    // (standing + batch) is soft-assigned through those centroids and
+    // every 50th vector probes, so the SQL is d5's with one WHERE.
+    "d11_ann_incremental" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                    FROM embeddings),
+         nr AS (SELECT vec_id,
+             sqrt(list_reduce(list_transform(emb, v -> v * v),
+                              (a, x) -> a + x)) AS nrm FROM e),
+         ct AS (SELECT e.vec_id AS cent_id, emb AS ce, nrm AS cnrm
+                FROM e JOIN nr ON e.vec_id = nr.vec_id
+                WHERE e.vec_id % 17 <> 0
                 ORDER BY md5(e.vec_id::VARCHAR), e.vec_id LIMIT 64),
          sc AS (SELECT e.vec_id, ct.cent_id,
              list_reduce(list_transform(list_zip(e.emb, ct.ce),

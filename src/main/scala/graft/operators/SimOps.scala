@@ -228,6 +228,34 @@ object SimOps {
       .select(col(idCol), col(vecCol), col(nrmCol), col("cent_id"))
   }
 
+  /** The shared IVF probe tail: cell-match posting lists against probe
+    * routes, exact cosine per surfaced pair, soft-assignment dedup
+    * (a pair surfacing from two shared cells collapses by max — cos is
+    * deterministic per pair so max == the value; partial-aggregable,
+    * and skipped when `dedup` is false for nAssign == 1 semantics),
+    * per-query top-k. Shared by d5, d11, and the landed-index probe.
+    */
+  private[graft] def ivfScoreTopK(lists: DataFrame, probes: DataFrame,
+                                  k: Int, dedup: Boolean = true): DataFrame = {
+    val matched = lists
+      .join(probes, lists("cent_id") === probes("cent_id") &&
+                    col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+              (graft.functions.FloatVecDot(col("embedding"), col("qe")) /
+               (col("nrm") * col("qnrm"))).as("cos"))
+    val scored =
+      if (!dedup) matched
+      else matched.groupBy(col("query_id"), col("cand_id"))
+        .agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"),
+              round(col("cos"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   def annIvf(spark: SparkSession, dir: String, k: Int = 10,
              qmod: Int = 50, nlist: Int = 64, nProbe: Int = 8,
              kmeansIters: Int = 0, nAssign: Int = 4): DataFrame = {
@@ -247,27 +275,43 @@ object SimOps {
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
                 col("nrm").as("qnrm")),
       "query_id", "qe", "qnrm", nProbe)
-    val matched = lists
-      .join(probes, lists("cent_id") === probes("cent_id") &&
-                    col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("cand_id"),
-              (graft.functions.FloatVecDot(col("embedding"), col("qe")) /
-               (col("nrm") * col("qnrm"))).as("cos"))
-    // soft assignment can surface the same (query, cand) pair from two
-    // shared cells — collapse before ranking (cos is deterministic per
-    // pair, so max == the value; partial-aggregable, no extra pass
-    // when nAssign == 1 semantics are unchanged)
-    val scored =
-      if (nAssign == 1) matched
-      else matched.groupBy(col("query_id"), col("cand_id"))
-        .agg(max(col("cos")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"), col("rnk"),
-              round(col("cos"), 6).as("cosine"))
-      .orderBy(col("query_id"), col("rnk"))
+    ivfScoreTopK(lists, probes, k, dedup = nAssign > 1)
+  }
+
+  /** d11: incremental IVF — the ANN twin of p11's cross-batch dedup:
+    * the corpus minus an arriving batch (`vec_id % batchMod != 0`) is
+    * the STANDING index — its centroids are trained on it alone and
+    * then FROZEN, exactly what a production vector index does between
+    * retrains — and the batch is upserted by routing each new vector
+    * through the frozen centroids into its `nAssign` cells, touching
+    * none of the standing postings. Queries (old and new vectors
+    * alike) probe the merged lists. The one-shot form here states the
+    * semantics; `Warehouse.upsertIvf` is the landed production path
+    * (append-only partition writes against the persisted index) and
+    * is spec-proven result-identical. Incremental cost at scale:
+    * O(|batch|·nlist) routing + an append of |batch|·nAssign posting
+    * rows — the standing corpus is never re-scanned or re-sharded.
+    */
+  def annIvfIncremental(spark: SparkSession, dir: String, k: Int = 10,
+                        qmod: Int = 50, nlist: Int = 64, nProbe: Int = 8,
+                        nAssign: Int = 4, batchMod: Int = 17): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              VectorFns.norm(col("embedding")).as("nrm"))
+    val corpus = emb.filter(pmod(col("vec_id"), lit(batchMod)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(batchMod)) === 0)
+    // routing trained on the standing corpus ONLY, then frozen — the
+    // batch has zero influence on cell geometry (kmeansIters = 0 so
+    // the DuckDB oracle replays the centroid set exactly)
+    val cells = nearestCells(ivfCentroids(corpus, nlist, 0)) _
+    val lists = cells(corpus, "vec_id", "embedding", "nrm", nAssign)
+      .unionAll(cells(batch, "vec_id", "embedding", "nrm", nAssign))
+    val probes = cells(
+      emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+                col("nrm").as("qnrm")),
+      "query_id", "qe", "qnrm", nProbe)
+    ivfScoreTopK(lists, probes, k, dedup = nAssign > 1)
   }
 
   /** d10: IVF-PQ with exact rerank — the composition a production

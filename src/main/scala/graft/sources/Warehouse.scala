@@ -120,12 +120,19 @@ object Warehouse {
     */
   def buildIvf(spark: SparkSession, dir: String, nlist: Int = 64,
                nAssign: Int = 4, ks: Int = 256, m: Int = 8,
-               subDim: Int = 8, kmeansIters: Int = 2): Unit = {
+               subDim: Int = 8, kmeansIters: Int = 2,
+               excludeMod: Int = 0): Unit = {
     import graft.operators.SimOps
-    dropManaged(spark, Seq("graft_ivf_lists", "graft_ivf_cents"))
-    val emb = Tables.embeddings(spark, dir)
+    dropManaged(spark, Seq("graft_ivf_lists", "graft_ivf_cents",
+                           "graft_ivf_book"))
+    // excludeMod > 0 builds the STANDING index of the incremental
+    // story: vectors with vec_id % excludeMod == 0 are the
+    // yet-to-arrive batch and take the upsertIvf path later.
+    val embAll = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+    val emb = if (excludeMod <= 0) embAll
+      else embAll.filter(pmod(col("vec_id"), lit(excludeMod)) =!= 0)
     // The build-once path defaults to Lloyd-REFINED coarse centroids
     // (kmeansIters=2): the refinement is a build-time cost amortized
     // across every probe, and the measured grid (IvfGrid, sf0.1) buys
@@ -139,9 +146,16 @@ object Warehouse {
     val lists = SimOps.nearestCells(landedCents)(
         emb, "vec_id", "embedding", "nrm", nAssign)
       .select(col("vec_id"), col("cent_id"))
-    val codes = SimOps.pqEncode(
+    // The PQ codebook is PERSISTED too: an upserted batch must encode
+    // against the book the standing codes used, or its ADC distances
+    // are incomparable with theirs.
+    val book = SimOps.pqTrainCodebook(
+      SimOps.pqSubs(emb.select(col("vec_id"), col("embedding")),
+                    Seq("vec_id"), m, subDim), ks, m, kmeansIters)
+    writeBook(spark, book)
+    val codes = SimOps.pqEncodeWith(
         SimOps.pqSubs(emb.select(col("vec_id"), col("embedding")),
-                      Seq("vec_id"), m, subDim), ks, m, kmeansIters)
+                      Seq("vec_id"), m, subDim), book)
       .select(col("vec_id"), col("sub_j"), col("ce"), col("cn"))
     lists.join(codes, "vec_id")
       .select(col("vec_id"), col("sub_j"), col("ce"), col("cn"),
@@ -150,6 +164,61 @@ object Warehouse {
       .partitionBy("cent_id")
       .format("parquet")
       .saveAsTable("graft_ivf_lists")
+  }
+
+  /** Incremental index maintenance — the d11 production path: route
+    * the arriving batch (`vec_id % batchMod == 0`) through the
+    * PERSISTED frozen centroids, PQ-encode it against the PERSISTED
+    * codebook, and APPEND the new posting rows into the partitioned
+    * lists table. The standing postings are never read, rewritten, or
+    * re-shuffled — the job's cost is O(|batch|·nlist) routing plus an
+    * append of |batch|·nAssign rows into the touched cent_id
+    * directories (WarehouseSpec asserts the pre-existing data files
+    * are bit-identical after the upsert, and that probe-after-upsert
+    * is result-identical to the one-shot `SimOps.annIvfIncremental`).
+    */
+  def upsertIvf(spark: SparkSession, dir: String, batchMod: Int,
+                nAssign: Int = 4, m: Int = 8, subDim: Int = 8): Unit = {
+    import graft.operators.SimOps
+    val batch = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+      .filter(pmod(col("vec_id"), lit(batchMod)) === 0)
+    val lists = SimOps.nearestCells(ivfCents(spark))(
+        batch, "vec_id", "embedding", "nrm", nAssign)
+      .select(col("vec_id"), col("cent_id"))
+    val codes = SimOps.pqEncodeWith(
+        SimOps.pqSubs(batch.select(col("vec_id"), col("embedding")),
+                      Seq("vec_id"), m, subDim), readBook(spark))
+      .select(col("vec_id"), col("sub_j"), col("ce"), col("cn"))
+    lists.join(codes, "vec_id")
+      .select(col("vec_id"), col("sub_j"), col("ce"), col("cn"),
+              col("cent_id"))
+      .write.mode(SaveMode.Append)
+      .format("parquet")
+      .insertInto("graft_ivf_lists")
+  }
+
+  private def writeBook(spark: SparkSession,
+                        book: graft.functions.PqCodebook): Unit = {
+    import spark.implicits._
+    book.entries.zipWithIndex.flatMap { case (cs, j) =>
+      cs.map(c => (j, c.centId, c.ce.toSeq, c.cn))
+    }.toSeq.toDF("sub_j", "cent_id", "ce", "cn")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable("graft_ivf_book")
+  }
+
+  private def readBook(spark: SparkSession): graft.functions.PqCodebook = {
+    val rows = spark.table("graft_ivf_book")
+      .select(col("sub_j"), col("cent_id"), col("ce"), col("cn")).collect()
+    val byJ = rows.groupBy(_.getInt(0))
+    new graft.functions.PqCodebook(
+      (0 to byJ.keys.max).toArray.map { j =>
+        byJ(j).map(r => new graft.functions.PqCent(
+            r.getLong(1), r.getSeq[Float](2).toArray, r.getDouble(3)))
+          .sortBy(_.centId)
+      })
   }
 
   def ivfLists(spark: SparkSession): DataFrame = spark.table("graft_ivf_lists")

@@ -28,6 +28,7 @@ class PlanAuditSpec extends SparkSpec {
     "d7_ann_filtered",         // broadcast query batch (exact baseline)
     "d5_ann_ivf",              // broadcast centroid probe
     "d10_ann_ivfpq",           // broadcast centroid probe + query subs
+    "d11_ann_incremental",     // broadcast frozen-centroid routing
     "e11_unigram_logprob")     // 1-row total-tokens + n_docs broadcasts
 
   test("no cartesian products; BNLJ only in the documented broadcast patterns") {

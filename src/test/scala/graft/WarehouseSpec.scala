@@ -75,6 +75,51 @@ class WarehouseSpec extends SparkSpec {
     assert(fromIndex == selfContained && fromIndex.nonEmpty)
   }
 
+  test("IVF upsert: append-only batch maintenance, identical to one-shot d11") {
+    // standing index: everything except the batch (vec_id % 17 == 0);
+    // kmeansIters=0 so the routing matches the oracle-replayable
+    // one-shot form
+    Warehouse.buildIvf(spark, sf, kmeansIters = 0, excludeMod = 17)
+    def dataFiles(): Map[String, (Long, String)] = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(wh, "graft_ivf_lists"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          f.getPath -> (f.length(), md.digest(bytes).map("%02x".format(_)).mkString)
+        }.toMap
+    }
+    val before = dataFiles()
+    val rowsBefore = Warehouse.ivfLists(spark).count()
+    Warehouse.upsertIvf(spark, sf, batchMod = 17)
+    spark.catalog.refreshTable("graft_ivf_lists")
+    // append-only: every standing data file survives BIT-IDENTICAL —
+    // the upsert never rewrote or re-shuffled the standing postings
+    val after = dataFiles()
+    assert(before.keySet.subsetOf(after.keySet))
+    before.foreach { case (p, sig) => assert(after(p) == sig, p) }
+    assert(after.size > before.size, "upsert appended no files")
+    // rows grew by exactly the batch's postings: |batch assigns| * m
+    val emb = Tables.embeddings(spark, sf)
+    val nBatch = emb.filter(pmod(col("vec_id"), lit(17)) === 0).count()
+    val rowsAfter = Warehouse.ivfLists(spark).count()
+    assert(rowsAfter == rowsBefore + nBatch * 4 * 8,  // nAssign=4, m=8
+      s"$rowsBefore -> $rowsAfter for $nBatch batch vectors")
+    // probe-after-upsert answers EXACTLY what the one-shot incremental
+    // query computes (same frozen corpus-trained routing)
+    val fromIndex = Warehouse.annIvfFlatIndexed(spark, sf)
+      .collect().toSeq.map(_.toString)
+    val oneShot = graft.operators.SimOps.annIvfIncremental(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(fromIndex == oneShot && fromIndex.nonEmpty)
+    // leave a full default index behind for any test that runs after
+    Warehouse.buildIvf(spark, sf)
+  }
+
   test("p11 landed index: probe never re-shards the standing corpus, identical to one-shot") {
     Warehouse.buildMinhash(spark, sf)
     val indexed = Warehouse.incrementalMinhashIndexed(spark, sf)
