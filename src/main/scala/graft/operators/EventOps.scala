@@ -55,8 +55,14 @@ object EventOps {
     * side combines to one row per user before the single shuffle.
     */
   def latestEventPerUser(spark: SparkSession, dir: String): DataFrame =
-    ev(spark, dir)
-      .groupBy(col("user_id"))
+    latestEventPerUserFrom(ev(spark, dir))
+
+  /** a1 over a caller-supplied events-with-ms frame — shared with the
+    * bucketed-warehouse form, whose user_id-bucketed layout satisfies
+    * the aggregation's ClusteredDistribution and drops the Exchange.
+    */
+  private[graft] def latestEventPerUserFrom(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
       .agg(
         max_by(col("event_id"), ordKey).as("last_event_id"),
         max_by(col("event_type"), ordKey).as("last_event_type"),
@@ -106,10 +112,17 @@ object EventOps {
     * boundaries, running sum to number sessions, then per-session agg.
     * One shuffle on user_id; window state is bounded per user.
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeFrom(ev(spark, dir))
+
+  /** a5 over a caller-supplied events-with-ms frame — shared with the
+    * bucketed-warehouse form (window partitioned on the bucket key →
+    * sort only, no Exchange).
+    */
+  private[graft] def sessionizeFrom(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
     val gap = col("ms") - lag(col("ms"), 1).over(w)
-    ev(spark, dir)
+    ev
       .withColumn("new_session",
         when(gap.isNull || gap > 1800000L, 1L).otherwise(0L))
       .withColumn("session_id",
@@ -129,9 +142,15 @@ object EventOps {
     * (conditional counts + max_by; no window, no join).
     */
   def stateFold(spark: SparkSession, dir: String): DataFrame = {
+    stateFoldFrom(ev(spark, dir))
+  }
+
+  /** a6 over a caller-supplied events-with-ms frame — shared with the
+    * bucketed-warehouse form.
+    */
+  private[graft] def stateFoldFrom(ev: DataFrame): DataFrame = {
     def n(t: String) = count(when(col("event_type") === t, 1)).as(s"n_$t")
-    ev(spark, dir)
-      .groupBy(col("user_id"))
+    ev.groupBy(col("user_id"))
       .agg(
         n("signup"), n("view"), n("click"), n("purchase"), n("error"),
         round(sum(col("value")), 2).as("total_value"),

@@ -224,6 +224,48 @@ object Warehouse {
   def ivfLists(spark: SparkSession): DataFrame = spark.table("graft_ivf_lists")
   def ivfCents(spark: SparkSession): DataFrame = spark.table("graft_ivf_cents")
 
+  /** Land the event log bucketed by user_id with the canonical
+    * epoch-ms column materialized — the layout the reference's
+    * per-entity event machine implies (Mongo's _id locality): every
+    * per-user fold (a1 latest-event, a5 sessionize, a6 state fold,
+    * a7 funnel, a12 as-of) keys on user_id, so a user_id-bucketed
+    * store satisfies their ClusteredDistribution from the SCAN and
+    * the per-query Exchange of the full 100 TB event log disappears —
+    * aggregations go map-side-only, windows sort within buckets
+    * without re-sharding. sortBy(user_id, ms, event_id) additionally
+    * lands each bucket in fold order.
+    */
+  def buildEvents(spark: SparkSession, dir: String): Unit = {
+    dropManaged(spark, Seq("graft_events_b"))
+    Tables.eventsMs(spark, dir)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(Buckets, "user_id").sortBy("user_id", "ms", "event_id")
+      .format("parquet")
+      .saveAsTable("graft_events_b")
+  }
+
+  def eventsB(spark: SparkSession): DataFrame = spark.table("graft_events_b")
+
+  /** a1 over the bucketed event log: identical semantics/output to
+    * `EventOps.latestEventPerUser` (same shared plan body), with the
+    * groupBy(user_id) satisfied by the bucketed scan — zero shuffle
+    * exchanges below the final presentation sort (WarehouseSpec
+    * proves it).
+    */
+  def latestEventPerUserBucketed(spark: SparkSession): DataFrame =
+    graft.operators.EventOps.latestEventPerUserFrom(eventsB(spark))
+
+  /** a5 over the bucketed event log — the window's
+    * partitionBy(user_id) is satisfied by bucketing: sort-only, no
+    * re-shard of the log.
+    */
+  def sessionizeBucketed(spark: SparkSession): DataFrame =
+    graft.operators.EventOps.sessionizeFrom(eventsB(spark))
+
+  /** a6 over the bucketed event log. */
+  def stateFoldBucketed(spark: SparkSession): DataFrame =
+    graft.operators.EventOps.stateFoldFrom(eventsB(spark))
+
   /** One-time MinHash index landing for p11's incremental dedup: the
     * standing corpus' bucket-capped LSH band keys + signatures. An
     * arriving batch probes these tables via a broadcast of ITS side —

@@ -46,6 +46,31 @@ class WarehouseSpec extends SparkSpec {
       "bucketed fact join should not shuffle either side")
   }
 
+  test("bucketed event log: per-user folds are exchange-free, identical to raw") {
+    import graft.operators.EventOps
+    Warehouse.buildEvents(spark, sf)
+    // result identity for the three per-user folds
+    assert(Warehouse.latestEventPerUserBucketed(spark).collect().toSeq ==
+           EventOps.latestEventPerUser(spark, sf).collect().toSeq)
+    assert(Warehouse.sessionizeBucketed(spark).collect().toSeq ==
+           EventOps.sessionize(spark, sf).collect().toSeq)
+    assert(Warehouse.stateFoldBucketed(spark).collect().toSeq ==
+           EventOps.stateFold(spark, sf).collect().toSeq)
+    // the fold itself is exchange-free: groupBy(user_id) is satisfied
+    // by the bucketed scan's HashPartitioning — no shuffle of the log
+    val foldOnly = Warehouse.eventsB(spark).groupBy(col("user_id"))
+      .agg(max(col("ms")).as("last_ms"))
+    assert(shuffleCount(foldOnly) == 0,
+      "bucketed per-user fold should not shuffle the event log")
+    // full queries keep ONLY the presentation sort's range exchange:
+    // a1's agg and a5's window/session-agg all reuse the bucketing
+    // (HashPartitioning(user_id) satisfies the window's and the
+    // (user_id, session_id) agg's clustered distributions)
+    assert(shuffleCount(Warehouse.latestEventPerUserBucketed(spark)) == 1)
+    assert(shuffleCount(Warehouse.sessionizeBucketed(spark)) == 1)
+    assert(shuffleCount(Warehouse.stateFoldBucketed(spark)) == 1)
+  }
+
   test("IVF-PQ over the landed index: partition-pruned probes, identical to d10") {
     Warehouse.buildIvf(spark, sf)
     val indexed = Warehouse.annIvfPqIndexed(spark, sf)
