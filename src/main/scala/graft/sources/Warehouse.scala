@@ -178,12 +178,23 @@ object Warehouse {
     * is result-identical to the one-shot `SimOps.annIvfIncremental`).
     */
   def upsertIvf(spark: SparkSession, dir: String, batchMod: Int,
-                nAssign: Int = 4, m: Int = 8, subDim: Int = 8): Unit = {
+                nAssign: Int = 4, m: Int = 8, subDim: Int = 8): Unit =
+    upsertIvfFrom(Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(batchMod)) === 0)
+      .select(col("vec_id"), col("embedding")), nAssign, m, subDim)
+
+  /** The upsert body over a caller-supplied `(vec_id, embedding)`
+    * batch frame — shared by the dir-based form above and the
+    * streaming maintenance flow (`VectorStream.maintainIvf`, whose
+    * foreachBatch hands each arriving micro-batch here).
+    */
+  def upsertIvfFrom(batchEmb: DataFrame, nAssign: Int = 4, m: Int = 8,
+                    subDim: Int = 8): Unit = {
     import graft.operators.SimOps
-    val batch = Tables.embeddings(spark, dir)
+    val spark = batchEmb.sparkSession
+    val batch = batchEmb
       .select(col("vec_id"), col("embedding"),
               graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
-      .filter(pmod(col("vec_id"), lit(batchMod)) === 0)
     val lists = SimOps.nearestCells(ivfCents(spark))(
         batch, "vec_id", "embedding", "nrm", nAssign)
       .select(col("vec_id"), col("cent_id"))
