@@ -68,6 +68,9 @@ object SparkEntry {
     // incremental (cross-batch) fuzzy dedup: arriving docs labeled
     // against the standing corpus' LSH band index
     "p11_incremental_dedup"     -> ((s: SparkSession, d: String) => DedupOps.incrementalMinhash(s, d)),
+    // source-level (domain) filtering: per-source volume/dup/quality
+    // verdicts against a self-calibrating median cut
+    "p12_source_filter"         -> PipelineOps.sourceFilter _,
     // E. text analysis
     "e1_token_stats"            -> TextOps.tokenStats _,
     "e2_quality_score"          -> TextOps.qualityScore _,
@@ -623,6 +626,29 @@ object SparkEntry {
          LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
          ORDER BY doc_id"""
     },
+    // p12: e2's raw quality formula aggregated per source, exact
+    // distinct-fingerprint dup rate, and the self-calibrating median
+    // cut (DuckDB median == quantile_cont(0.5) == Spark's exact
+    // interpolating percentile; inputs are round-6 stable).
+    "p12_source_filter" ->
+      """WITH t AS (SELECT source, md5(text) AS fp, text,
+                    string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         q AS (SELECT source, fp,
+             0.25 * least(len(toks) / 100.0, 1.0)
+           + 0.25 * (1.0 - len(list_filter(toks, t -> t IN ('the','a','of','to','and')))::DOUBLE / len(toks))
+           + 0.25 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text))
+           + 0.25 * len(list_distinct(toks))::DOUBLE / len(toks) AS q
+           FROM t),
+         per AS (SELECT source, count(*) AS n_docs,
+                 count(DISTINCT fp) AS n_distinct,
+                 round(avg(q), 6) AS mean_quality
+                 FROM q GROUP BY source),
+         m AS (SELECT median(mean_quality) AS med FROM per)
+         SELECT source, n_docs, n_distinct,
+           round((n_docs - n_distinct)::DOUBLE / n_docs, 6) AS dup_rate,
+           mean_quality, mean_quality >= med AS kept
+         FROM per, m ORDER BY source""",
     // c6: connected components — DuckDB computes the same 8-token
     // chunk-fingerprint edges, then closes them with a recursive-CTE
     // reachability fixpoint (identity ∪ one-hop extension, UNION

@@ -392,4 +392,43 @@ object PipelineOps {
               col("n_docs"), col("n_tokens"))
     s01.unionByName(s2).orderBy(col("stage_id"))
   }
+
+  /** p12: source-level (domain) filtering — the corpus-prep stage that
+    * acts at SOURCE granularity rather than per document (C4's
+    * blocklist, Gopher's domain filters): aggregate each source's
+    * volume, exact-duplicate rate, and mean quality, then keep the
+    * sources whose mean quality clears the cut. The cut is
+    * SELF-CALIBRATING — the median of the per-source means — so the
+    * filter provably splits the corpus at any SF instead of hinging
+    * on a magic constant the synthetic corpus might never cross (the
+    * c5 lesson). A deployment swaps the median for its own floor; the
+    * plan shape is unchanged.
+    *
+    * 100 TB shape: one pruned scan → one partial-aggregable groupBy
+    * (sources ≪ docs), a 1-row median broadcast (documented BNLJ
+    * pattern), zero per-doc joins. The verdict table is tiny — it is
+    * the artifact a crawler review reads, and the kept list then
+    * prunes the corpus AT THE SCAN via a partition filter when the
+    * corpus lands partitioned by source.
+    */
+  def sourceFilter(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), md5(col("text")).as("fp"),
+              TextOps.Quality.score.as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("fp")).as("n_distinct"),
+           round(avg(col("q")), 6).as("mean_quality"))
+      .withColumn("dup_rate",
+        round((col("n_docs") - col("n_distinct")).cast("double") /
+              col("n_docs"), 6))
+    val cut = perSource.agg(
+      expr("percentile(mean_quality, 0.5)").as("median_quality"))
+    perSource.crossJoin(broadcast(cut))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+              col("dup_rate"), col("mean_quality"),
+              (col("mean_quality") >= col("median_quality")).as("kept"))
+      .orderBy(col("source"))
+  }
 }

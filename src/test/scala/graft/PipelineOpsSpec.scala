@@ -248,4 +248,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(solo.getAs[String]("split") == one.getAs[String]("split"),
       "split must not depend on the surrounding corpus")
   }
+
+  test("p12 source filter: median cut splits sources, dup accounting exact") {
+    val rows = PipelineOps.sourceFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val kept = rows.filter(_.getAs[Boolean]("kept"))
+    val dropped = rows.filterNot(_.getAs[Boolean]("kept"))
+    // the self-calibrating cut must actually split (no vacuous filter)
+    assert(kept.nonEmpty && dropped.nonEmpty)
+    // kept == mean_quality >= median, recomputed naively
+    val means = rows.map(_.getAs[Double]("mean_quality")).sorted
+    val n = means.length
+    val med = if (n % 2 == 1) means(n / 2)
+              else (means(n / 2 - 1) + means(n / 2)) / 2
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("kept") == (r.getAs[Double]("mean_quality") >= med))
+      // dup accounting: rate == (n_docs - n_distinct) / n_docs
+      val nd = r.getAs[Long]("n_docs"); val dst = r.getAs[Long]("n_distinct")
+      assert(nd >= dst && dst > 0)
+      assert(math.abs(r.getAs[Double]("dup_rate") - (nd - dst).toDouble / nd) < 1e-6)
+    }
+    // per-source doc counts tie out to the corpus
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val expected = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull).count()
+    assert(total == expected)
+  }
 }

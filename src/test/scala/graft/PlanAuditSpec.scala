@@ -29,7 +29,8 @@ class PlanAuditSpec extends SparkSpec {
     "d5_ann_ivf",              // broadcast centroid probe
     "d10_ann_ivfpq",           // broadcast centroid probe + query subs
     "d11_ann_incremental",     // broadcast frozen-centroid routing
-    "e11_unigram_logprob")     // 1-row total-tokens + n_docs broadcasts
+    "e11_unigram_logprob",     // 1-row total-tokens + n_docs broadcasts
+    "p12_source_filter")       // 1-row median-quality broadcast
 
   test("no cartesian products; BNLJ only in the documented broadcast patterns") {
     SparkEntry.queries.keys.filterNot(streamingBacked).toSeq.sorted.foreach { name =>
