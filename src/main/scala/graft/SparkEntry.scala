@@ -84,6 +84,7 @@ object SparkEntry {
     "e10_top_ngram_share"       -> TextOps.topNgramShare _,
     "e11_unigram_logprob"       -> ((s: SparkSession, d: String) => TextOps.unigramLogprob(s, d)),
     "e12_gopher_rules"          -> TextOps.gopherRules _,
+    "e13_bigram_logprob"        -> ((s: SparkSession, d: String) => TextOps.bigramLogprob(s, d)),
     "d9_pq_quantize"            -> ((s: SparkSession, d: String) => SimOps.pqQuantize(s, d)),
     "d10_ann_ivfpq"             -> ((s: SparkSession, d: String) => SimOps.annIvfPq(s, d)),
     "d11_ann_incremental"       -> ((s: SparkSession, d: String) => SimOps.annIvfIncremental(s, d)),
@@ -1280,6 +1281,44 @@ object SparkEntry {
     // (chars - spaces)/words, symbol count from replace-diff + regex
     // count, rule booleans on the UNROUNDED values (same doubles from
     // the same expressions ⇒ same flags).
+    // e13: bigram LM with stupid backoff, trained on the ~2% reference
+    // slice (doc_id % 50 = 1) and scored over every doc — generate_
+    // series positions build the bigrams (e6's shape), LEFT joins
+    // carry the seen/unseen arm, and the backoff base is the
+    // add-one-smoothed reference unigram. round(,4)/(,6) absorb the
+    // engines' float-summation order (e11's precedent).
+    "e13_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         ref AS (SELECT * FROM t WHERE doc_id % 50 = 1),
+         uni AS (SELECT unnest(toks) AS tok FROM ref),
+         uc AS (SELECT tok, count(*) AS cu FROM uni GROUP BY tok),
+         tv AS (SELECT sum(cu) AS t, count(*) AS v FROM uc),
+         rb AS (SELECT unnest(list_transform(
+                  generate_series(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                FROM ref WHERE len(toks) >= 2),
+         bc AS (SELECT bg, count(*) AS cb FROM rb GROUP BY bg),
+         g AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i,
+                      toks
+               FROM t WHERE len(toks) >= 2),
+         p AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur,
+                      toks[i] || ' ' || toks[i + 1] AS bg FROM g),
+         sc AS (SELECT p.doc_id,
+             CASE WHEN bc.cb IS NOT NULL
+                  THEN log10(bc.cb::DOUBLE / up.cu)
+                  ELSE log10(0.4 * (coalesce(ucur.cu, 0) + 1)::DOUBLE
+                             / (tv.t + tv.v + 1)) END AS lp,
+             CASE WHEN bc.cb IS NULL THEN 1 ELSE 0 END AS oov
+           FROM p
+           LEFT JOIN bc USING (bg)
+           LEFT JOIN uc up ON p.prev = up.tok
+           LEFT JOIN uc ucur ON p.cur = ucur.tok
+           CROSS JOIN tv)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(lp), 4) AS avg_logprob,
+           round(sum(oov)::DOUBLE / count(*), 6) AS unseen_rate
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "e12_gopher_rules" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
                     FROM documents),

@@ -405,6 +405,74 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** e13: bigram log-probability scoring — the CCNet-style LM quality
+    * filter (Wenzek et al. 2020: score new data under an LM trained on
+    * a reference corpus; low perplexity ⇒ clean): a bigram model with
+    * stupid backoff is TRAINED on a SMALL reference slice (doc_id %
+    * 50 == 1, ~2% — CCNet's actual shape: a small curated reference
+    * scores a large crawl; and on this ~30-token-vocabulary synthetic
+    * corpus a large reference would see every possible bigram and
+    * make the backoff arm vacuous — the c5 lesson) and applied to
+    * every document.
+    *
+    *   P(w_i | w_{i-1}) = c_b(w_{i-1} w_i) / c_u(w_{i-1})   if seen
+    *                    = 0.4 · (c_u(w_i) + 1) / (T + V + 1) otherwise
+    *
+    * (add-one-smoothed unigram with one OOV pseudo-entry as the
+    * backoff base; T = reference token count, V = reference vocab).
+    * Output per doc (≥ 2 tokens): bigram count, avg log10 P, and the
+    * unseen-bigram rate — the two columns a corpus review reads.
+    *
+    * 100 TB shape: counts are two partial-aggregable groupBys over
+    * the reference slice; scoring is broadcast joins on token keys
+    * (`broadcastVocab=false` = e11's too-big-to-broadcast escape
+    * hatch, an ordinary shuffle join, parity-tested) + a 1-row (T, V)
+    * broadcast; the per-doc fold is one aggregate. The bigram pairs
+    * come from a zip_with over the token array — no self-join on
+    * position.
+    */
+  def bigramLogprob(spark: SparkSession, dir: String,
+                    broadcastVocab: Boolean = true): DataFrame = {
+    val alpha = 0.4
+    val base = docs(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+    val ref = base.filter(pmod(col("doc_id"), lit(50)) === 1)
+    val uni = ref.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val tv = uni.agg(sum(col("cu")).as("t"), count(lit(1)).as("v"))
+    val bi = ref.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (p, c) => concat_ws(" ", p, c))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    def side(df: DataFrame) = if (broadcastVocab) broadcast(df) else df
+    base
+      .select(col("doc_id"), explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (p, c) => struct(p.as("prev"), c.as("cur")))).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"),
+              concat_ws(" ", col("p.prev"), col("p.cur")).as("bg"))
+      .join(side(bi), Seq("bg"), "left")
+      .join(side(uni.select(col("tok").as("prev"), col("cu").as("cu_prev"))),
+            Seq("prev"), "left")
+      .join(side(uni.select(col("tok").as("cur"), col("cu").as("cu_cur"))),
+            Seq("cur"), "left")
+      .crossJoin(broadcast(tv))
+      .select(col("doc_id"),
+        when(col("cb").isNotNull, log10(col("cb") / col("cu_prev")))
+          .otherwise(log10(lit(alpha) *
+            (coalesce(col("cu_cur"), lit(0L)) + 1).cast("double") /
+            (col("t") + col("v") + 1))).as("lp"),
+        col("cb").isNull.cast("int").as("oov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(avg(col("lp")), 4).as("avg_logprob"),
+           round(sum(col("oov")).cast("double") / count(lit(1)), 6)
+             .as("unseen_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** e12: the Gopher RULE set (Rae et al. 2021 §A1.1) — the
     * hard-threshold word-level filters, reported as per-rule booleans
     * plus the combined keep flag. e2 scores quality on a continuous

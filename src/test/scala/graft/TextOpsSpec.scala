@@ -283,4 +283,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got.exists(_.getAs[Boolean]("keep")), "no doc keeps")
     assert(got.exists(!_.getAs[Boolean]("keep")), "no doc drops")
   }
+
+  test("e13 bigram LM: backoff arm real on held-out docs, join-strategy parity") {
+    val rows = TextOps.bigramLogprob(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val (ref, held) = rows.partition(_.getAs[Long]("doc_id") % 50 == 1)
+    // reference docs trained the counts: every one of their bigrams is
+    // seen by construction
+    assert(ref.nonEmpty && ref.forall(_.getAs[Double]("unseen_rate") == 0.0))
+    // the held-out tenth must actually exercise the backoff arm
+    assert(held.nonEmpty && held.exists(_.getAs[Double]("unseen_rate") > 0.0))
+    // an unseen bigram can only lower the doc's average log-prob, so
+    // the held-out mean must sit below the reference mean
+    def mean(xs: Array[org.apache.spark.sql.Row]) =
+      xs.map(_.getAs[Double]("avg_logprob")).sum / xs.length
+    assert(mean(held) < mean(ref))
+    // e11's escape hatch: the shuffle-join form is row-identical
+    val b = TextOps.bigramLogprob(spark, sf, broadcastVocab = false)
+      .collect().toSeq.map(_.toString)
+    assert(b == rows.toSeq.map(_.toString))
+  }
 }
