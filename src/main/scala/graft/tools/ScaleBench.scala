@@ -24,7 +24,8 @@ object ScaleBench {
     "a13_stream_join", "c2_dedup_minhash", "c4_ngram_jaccard",
     "c6_dedup_clusters", "d5_ann_ivf", "d10_ann_ivfpq",
     "e11_unigram_logprob", "p1_corpus_prep", "p3_fuzzy_dedup",
-    "p9_filter_funnel", "p11_incremental_dedup", "d11_ann_incremental")
+    "p9_filter_funnel", "p11_incremental_dedup", "d11_ann_incremental",
+    "e13_bigram_logprob")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
