@@ -120,7 +120,7 @@ object Warehouse {
     */
   def buildIvf(spark: SparkSession, dir: String, nlist: Int = 64,
                nAssign: Int = 4, ks: Int = 256, m: Int = 8,
-               subDim: Int = 8, kmeansIters: Int = 2,
+               subDim: Int = 8, kmeansIters: Int = 4,
                excludeMod: Int = 0): Unit = {
     import graft.operators.SimOps
     dropManaged(spark, Seq("graft_ivf_lists", "graft_ivf_cents",
@@ -134,9 +134,10 @@ object Warehouse {
     val emb = if (excludeMod <= 0) embAll
       else embAll.filter(pmod(col("vec_id"), lit(excludeMod)) =!= 0)
     // The build-once path defaults to Lloyd-REFINED coarse centroids
-    // (kmeansIters=2): the refinement is a build-time cost amortized
-    // across every probe, and the measured grid (IvfGrid, sf0.1) buys
-    // recall 0.79 → 0.86 at identical probe cost. The centroid set is
+    // (kmeansIters=4): the refinement is a build-time cost amortized
+    // across every probe, and the measured sweeps (IvfGrid/KmSweep,
+    // sf0.1) buy recall 0.79 → 0.875 at identical probe cost (km=8
+    // adds only +0.0025 more — past the knee). The centroid set is
     // PERSISTED with the index — a real IVF index ships its centroids;
     // probes read the ≤nlist-row table instead of re-deriving routing.
     val cents = SimOps.ivfCentroids(emb, nlist, kmeansIters)

@@ -82,10 +82,10 @@ class WarehouseSpec extends SparkSpec {
       "probe join did not produce a dynamic partition pruning filter")
     // and the landed index must answer exactly what the self-contained
     // d10 computes per run at the SAME build parameters (the build-once
-    // path defaults to Lloyd-refined routing/codebooks, kmeansIters=2)
+    // path defaults to Lloyd-refined routing/codebooks, kmeansIters=4)
     val fromIndex = indexed.collect().toSeq.map(_.toString)
     val selfContained = graft.operators.SimOps
-      .annIvfPq(spark, sf, kmeansIters = 2)
+      .annIvfPq(spark, sf, kmeansIters = 4)
       .collect().toSeq.map(_.toString)
     assert(fromIndex == selfContained)
   }
@@ -95,7 +95,7 @@ class WarehouseSpec extends SparkSpec {
     val fromIndex = Warehouse.annIvfFlatIndexed(spark, sf)
       .collect().toSeq.map(_.toString)
     val selfContained = graft.operators.SimOps
-      .annIvf(spark, sf, kmeansIters = 2)
+      .annIvf(spark, sf, kmeansIters = 4)
       .collect().toSeq.map(_.toString)
     assert(fromIndex == selfContained && fromIndex.nonEmpty)
   }
