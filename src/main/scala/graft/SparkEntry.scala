@@ -31,6 +31,9 @@ object SparkEntry {
     "a14_stream_asof"           -> graft.streaming.EventStream.streamAsof _,
     "a15_stream_asof_ooo"       -> graft.streaming.EventStream.streamAsofOoo _,
     "a16_retention_cohorts"     -> EventOps.retentionCohorts _,
+    // a17: JoinFns.saltedJoin exercised on the 5-value event_type key —
+    // result-identical to the plain join the oracle replays
+    "a17_salted_type_join"      -> ((s: SparkSession, d: String) => EventOps.saltedTypeJoin(s, d)),
     // C. deduplication
     "c1_dedup_exact"            -> DedupOps.dedupExact _,
     "c2_dedup_minhash"          -> ((s: SparkSession, d: String) => DedupOps.dedupMinhash(s, d)),
@@ -89,6 +92,9 @@ object SparkEntry {
     "d9_pq_quantize"            -> ((s: SparkSession, d: String) => SimOps.pqQuantize(s, d)),
     "d10_ann_ivfpq"             -> ((s: SparkSession, d: String) => SimOps.annIvfPq(s, d)),
     "d11_ann_incremental"       -> ((s: SparkSession, d: String) => SimOps.annIvfIncremental(s, d)),
+    // d12: the LANDED-index probe (ensureIvf + DPP-pruned posting-list
+    // scan) — first run in a JVM builds, later runs probe only
+    "d12_ann_indexed"           -> ((s: SparkSession, d: String) => graft.sources.Warehouse.annIndexed(s, d)),
     // B. marketplace/analytics
     "b1_pricing_summary"        -> MarketOps.pricingSummary _,
     "b2_top_sellers"            -> MarketOps.topSellers _,
@@ -147,6 +153,10 @@ object SparkEntry {
     // (app.service.ts:356, :39)
     "b46_did_lookup"            -> ((s: SparkSession, d: String) => MarketOps.didLookup(s, d)),
     "b47_latest_rate"           -> ((s: SparkSession, d: String) => MarketOps.latestRate(s, d)),
+    // b48/b49 (round 9): the last two reference query semantics —
+    // rate-conversion volume + the raw per-token price list
+    "b48_trading_volume_rates"  -> MarketOps.tradingVolumeRates _,
+    "b49_token_price_history_raw" -> ((s: SparkSession, d: String) => MarketOps.tokenPriceHistoryRaw(s, d)),
   )
 
   /** Shared DuckDB prelude for the f-family oracles: rebuilds
@@ -202,7 +212,13 @@ object SparkEntry {
              END AS duration_ms
          FROM sx)"""
 
-  def oracleSql: Map[String, String] = Map(
+  // d12 probes the LANDED index built at the registered d10
+  // parameters, so the SAME replay hash-gates both paths — sharing the
+  // string (not copying it) makes oracle drift between them impossible.
+  def oracleSql: Map[String, String] =
+    baseOracleSql + ("d12_ann_indexed" -> baseOracleSql("d10_ann_ivfpq"))
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     // A-module rule: ALL time logic on epoch-ms longs in both engines
     // (epoch_ms(ts) here ≡ unix_millis(cast) in Spark) — the parquet ns
     // precision never reaches a comparison. Sort key = lexicographic
@@ -1477,6 +1493,19 @@ object SparkEntry {
            CAST(sum(n_events) AS BIGINT) AS n_events
          FROM uw JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // a17: the PLAIN join — the Spark side salts it; salting must be
+    // invisible in the answer, so the oracle deliberately doesn't.
+    // Dim = latest tick per type (argmax on ms, event_id).
+    "a17_salted_type_join" ->
+      """WITH dim AS (SELECT event_type, value AS rate FROM (
+             SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+             FROM events) WHERE rn = 1)
+         SELECT e.event_type, count(*) AS n,
+           round(sum(e.value * d.rate), 2) AS weighted
+         FROM events e JOIN dim d USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type""",
     "a15_stream_asof_ooo" ->
       """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms
                     FROM events WHERE event_type = 'purchase'),
@@ -2116,5 +2145,34 @@ object SparkEntry {
       """SELECT epoch_ms(ts) AS ms, event_id, event_type AS rate_type,
          value AS rate
          FROM events ORDER BY ms DESC, event_id DESC LIMIT 1""",
+    // b48: getTradingVolume's rate-conversion arithmetic replayed —
+    // filled orders, derived quote token (every 7th order native →
+    // fallback rate 1), amount-or-1 fallback, latest-tick-per-type
+    // rates dim LEFT JOIN, rollup with grand-total row (NULL qt).
+    "b48_trading_volume_rates" ->
+      """WITH rates AS (SELECT event_type AS token, value AS rate FROM (
+             SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+             FROM events) WHERE rn = 1),
+         f AS (SELECT
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE ['click','error','purchase','signup','view']
+                       [(o_orderkey % 5 + 1)::INT] END AS quote_token,
+             CASE WHEN o_orderkey % 4 = 0 THEN 1
+                  ELSE o_orderkey % 4 END AS amount,
+             o_totalprice
+           FROM orders WHERE o_orderstatus = 'F'),
+         j AS (SELECT coalesce(f.quote_token, '(native)') AS qt,
+             f.amount * f.o_totalprice * coalesce(r.rate, 1.0)
+               / 1000000.0 AS vol
+           FROM f LEFT JOIN rates r ON f.quote_token = r.token)
+         SELECT qt, count(*) AS n_orders, round(sum(vol), 4) AS volume
+         FROM j GROUP BY ROLLUP(qt) ORDER BY qt NULLS FIRST""",
+    // b49: the raw (updateTime, price) tick list of one token's sales.
+    "b49_token_price_history_raw" ->
+      """SELECT l_shipdate AS update_ts, l_extendedprice AS price
+         FROM lineitem WHERE l_partkey = 42
+         ORDER BY update_ts, price""",
   )
 }

@@ -298,4 +298,34 @@ object EventOps {
            sum(col("n_events")).as("n_events"))
       .orderBy(col("cohort_week_ms"), col("week_offset"))
   }
+
+  /** a17: rate-weighted per-type event rollup through the SALTED join
+    * path — JoinFns.saltedJoin exercised end-to-end on a genuinely
+    * skewed key. `event_type` has five values over the whole log, so
+    * a plain shuffle join on it degenerates to five reducers owning
+    * everything (the hottest key alone ~20% of a 100 TB log on ONE
+    * task). Broadcast is the first choice for a tiny dim (b48 takes
+    * it); the salted form is the standing fallback for when the
+    * replicated side is too big to broadcast — each hot key's rows
+    * split across `salts` reducers via a deterministic row-hash salt,
+    * the dim replicates once per salt, and the result set is
+    * provably identical to the plain join (EventOpsSpec asserts it;
+    * the oracle replays the PLAIN join — salting must be invisible
+    * in the answer). The follow-up per-type aggregate is map-side
+    * combinable, so the 5-key skew never concentrates again.
+    */
+  def saltedTypeJoin(spark: SparkSession, dir: String,
+                     salts: Int = 8): DataFrame = {
+    val events = ev(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dim = ev(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(max_by(col("value"), struct(col("ms"), col("event_id")))
+             .as("rate"))
+    graft.functions.JoinFns.saltedJoin(events, dim, "event_type", salts)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value") * col("rate")), 2).as("weighted"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -1091,4 +1091,77 @@ object MarketOps {
               col("event_type").as("rate_type"), col("value").as("rate"))
       .orderBy(col("ms").desc, col("event_id").desc)
       .limit(1)
+
+  /** b48: rate-converted trading volume — `getTradingVolume`
+    * (app.service.ts:1963-1989): over FILLED orders, each order's
+    * volume is `amount · price · rate` where `rate` comes from a
+    * per-(chain, quoteToken) rates dim and falls back to 1 when the
+    * quote token is absent/burn; `amount` itself falls back to 1 when
+    * unset (`item.amount ? item.amount : 1`). The reference fetches
+    * every filled order to the app server and folds the product in a
+    * JS loop — the Spark form is the scale fix: the rates dim (b47's
+    * latest-rate-per-type over the event log, ≤5 rows — a real
+    * deployment's `token_rates` is similarly tiny) BROADCASTS into a
+    * single pass over the filled-order scan, the status predicate
+    * pushes to parquet, and the rollup is one partial-aggregable
+    * (quote_token) group plus the grand-total row. No shuffle of the
+    * fact table at any scale.
+    *
+    * Testdata mapping (no rates/quote-token columns exist in the
+    * synthetic star): quote_token derives deterministically from the
+    * order key — every 7th order is "native-token" (the reference's
+    * null/burn quoteToken arm, rate 1), the rest map onto the five
+    * event types whose latest tick value is their rate; amount
+    * replays the `amount ? amount : 1` fallback via `nullif(k%4, 0)`.
+    * The oracle replays the identical derivation + join + arithmetic
+    * in SQL, so the fallback semantics are hash-gated end-to-end.
+    */
+  def tradingVolumeRates(spark: SparkSession, dir: String): DataFrame = {
+    // latest rate tick per type: argmax on (ms, event_id) — a
+    // partial-aggregable max_by, never a window sort over the log
+    val rates = Tables.eventsMs(spark, dir)
+      .groupBy(col("event_type").as("token"))
+      .agg(max_by(col("value"), struct(col("ms"), col("event_id")))
+             .as("rate"))
+    val quoteTokens = array(lit("click"), lit("error"), lit("purchase"),
+                            lit("signup"), lit("view"))
+    val filled = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(
+        when(pmod(col("o_orderkey"), lit(7)) === 0,
+             lit(null).cast("string"))
+          .otherwise(element_at(
+            quoteTokens, (pmod(col("o_orderkey"), lit(5)) + 1).cast("int")))
+          .as("quote_token"),
+        coalesce(nullif(pmod(col("o_orderkey"), lit(4)), lit(0)), lit(1L))
+          .as("amount"),
+        col("o_totalprice"))
+    filled
+      .join(broadcast(rates), filled("quote_token") === rates("token"),
+            "left")
+      .select(coalesce(col("quote_token"), lit("(native)")).as("qt"),
+              (col("amount") * col("o_totalprice") *
+               coalesce(col("rate"), lit(1.0)) / lit(1e6)).as("vol"))
+      .rollup(col("qt"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("vol")), 4).as("volume"))
+      .orderBy(col("qt").asc_nulls_first)
+  }
+
+  /** b49: RAW per-token price history — `getTokenPriceHistory`
+    * (app.service.ts:345): the unaggregated `(updateTime, price)`
+    * list of one token's filled sales, time ascending. b18 ships the
+    * daily-aggregated series; this is the strict-subset projection
+    * that returns every individual tick. The partkey predicate pushes
+    * to the parquet scan and the scan reads exactly two data columns
+    * (`ReadSchema` = shipdate + extendedprice under the pushed
+    * l_partkey filter) — cost is one token's rows at any corpus size.
+    */
+  def tokenPriceHistoryRaw(spark: SparkSession, dir: String,
+                           partkey: Long = 42L): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") === partkey)
+      .select(col("l_shipdate").as("update_ts"),
+              col("l_extendedprice").as("price"))
+      .orderBy(col("update_ts"), col("price"))
 }

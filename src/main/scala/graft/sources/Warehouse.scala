@@ -124,7 +124,7 @@ object Warehouse {
                excludeMod: Int = 0): Unit = {
     import graft.operators.SimOps
     dropManaged(spark, Seq("graft_ivf_lists", "graft_ivf_cents",
-                           "graft_ivf_book"))
+                           "graft_ivf_book", "graft_ivf_meta"))
     // excludeMod > 0 builds the STANDING index of the incremental
     // story: vectors with vec_id % excludeMod == 0 are the
     // yet-to-arrive batch and take the upsertIvf path later.
@@ -165,6 +165,61 @@ object Warehouse {
       .partitionBy("cent_id")
       .format("parquet")
       .saveAsTable("graft_ivf_lists")
+    // Build metadata rides with the index (a real index ships its
+    // build params): freshness gates like ensureIvf compare against
+    // this instead of trusting in-process memos, so a rebuild at
+    // different params (specs, grids) can never be mistaken for the
+    // standing index.
+    import spark.implicits._
+    Seq(ivfBuildKey(dir, nlist, nAssign, ks, m, subDim, kmeansIters,
+                    excludeMod))
+      .toDF("build_key")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable("graft_ivf_meta")
+  }
+
+  private def ivfBuildKey(dir: String, nlist: Int, nAssign: Int, ks: Int,
+                          m: Int, subDim: Int, kmeansIters: Int,
+                          excludeMod: Int): String =
+    s"$dir|nlist=$nlist|nAssign=$nAssign|ks=$ks|m=$m|subDim=$subDim|" +
+      s"km=$kmeansIters|excl=$excludeMod"
+
+  /** Build the IVF-PQ index only if the landed one (per its own
+    * metadata table) doesn't already match these parameters — the
+    * query-side freshness gate: first touch in a JVM pays the build,
+    * every subsequent probe is probe-cost only, exactly the
+    * amortization a production index exists for.
+    */
+  def ensureIvf(spark: SparkSession, dir: String, nlist: Int = 64,
+                nAssign: Int = 4, ks: Int = 256, m: Int = 8,
+                subDim: Int = 8, kmeansIters: Int = 4,
+                excludeMod: Int = 0): Unit = {
+    val key = ivfBuildKey(dir, nlist, nAssign, ks, m, subDim,
+                          kmeansIters, excludeMod)
+    val fresh = spark.catalog.tableExists("graft_ivf_meta") &&
+      spark.catalog.tableExists("graft_ivf_lists") && {
+        val r = spark.table("graft_ivf_meta").collect()
+        r.length == 1 && r(0).getString(0) == key
+      }
+    if (!fresh)
+      buildIvf(spark, dir, nlist, nAssign, ks, m, subDim, kmeansIters,
+               excludeMod)
+  }
+
+  /** d12: the landed-index ANN probe as a driver-checked query — the
+    * production path d10 only rehearses: `ensureIvf` lands (or
+    * re-uses) the partitioned posting lists + persisted centroids/
+    * codebook, then `annIvfPqIndexed` probes them under dynamic
+    * partition pruning. Built at kmeansIters=0 so the routing is the
+    * md5-rank sample d10's oracle replays — the output is
+    * row-identical to the one-shot d10 (WarehouseSpec proves the
+    * identity; the SAME DuckDB SQL hash-gates both), which is exactly
+    * the point: same answer, index amortized instead of rebuilt.
+    */
+  def annIndexed(spark: SparkSession, dir: String, k: Int = 10,
+                 qmod: Int = 50, nProbe: Int = 8): DataFrame = {
+    ensureIvf(spark, dir, kmeansIters = 0)
+    annIvfPqIndexed(spark, dir, k, qmod, nProbe)
   }
 
   /** Incremental index maintenance — the d11 production path: route

@@ -110,4 +110,25 @@ class EventOpsSpec extends SparkSpec {
     assert(got.count() == raw.size)  // synthetic data has unique (u,t,ms)
     assert(got.filter(col("dup_count") > 1).count() == 0)
   }
+
+  test("a17 salted join: identical to the plain join, salt in the join key") {
+    val df = EventOps.saltedTypeJoin(spark, sf)
+    val salted = df.collect().map(_.toString)
+    val dim = Tables.eventsMs(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(max_by(col("value"), struct(col("ms"), col("event_id")))
+             .as("rate"))
+    val plain = Tables.eventsMs(spark, sf)
+      .join(dim, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value") * col("rate")), 2).as("weighted"))
+      .orderBy(col("event_type"))
+      .collect().map(_.toString)
+    assert(salted.nonEmpty && salted.sameElements(plain))
+    // the physical join must really run on (event_type, _salt) — the
+    // hot key split is the point, not a decoration
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), plan)
+  }
 }

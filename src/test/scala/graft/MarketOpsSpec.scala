@@ -388,4 +388,41 @@ class MarketOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("b48 rate-converted volume: fallback arms + rollup total + broadcast dim") {
+    val df = MarketOps.tradingVolumeRates(spark, sf)
+    val rows = df.collect()
+    val (total, groups) = rows.partition(_.isNullAt(0))
+    assert(total.length == 1)  // the rollup grand-total row
+    assert(groups.map(_.getAs[String]("qt")).toSet ==
+      Set("click", "error", "purchase", "signup", "view", "(native)"))
+    assert(groups.map(_.getAs[Long]("n_orders")).sum ==
+      total(0).getAs[Long]("n_orders"))
+    // the native arm must fold with rate EXACTLY 1 (the reference's
+    // null/burn quoteToken fallback) — recompute it from base tables
+    val expectNative = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F" &&
+              pmod(col("o_orderkey"), lit(7)) === 0)
+      .agg(sum(coalesce(nullif(pmod(col("o_orderkey"), lit(4)), lit(0)),
+                        lit(1L)) * col("o_totalprice") / lit(1e6)))
+      .collect()(0).getDouble(0)
+    val gotNative = groups.find(_.getAs[String]("qt") == "(native)").get
+      .getAs[Double]("volume")
+    assert(math.abs(gotNative - expectNative) < 1e-3)
+    // the ≤5-row rates dim must broadcast — never a shuffle of orders
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("b49 raw tick list is b18's unaggregated input") {
+    val raw = MarketOps.tokenPriceHistoryRaw(spark, sf)
+    assert(raw.count() ==
+      Tables.lineitem(spark, sf).filter(col("l_partkey") === 42).count())
+    // re-aggregating the raw ticks daily reproduces b18's day rows
+    val days = raw.groupBy(col("update_ts").cast("date")).count().count()
+    assert(days == MarketOps.priceHistoryToken(spark, sf).count())
+    // the partkey predicate reaches the parquet scan
+    val plan = raw.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_partkey"), plan)
+  }
 }

@@ -193,4 +193,31 @@ class WarehouseSpec extends SparkSpec {
         "bucketed documents-embeddings semi join should not shuffle")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("ensureIvf freshness gate + d12 identity with the one-shot d10") {
+    def dataFiles(): Set[String] = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(wh, "graft_ivf_lists"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    Warehouse.ensureIvf(spark, sf, kmeansIters = 0)
+    val built = dataFiles()
+    assert(built.nonEmpty)
+    // matching params: the gate must NOT rebuild (same files on disk)
+    Warehouse.ensureIvf(spark, sf, kmeansIters = 0)
+    assert(dataFiles() == built, "matching-params ensureIvf rebuilt the index")
+    // d12 = the landed probe at d10's registered parameters — the
+    // exact rows the one-shot d10 (and its DuckDB oracle) produce
+    val viaIndex = Warehouse.annIndexed(spark, sf)
+      .collect().toSeq.map(_.toString)
+    val oneShot = graft.operators.SimOps.annIvfPq(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(viaIndex.nonEmpty && viaIndex == oneShot)
+    // changed params: the metadata mismatch must force a rebuild
+    Warehouse.ensureIvf(spark, sf, kmeansIters = 1)
+    assert(dataFiles() != built, "changed-params ensureIvf did not rebuild")
+  }
 }
