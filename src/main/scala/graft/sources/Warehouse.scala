@@ -158,11 +158,16 @@ object Warehouse {
         SimOps.pqSubs(emb.select(col("vec_id"), col("embedding")),
                       Seq("vec_id"), m, subDim), book)
       .select(col("vec_id"), col("sub_j"), col("ce"), col("cn"))
+    // batch_id is the idempotency key (base build = -1): each upsert
+    // lands under its own batch_id partitions, so a replayed
+    // micro-batch DYNAMIC-overwrites exactly its own files and never
+    // double-appends (see upsertIvfFrom). cent_id stays a partition
+    // column, so probe-side dynamic partition pruning is unchanged.
     lists.join(codes, "vec_id")
       .select(col("vec_id"), col("sub_j"), col("ce"), col("cn"),
-              col("cent_id"))
+              lit(-1L).as("batch_id"), col("cent_id"))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("cent_id")
+      .partitionBy("batch_id", "cent_id")
       .format("parquet")
       .saveAsTable("graft_ivf_lists")
     // Build metadata rides with the index (a real index ships its
@@ -234,18 +239,32 @@ object Warehouse {
     * is result-identical to the one-shot `SimOps.annIvfIncremental`).
     */
   def upsertIvf(spark: SparkSession, dir: String, batchMod: Int,
-                nAssign: Int = 4, m: Int = 8, subDim: Int = 8): Unit =
+                nAssign: Int = 4, m: Int = 8, subDim: Int = 8,
+                batchKey: Long = 0L): Unit =
     upsertIvfFrom(Tables.embeddings(spark, dir)
       .filter(pmod(col("vec_id"), lit(batchMod)) === 0)
-      .select(col("vec_id"), col("embedding")), nAssign, m, subDim)
+      .select(col("vec_id"), col("embedding")), nAssign, m, subDim,
+      batchKey)
 
   /** The upsert body over a caller-supplied `(vec_id, embedding)`
     * batch frame — shared by the dir-based form above and the
     * streaming maintenance flow (`VectorStream.maintainIvf`, whose
-    * foreachBatch hands each arriving micro-batch here).
+    * foreachBatch hands each arriving micro-batch here with its
+    * Spark-assigned batchId as `batchKey`).
+    *
+    * Exactly-once under replay: the write is a DYNAMIC partition
+    * overwrite of this batch's own `batch_id=batchKey` partitions.
+    * foreachBatch is at-least-once (a crash between the append and
+    * the checkpoint commit replays the micro-batch); with a plain
+    * append the replay would double every posting row of the batch.
+    * The overwrite replaces exactly the partitions this batchKey
+    * previously produced — standing postings (batch_id=-1 and other
+    * batches) are never touched, so the append-only invariant
+    * WarehouseSpec pins still holds, and a replay is a no-op in
+    * content (VectorStreamSpec pins the double-apply).
     */
   def upsertIvfFrom(batchEmb: DataFrame, nAssign: Int = 4, m: Int = 8,
-                    subDim: Int = 8): Unit = {
+                    subDim: Int = 8, batchKey: Long = 0L): Unit = {
     import graft.operators.SimOps
     val spark = batchEmb.sparkSession
     val batch = batchEmb
@@ -258,12 +277,14 @@ object Warehouse {
         SimOps.pqSubs(batch.select(col("vec_id"), col("embedding")),
                       Seq("vec_id"), m, subDim), readBook(spark))
       .select(col("vec_id"), col("sub_j"), col("ce"), col("cn"))
-    lists.join(codes, "vec_id")
+    val rows = lists.join(codes, "vec_id")
       .select(col("vec_id"), col("sub_j"), col("ce"), col("cn"),
-              col("cent_id"))
-      .write.mode(SaveMode.Append)
-      .format("parquet")
-      .insertInto("graft_ivf_lists")
+              lit(batchKey).as("batch_id"), col("cent_id"))
+    val owKey = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.get(owKey)
+    spark.conf.set(owKey, "dynamic")
+    try rows.write.mode(SaveMode.Overwrite).insertInto("graft_ivf_lists")
+    finally spark.conf.set(owKey, prior)
   }
 
   private def writeBook(spark: SparkSession,

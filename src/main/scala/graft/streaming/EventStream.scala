@@ -29,8 +29,13 @@ object EventStream {
   /** events.parquet schema: the generator ships `ts` as parquet µs
     * timestamps (TIMESTAMP_NTZ under Spark's NTZ inference). The
     * ms/event-time derivations below go through Tables.epochMs /
-    * Tables.eventTime, so they stay correct if this field ever
-    * reverts to the older raw-ns-long form.
+    * Tables.eventTime — but NOTE: unlike the batch path (which reads
+    * the type from the actual footer), a readStream needs this schema
+    * declared up front, so `ts` here is a CONSTANT. If the generator
+    * ever reverts to raw ns longs, flip this field to LongType by
+    * hand (the epochMs/eventTime arms then adapt); the streaming
+    * readers fail at analysis until it's flipped — loudly, not with
+    * wrong ms values.
     */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),

@@ -24,6 +24,14 @@ private[streaming] object StreamFiles {
     * part-files (GenScale output): the file source doesn't recurse into
     * a symlinked subdirectory, so for the directory shape each
     * part-file is linked individually into the flat watch dir.
+    *
+    * ONE-SHOT SNAPSHOT by design: the link set is computed on first
+    * access per (dir, file) key and cached for the JVM — part-files
+    * added to the source directory later are NOT picked up. That is
+    * exactly right for this adapter's only job (exposing a static
+    * test table to a file-source stream); a live landing directory
+    * doesn't need the adapter at all — point readStream at it
+    * directly and the file source tails it natively.
     */
   def dir(dir: String, fileName: String): Path =
     dirs.computeIfAbsent((dir, fileName), { key: (String, String) =>

@@ -20,12 +20,14 @@ import org.apache.spark.sql.types._
   *
   * Delivery contract: the file-source checkpoint guarantees a file
   * that UPSERTED SUCCESSFULLY is never reprocessed (restart over the
-  * same checkpoint appends nothing — spec-pinned). A crash BETWEEN a
-  * partial append and the checkpoint commit replays that micro-batch
-  * (at-least-once, Spark's standing foreachBatch contract); a
-  * deployment closes that window by keying appended files on batchId
-  * and overwriting per-batch — the routing/encode/append body is
-  * unchanged either way.
+  * same checkpoint appends nothing — spec-pinned). foreachBatch
+  * itself is only at-least-once (a crash between the append and the
+  * checkpoint commit replays the micro-batch), so the upsert keys its
+  * rows on the Spark-assigned batchId and DYNAMIC-overwrites exactly
+  * its own `batch_id=<id>` partitions (`Warehouse.upsertIvfFrom`):
+  * a replay replaces what the interrupted attempt wrote instead of
+  * double-appending — exactly-once in content (VectorStreamSpec pins
+  * the double-apply case).
   */
 object VectorStream {
 
@@ -57,10 +59,11 @@ object VectorStream {
     batches.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
         graft.sources.Warehouse.upsertIvfFrom(
           b.select(org.apache.spark.sql.functions.col("vec_id"),
-                   org.apache.spark.sql.functions.col("embedding")))
+                   org.apache.spark.sql.functions.col("embedding")),
+          batchKey = batchId)
       }
       .start()
 }

@@ -61,4 +61,28 @@ class VectorStreamSpec extends SparkSpec {
     // leave a full default index for any test that runs after
     Warehouse.buildIvf(spark, sf)
   }
+
+  test("replayed upsert is exactly-once in content (same batchKey twice)") {
+    // the crash-between-append-and-commit window: foreachBatch replays
+    // the micro-batch with the SAME batchId — the dynamic partition
+    // overwrite must replace the first attempt's rows, not double them
+    Warehouse.buildIvf(spark, sf, kmeansIters = 0, excludeMod = 17)
+    Warehouse.upsertIvf(spark, sf, batchMod = 17, batchKey = 7L)
+    spark.catalog.refreshTable("graft_ivf_lists")
+    val afterOnce = Warehouse.ivfLists(spark).count()
+    val probeOnce = Warehouse.annIvfFlatIndexed(spark, sf)
+      .collect().toSeq.map(_.toString)
+    Warehouse.upsertIvf(spark, sf, batchMod = 17, batchKey = 7L)  // replay
+    spark.catalog.refreshTable("graft_ivf_lists")
+    assert(Warehouse.ivfLists(spark).count() == afterOnce,
+      "replayed batch double-appended posting rows")
+    val probeTwice = Warehouse.annIvfFlatIndexed(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(probeTwice == probeOnce && probeOnce.nonEmpty)
+    // a DIFFERENT batch key must still append (it's a new batch)
+    Warehouse.upsertIvf(spark, sf, batchMod = 17, batchKey = 8L)
+    spark.catalog.refreshTable("graft_ivf_lists")
+    assert(Warehouse.ivfLists(spark).count() > afterOnce)
+    Warehouse.buildIvf(spark, sf)
+  }
 }
