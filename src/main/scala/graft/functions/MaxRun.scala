@@ -45,11 +45,11 @@ case class MaxRun(child: Expression) extends UnaryExpression {
   override def prettyName: String = "max_run"
 
   override def nullSafeEval(a: Any): Any =
-    MaxRun.eval(a.asInstanceOf[ArrayData])
+    MaxRun.compute(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.MaxRun.eval($a);")
+      s"${ev.value} = graft.functions.MaxRun.compute($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -60,7 +60,7 @@ object MaxRun {
   /** One pass: copy non-null elements, binary-sort, scan runs.
     * Callable from generated code.
     */
-  def eval(arr: ArrayData): InternalRow = {
+  def compute(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
     val a = new Array[AnyRef](n)
     var m = 0

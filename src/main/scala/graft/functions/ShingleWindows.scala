@@ -45,11 +45,11 @@ case class ShingleWindows(child: Expression, n: Int)
   override def prettyName: String = "shingle_windows"
 
   override def nullSafeEval(a: Any): Any =
-    ShingleWindows.eval(a.asInstanceOf[ArrayData], n)
+    ShingleWindows.compute(a.asInstanceOf[ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.ShingleWindows.eval($a, $n);")
+      s"${ev.value} = graft.functions.ShingleWindows.compute($a, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -64,7 +64,7 @@ object ShingleWindows {
     * code. The scratch window buffer is reused across windows;
     * `UTF8String.concatWs` copies the bytes out, so reuse is safe.
     */
-  def eval(arr: ArrayData, n: Int): ArrayData = {
+  def compute(arr: ArrayData, n: Int): ArrayData = {
     val len = arr.numElements()
     val count = len - (n - 1)
     if (count < 1) return EMPTY

@@ -26,16 +26,14 @@ import graft.sources.Tables
   */
 object EventStream {
 
-  /** events.parquet schema: the generator ships `ts` as parquet µs
-    * timestamps (TIMESTAMP_NTZ under Spark's NTZ inference). The
-    * ms/event-time derivations below go through Tables.epochMs /
-    * Tables.eventTime — but NOTE: unlike the batch path (which reads
-    * the type from the actual footer), a readStream needs this schema
-    * declared up front, so `ts` here is a CONSTANT. If the generator
-    * ever reverts to raw ns longs, flip this field to LongType by
-    * hand (the epochMs/eventTime arms then adapt); the streaming
-    * readers fail at analysis until it's flipped — loudly, not with
-    * wrong ms values.
+  /** events.parquet schema as currently generated: `ts` ships as
+    * parquet µs timestamps (TIMESTAMP_NTZ under Spark's NTZ
+    * inference). `ts` is the one field the generator has changed type
+    * on historically (raw ns longs ↔ timestamps), so the streaming
+    * readers do NOT trust this constant for it — see
+    * [[eventSchemaFor]], which patches `ts` from the actual landing
+    * data's footer (a once-per-JVM cached read). The constant remains
+    * the documented shape and the fallback when no footer exists yet.
     */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -45,6 +43,25 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** [[eventSchema]] with the `ts` field's type taken from the landing
+    * data's parquet footer (StreamFiles caches that read per JVM), so
+    * the stream stays schema-adaptive exactly like the batch path
+    * (Tables.eventsMs): if the generator reverts `ts` to raw ns longs
+    * the epochMs/eventTime arms switch automatically instead of
+    * failing at analysis. Non-`ts` fields keep the declared types —
+    * a readStream needs them pinned up front, and they have never
+    * varied.
+    */
+  def eventSchemaFor(spark: SparkSession, dir: String): StructType = {
+    val (_, footer) = StreamFiles.dirAndSchema(spark, dir, "events.parquet")
+    val tsType = footer.fields.find(_.name == "ts").map(_.dataType)
+      .getOrElse(eventSchema("ts").dataType)
+    StructType(eventSchema.fields.map {
+      case f if f.name == "ts" => f.copy(dataType = tsType)
+      case f                   => f
+    })
+  }
+
   /** File-source stream over the events table with a proper event-time
     * column (µs precision — the most a Spark TimestampType holds).
     *
@@ -52,16 +69,18 @@ object EventStream {
     * the event feed is one — files land and the source picks them up
     * incrementally); the test data ships a single file, so it is
     * exposed through StreamFiles' per-JVM symlink dir. The schema is
-    * the static eventSchema (not the cached footer read — event-time
-    * derivation below depends on these exact field types).
+    * [[eventSchemaFor]] — the declared constant with `ts` patched from
+    * the landing data's footer, so the ms/event-time derivations below
+    * adapt to the actual on-disk type like the batch path does.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = eventSchemaFor(spark, dir)
     val d = StreamFiles.dir(dir, "events.parquet")
     spark.readStream
-      .schema(eventSchema)
+      .schema(schema)
       .parquet(d.toString)
-      .withColumn("ms", Tables.epochMs(eventSchema("ts").dataType))
-      .withColumn("event_time", Tables.eventTime(eventSchema("ts").dataType))
+      .withColumn("ms", Tables.epochMs(schema("ts").dataType))
+      .withColumn("event_time", Tables.eventTime(schema("ts").dataType))
   }
 
   /** Watermarked hourly rollup — the streaming twin of

@@ -118,4 +118,30 @@ class KernelPropertySpec extends SparkSpec {
       plain == two
     }, "twoPhaseCount", n = 20)
   }
+
+  test("cappedDistinct == Set model: complete sorted set iff distinct <= cap") {
+    // c4's inverted-index aggregator: under-cap groups must yield the
+    // COMPLETE distinct set sorted ascending; over-cap groups must
+    // yield exactly cap + 1 entries (the caller's drop signal), each a
+    // genuine member — through Spark's real partial/merge path (many
+    // input partitions force non-trivial buffer merges).
+    val cap = 5
+    val rows: Gen[List[(Long, Long)]] = Gen.chooseNum(1, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 9L))))
+    run(Prop.forAll(rows) { kv =>
+      import spark.implicits._
+      val got = kv.toDF("k", "v").repartition(7)
+        .groupBy(col("k"))
+        .agg(graft.functions.CappedDistinctAgg.fn(cap)(col("v")).as("ids"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+      val model = kv.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      model.forall { case (k, vs) =>
+        val ids = got(k)
+        if (vs.size <= cap) ids == vs.toVector.sorted
+        else ids.length == cap + 1 && ids.toSet.subsetOf(vs) &&
+          ids.toSet.size == cap + 1
+      }
+    }, "cappedDistinct", n = 25)
+  }
 }
