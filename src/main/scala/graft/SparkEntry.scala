@@ -43,6 +43,7 @@ object SparkEntry {
     "c6_dedup_clusters"         -> ((s: SparkSession, d: String) => DedupOps.dedupClusters(s, d)),
     "c7_cdc_chunks"             -> ((s: SparkSession, d: String) => DedupOps.cdcChunks(s, d)),
     "c8_dup_spans"              -> ((s: SparkSession, d: String) => DedupOps.dupSpans(s, d)),
+    "c9_semdedup"               -> ((s: SparkSession, d: String) => DedupOps.semDedup(s, d)),
     // D. similarity search
     "d1_ann_bruteforce"         -> ((s: SparkSession, d: String) => SimOps.annBruteforce(s, d)),
     "d2_ann_lsh"                -> ((s: SparkSession, d: String) => SimOps.annLsh(s, d)),
@@ -1967,6 +1968,47 @@ object SparkEntry {
                 round(coalesce(dup_tokens, 0)::DOUBLE / n_tokens, 6)
                   AS dup_token_frac
          FROM g LEFT JOIN pd USING (doc_id) ORDER BY g.doc_id""",
+    // c9: the d5 oracle's md5-sampled centroids + single-nearest
+    // routing, then the SemDeDup keep rule as plain relational
+    // algebra: rank members (cent_cos ASC, vec_id), remove any member
+    // an earlier-ranked one matches at cos >= 0.45. Same bit-exact
+    // sequential double folds as the d-family oracles, so the raw
+    // threshold compare agrees between engines.
+    "c9_semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                    FROM embeddings),
+         nr AS (SELECT vec_id,
+             sqrt(list_reduce(list_transform(emb, v -> v * v),
+                              (a, x) -> a + x)) AS nrm FROM e),
+         ct AS (SELECT e.vec_id AS cent_id, emb AS ce, nrm AS cnrm
+                FROM e JOIN nr ON e.vec_id = nr.vec_id
+                ORDER BY md5(e.vec_id::VARCHAR), e.vec_id LIMIT 64),
+         sc AS (SELECT e.vec_id, ct.cent_id,
+             list_reduce(list_transform(list_zip(e.emb, ct.ce),
+                                        z -> z[1] * z[2]), (a, x) -> a + x)
+               / (nr.nrm * ct.cnrm) AS csim
+           FROM e JOIN nr ON e.vec_id = nr.vec_id CROSS JOIN ct),
+         asg AS (SELECT vec_id, cent_id, csim AS cent_cos FROM sc
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY csim DESC, cent_id) = 1),
+         rk AS (SELECT vec_id, cent_id, cent_cos,
+             row_number() OVER (PARTITION BY cent_id
+               ORDER BY cent_cos ASC, vec_id) AS krnk
+           FROM asg),
+         wi AS (SELECT rk.vec_id, rk.cent_id, rk.krnk, e.emb, nr.nrm
+                FROM rk JOIN e ON rk.vec_id = e.vec_id
+                        JOIN nr ON rk.vec_id = nr.vec_id
+                WHERE rk.krnk <= 1024),
+         rm AS (SELECT DISTINCT py.vec_id
+                FROM wi px JOIN wi py ON px.cent_id = py.cent_id
+                  AND px.krnk < py.krnk
+                WHERE list_reduce(list_transform(list_zip(px.emb, py.emb),
+                        z -> z[1] * z[2]), (a, x) -> a + x)
+                      / (px.nrm * py.nrm) >= 0.45)
+         SELECT rk.vec_id, rk.cent_id, round(rk.cent_cos, 6) AS cent_cos,
+                rm.vec_id IS NULL AS kept
+         FROM rk LEFT JOIN rm ON rk.vec_id = rm.vec_id
+         ORDER BY rk.vec_id""",
     // d8: same double-precision folds as the d1 oracle family;
     // floor(x + 0.5) quantization in both engines (round() disagrees
     // on HALF_UP vs HALF_EVEN at exact .5).

@@ -458,4 +458,66 @@ class DedupOpsSpec extends SparkSpec {
     assert(inc(30L)._1.contains(7L))
     assert(inc(40L)._1.isEmpty)
   }
+
+  test("c9 semdedup equals a naive JVM recompute of the full definition") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val m = vecs.toMap
+    val nrm = m.view.mapValues(v => math.sqrt(dot(v, v))).toMap
+    def cos(a: Long, b: Long): Double = dot(m(a), m(b)) / (nrm(a) * nrm(b))
+    val cents = vecs.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(64)
+    // single nearest centroid: (cos desc, cent_id asc)
+    val assigned = vecs.map { case (id, _) =>
+      val best = cents.map(c => (c, cos(id, c)))
+        .minBy { case (c, s) => (-s, c) }
+      (id, best._1, best._2)
+    }
+    val ranked = assigned.groupBy(_._2).toSeq.flatMap { case (_, ms) =>
+      ms.sortBy { case (id, _, cs) => (cs, id) }.zipWithIndex
+        .map { case ((id, c, cs), i) => (id, c, cs, i + 1) }.toSeq
+    }
+    val removed = ranked.filter { case (id, c, _, k) =>
+      ranked.exists { case (id2, c2, _, k2) =>
+        c2 == c && k2 < k && cos(id, id2) >= 0.45 }
+    }.map(_._1).toSet
+    val expected = ranked.map { case (id, c, cs, _) =>
+      (id, c, BigDecimal(cs).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble, !removed.contains(id))
+    }.toSet
+    val got = DedupOps.semDedup(spark, sf).collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("cent_id"),
+       r.getAs[Double]("cent_cos"), r.getAs[Boolean]("kept"))).toSet
+    assert(got.size == vecs.length)
+    assert(got == expected,
+      s"diff spark-only=${(got -- expected).take(5)} model-only=${(expected -- got).take(5)}")
+  }
+
+  test("c9 planted: exact twin of the most atypical member is removed, singleton clusters keep") {
+    import spark.implicits._
+    // 8 base orthogonal-ish vectors + one exact copy of vec 3
+    val dim = 64
+    def unit(i: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.01f); a(i % dim) = 1.0f; a
+    }
+    val rows = (0L until 8L).map(i => (i, unit(i.toInt * 7).toSeq)) :+
+      (100L, unit(3 * 7).toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val got = DedupOps.semDedupFrom(df, nlist = 4, tau = 0.9, clusterCap = 1024)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cent_id"), r.getAs[Boolean]("kept"))).toMap
+    assert(got.size == 9)
+    // the twin pair lands in the same cluster; exactly one of (3, 100)
+    // is removed — the earlier keep-rank (lower vec_id on equal
+    // cent_cos) survives
+    assert(got(3L)._1 == got(100L)._1)
+    assert(got(3L)._2 != got(100L)._2)
+    // everything without a twin is kept
+    (0L until 8L).filter(_ != 3L).foreach(i => assert(got(i)._2, s"vec $i"))
+  }
 }

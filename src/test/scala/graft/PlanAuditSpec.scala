@@ -30,6 +30,7 @@ class PlanAuditSpec extends SparkSpec {
     "d10_ann_ivfpq",           // broadcast centroid probe + query subs
     "d11_ann_incremental",     // broadcast frozen-centroid routing
     "d12_ann_indexed",         // broadcast PERSISTED-centroid probe (d10's landed twin)
+    "c9_semdedup",             // broadcast centroid routing (d5's sample)
     "e11_unigram_logprob",     // 1-row total-tokens + n_docs broadcasts
     "e13_bigram_logprob",      // 1-row (T, V) broadcast
     "p12_source_filter")       // 1-row median-quality broadcast
