@@ -44,6 +44,7 @@ object SparkEntry {
     "c7_cdc_chunks"             -> ((s: SparkSession, d: String) => DedupOps.cdcChunks(s, d)),
     "c8_dup_spans"              -> ((s: SparkSession, d: String) => DedupOps.dupSpans(s, d)),
     "c9_semdedup"               -> ((s: SparkSession, d: String) => DedupOps.semDedup(s, d)),
+    "c10_dedup_cut"             -> ((s: SparkSession, d: String) => DedupOps.dedupCut(s, d)),
     // D. similarity search
     "d1_ann_bruteforce"         -> ((s: SparkSession, d: String) => SimOps.annBruteforce(s, d)),
     "d2_ann_lsh"                -> ((s: SparkSession, d: String) => SimOps.annLsh(s, d)),
@@ -1968,6 +1969,48 @@ object SparkEntry {
                 round(coalesce(dup_tokens, 0)::DOUBLE / n_tokens, 6)
                   AS dup_token_frac
          FROM g LEFT JOIN pd USING (doc_id) ORDER BY g.doc_id""",
+    // c10: c8's window/hash CTEs, then rank occurrences per hash class
+    // ((doc_id, pos) order — the corpus-wide first survives), explode
+    // cut windows to covered token positions, anti-join the token
+    // stream, rebuild text in position order. Same
+    // substr(md5(gram),1,16) ≡ Md5Hash64 class equivalence as c8.
+    "c10_dedup_cut" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         g AS (SELECT doc_id, len(toks) AS n_tokens, toks,
+             CASE WHEN len(toks) >= 8
+               THEN list_transform(generate_series(1, len(toks) - 7),
+                      i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+               ELSE [] END AS gs
+           FROM t),
+         px AS (SELECT doc_id, gs,
+             unnest(generate_series(1, len(gs))) AS pos
+           FROM g),
+         w AS (SELECT doc_id, pos, substr(md5(gs[pos::INT]), 1, 16) AS h
+           FROM px),
+         o AS (SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY h) AS cnt,
+             row_number() OVER (PARTITION BY h
+               ORDER BY doc_id, pos) AS r
+           FROM w),
+         cut AS (SELECT DISTINCT doc_id, tpos FROM
+              (SELECT doc_id,
+                 unnest(generate_series(pos, pos + 7)) AS tpos
+               FROM o WHERE cnt > 1 AND r > 1)),
+         tp AS (SELECT doc_id, unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) AS tpos
+           FROM t),
+         kept AS (SELECT tp.doc_id, tp.tok, tp.tpos
+           FROM tp LEFT JOIN cut
+             ON tp.doc_id = cut.doc_id AND tp.tpos = cut.tpos
+           WHERE cut.doc_id IS NULL),
+         rb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+             array_to_string(list(tok ORDER BY tpos), ' ') AS clean_text
+           FROM kept GROUP BY 1)
+         SELECT g.doc_id, g.n_tokens::BIGINT AS n_tokens,
+                (g.n_tokens - coalesce(rb.n_kept, 0))::BIGINT AS n_removed,
+                coalesce(rb.clean_text, '') AS clean_text
+         FROM g LEFT JOIN rb USING (doc_id) ORDER BY g.doc_id""",
     // c9: the d5 oracle's md5-sampled centroids + single-nearest
     // routing, then the SemDeDup keep rule as plain relational
     // algebra: rank members (cent_cos ASC, vec_id), remove any member

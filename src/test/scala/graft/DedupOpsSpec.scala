@@ -459,6 +459,59 @@ class DedupOpsSpec extends SparkSpec {
     assert(inc(40L)._1.isEmpty)
   }
 
+  test("c10 dedup cut equals a naive JVM recompute; first occurrence survives") {
+    val k = 8
+    val occ = scala.collection.mutable.Map.empty[String, Vector[(Long, Int)]]
+    val docWins = texts.toSeq.sortBy(_._1).map { case (id, t) =>
+      val ws = t.split(" ", -1).sliding(k).filter(_.size == k)
+        .map(_.mkString(" ")).toVector
+      ws.zipWithIndex.foreach { case (w, i) =>
+        occ(w) = occ.getOrElse(w, Vector.empty) :+ ((id, i + 1)) }
+      id -> ws
+    }
+    val expected = docWins.map { case (id, ws) =>
+      val toks = texts(id).split(" ", -1)
+      val cut = Array.fill(toks.length)(false)
+      ws.zipWithIndex.foreach { case (w, i) =>
+        val os = occ(w) // (doc_id, pos)-ordered by construction
+        if (os.length > 1 && os.head != ((id, i + 1)))
+          (i until math.min(i + k, toks.length)).foreach(cut(_) = true)
+      }
+      val keptToks = toks.zipWithIndex.collect { case (t2, i2) if !cut(i2) => t2 }
+      id -> ((toks.length.toLong, (toks.length - keptToks.length).toLong,
+              keptToks.mkString(" ")))
+    }.toMap
+    val got = DedupOps.dedupCut(spark, sf).collect()
+    assert(got.length == texts.size)
+    assert(got.exists(_.getAs[Long]("n_removed") > 0L),
+      "corpus should contain at least one cut")
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nt, nr, ct) = expected(id)
+      assert(r.getAs[Long]("n_tokens") == nt, s"doc $id n_tokens")
+      assert(r.getAs[Long]("n_removed") == nr, s"doc $id n_removed")
+      assert(r.getAs[String]("clean_text") == ct, s"doc $id clean_text")
+    }
+  }
+
+  test("c10 planted: exact copy is fully cut, original and unique docs intact") {
+    val spark2 = spark; import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cut_").toString
+    val a = (1 to 40).map(i => s"a$i").mkString(" ")
+    val u = (1 to 40).map(i => s"u$i").mkString(" ")
+    Seq((1L, a), (2L, a), (3L, u))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupOps.dedupCut(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    assert(got(1L) == ((0L, a)), "first occurrence must survive intact")
+    assert(got(2L) == ((40L, "")), "exact copy must be fully cut")
+    assert(got(3L) == ((0L, u)), "unique doc untouched")
+  }
+
   test("c9 semdedup equals a naive JVM recompute of the full definition") {
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
