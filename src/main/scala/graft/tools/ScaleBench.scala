@@ -25,7 +25,7 @@ object ScaleBench {
     "c6_dedup_clusters", "d5_ann_ivf", "d10_ann_ivfpq",
     "e11_unigram_logprob", "p1_corpus_prep", "p3_fuzzy_dedup",
     "p9_filter_funnel", "p11_incremental_dedup", "d11_ann_incremental",
-    "e13_bigram_logprob")
+    "e13_bigram_logprob", "c9_semdedup", "c10_dedup_cut")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -52,8 +52,11 @@ object ScaleBench {
       timeNoop(spark.range(0, 512, 1, 512).select(sum(col("id"))))
     }
 
+    // dev-only narrowing (comma-separated labels), like Bench's _ONLY
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // work items: (label, dir-tag, thunk)
-    def items: Seq[(String, String, () => DataFrame)] =
+    def allItems: Seq[(String, String, () => DataFrame)] =
       Hot.flatMap { q =>
         Seq((q, "base", () => SparkEntry.queries(q)(spark, base)),
             (q, "scaled", () => SparkEntry.queries(q)(spark, scaled)))
@@ -65,7 +68,18 @@ object ScaleBench {
         ("d10_ann_ivfpq_fixedq", "base",
          () => graft.operators.SimOps.annIvfPq(spark, base)),
         ("d10_ann_ivfpq_fixedq", "scaled",
-         () => graft.operators.SimOps.annIvfPq(spark, scaled, qmod = 50 * factor)))
+         () => graft.operators.SimOps.annIvfPq(spark, scaled, qmod = 50 * factor)),
+        // c9's production shape: nlist ∝ √N balances exhaustive routing
+        // (O(N·nlist)) against the per-cluster pair quadratic
+        // (O(N²/nlist)) — measured: nlist ∝ N ran 18× at data ×10
+        // (routing-dominated); fixed nlist 2.5×; √-scaled sits between
+        // and is the sustainable curve (both stages O(N^1.5))
+        ("c9_semdedup_scalednlist", "base",
+         () => graft.operators.DedupOps.semDedup(spark, base)),
+        ("c9_semdedup_scalednlist", "scaled",
+         () => graft.operators.DedupOps.semDedup(spark, scaled,
+           nlist = (64 * math.sqrt(factor)).round.toInt)))
+    def items = allItems.filter(i => only.forall(_.contains(i._1)))
 
     // warmup: flagship-equivalent scan of both dirs
     timeNoop(SparkEntry.queries("c1_dedup_exact")(spark, base))
