@@ -34,6 +34,7 @@ object SparkEntry {
     // a17: JoinFns.saltedJoin exercised on the 5-value event_type key —
     // result-identical to the plain join the oracle replays
     "a17_salted_type_join"      -> ((s: SparkSession, d: String) => EventOps.saltedTypeJoin(s, d)),
+    "a18_hourly_anomaly"        -> ((s: SparkSession, d: String) => EventOps.hourlyAnomaly(s, d)),
     // C. deduplication
     "c1_dedup_exact"            -> DedupOps.dedupExact _,
     "c2_dedup_minhash"          -> ((s: SparkSession, d: String) => DedupOps.dedupMinhash(s, d)),
@@ -1508,6 +1509,30 @@ object SparkEntry {
            round(sum(e.value * d.rate), 2) AS weighted
          FROM events e JOIN dim d USING (event_type)
          GROUP BY e.event_type ORDER BY e.event_type""",
+    // a18: trailing-24-OBSERVED-bucket z-score; the CASE guards make
+    // null the common value where the engines' stddev/division edge
+    // semantics differ (1-row window: Spark NaN vs DuckDB NULL;
+    // sd = 0: both would divide to ±Infinity).
+    "a18_hourly_anomaly" ->
+      """WITH h AS (SELECT event_type,
+             CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) * 3600000
+               AS hour_ms,
+             count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, hour_ms, n_events,
+             avg(n_events) OVER wt AS mu,
+             CASE WHEN count(n_events) OVER wt >= 2
+                  THEN stddev_samp(n_events) OVER wt END AS sd
+           FROM h
+           WINDOW wt AS (PARTITION BY event_type ORDER BY hour_ms
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         z AS (SELECT *, CASE WHEN sd > 0 THEN (n_events - mu) / sd END
+                 AS zv FROM s)
+         SELECT event_type, hour_ms, n_events,
+                round(mu, 6) AS trail_mean, round(sd, 6) AS trail_std,
+                round(zv, 6) AS zscore,
+                (zv IS NOT NULL AND abs(zv) >= 3.0) AS is_anomaly
+         FROM z ORDER BY event_type, hour_ms""",
     "a15_stream_asof_ooo" ->
       """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms
                     FROM events WHERE event_type = 'purchase'),

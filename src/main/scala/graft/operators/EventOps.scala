@@ -100,6 +100,43 @@ object EventOps {
     * series, app.service.ts:345). Bucket = floor(ms / 3600000), one
     * partial-aggregable groupBy.
     */
+  /** a18: per-type hourly anomaly flags — each (event_type, hour)
+    * bucket's count z-scored against its trailing 24 OBSERVED hourly
+    * buckets (ROWS frame, not wall-clock — gaps compress, which is
+    * the usual monitoring choice), |z| ≥ zCut flags. The rollup is
+    * one partial-aggregable shuffle; the window sorts within
+    * event_type partitions whose size is bounded by the time range,
+    * not the event count — at 100 TB the state per type is still
+    * ~hours, so no skew concern.
+    *
+    * Engine-parity guards: the z column exists only when the trailing
+    * window has ≥ 2 rows AND positive spread (Spark's stddev_samp of
+    * one row is NaN where DuckDB's is NULL; a zero sd would divide to
+    * ±Infinity in both) — the guard makes null the common value.
+    */
+  def hourlyAnomaly(spark: SparkSession, dir: String,
+                    trail: Int = 24, zCut: Double = 3.0): DataFrame = {
+    val hourly = ev(spark, dir)
+      .groupBy(col("event_type"),
+               (floor(col("ms") / 3600000L) * 3600000L).as("hour_ms"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ms"))
+      .rowsBetween(-trail, -1)
+    hourly
+      .withColumn("trail_n", count(col("n_events")).over(w))
+      .withColumn("mu", avg(col("n_events")).over(w))
+      .withColumn("sd",
+        when(col("trail_n") >= 2, stddev_samp(col("n_events")).over(w)))
+      .withColumn("z",
+        when(col("sd") > 0, (col("n_events") - col("mu")) / col("sd")))
+      .select(col("event_type"), col("hour_ms"), col("n_events"),
+              round(col("mu"), 6).as("trail_mean"),
+              round(col("sd"), 6).as("trail_std"),
+              round(col("z"), 6).as("zscore"),
+              (col("z").isNotNull && abs(col("z")) >= zCut).as("is_anomaly"))
+      .orderBy(col("event_type"), col("hour_ms"))
+  }
+
   def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
     ev(spark, dir)
       .groupBy((floor(col("ms") / 3600000L) * 3600000L).as("hour_ms"))

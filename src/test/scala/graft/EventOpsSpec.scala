@@ -111,6 +111,61 @@ class EventOpsSpec extends SparkSpec {
     assert(got.filter(col("dup_count") > 1).count() == 0)
   }
 
+  test("a18 hourly anomaly: stats equal a naive trailing-window recompute") {
+    val buckets = raw.groupBy(e => (e._3, e._4 / 3600000L * 3600000L))
+      .view.mapValues(_.size.toLong).toMap
+    val byType = buckets.toSeq.map { case ((t, h), n) => (t, h, n) }
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val expected = byType.toSeq.flatMap { case (_, rows) =>
+      rows.zipWithIndex.map { case ((t, h, n), i) =>
+        val wnd = rows.slice(math.max(0, i - 24), i).map(_._3.toDouble)
+        val mu = if (wnd.nonEmpty) Some(wnd.sum / wnd.size) else None
+        val sd = if (wnd.size >= 2) {
+          val m = wnd.sum / wnd.size
+          Some(math.sqrt(wnd.map(x => (x - m) * (x - m)).sum / (wnd.size - 1)))
+        } else None
+        val z = sd.filter(_ > 0).map(s => (n - mu.get) / s)
+        (t, h) -> ((n, mu, sd, z, z.exists(v => math.abs(v) >= 3.0)))
+      }
+    }.toMap
+    val got = EventOps.hourlyAnomaly(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val key = (r.getAs[String]("event_type"), r.getAs[Long]("hour_ms"))
+      val (n, mu, sd, z, flag) = expected(key)
+      assert(r.getAs[Long]("n_events") == n, s"$key n")
+      def close(col: String, e: Option[Double]): Unit = (e, r.isNullAt(r.fieldIndex(col))) match {
+        case (None, isNull) => assert(isNull, s"$key $col should be null")
+        case (Some(v), isNull) =>
+          assert(!isNull && math.abs(r.getAs[Double](col) - v) < 1e-5, s"$key $col")
+      }
+      close("trail_mean", mu); close("trail_std", sd); close("zscore", z)
+      assert(r.getAs[Boolean]("is_anomaly") == flag, s"$key flag")
+    }
+  }
+
+  test("a18 planted spike: 10x burst over a jittered steady state is flagged") {
+    val spark2 = spark; import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_anom_").toString
+    // 24 steady hours alternating 9/11 events, then a 100-event hour
+    val rows = (0 until 25).flatMap { h =>
+      val k = if (h == 24) 100 else 9 + (h % 2) * 2
+      (0 until k).map(j =>
+        (h.toLong * 100 + j, h.toLong * 3600000L + j * 1000L, 1L, "x", 1.0,
+         """{"k":1}"""))
+    }
+    rows.toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+      .withColumn("ts", (col("ms") / 1000.0).cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.hourlyAnomaly(spark, tmp).collect()
+      .map(r => r.getAs[Long]("hour_ms") / 3600000L ->
+        ((r.getAs[Boolean]("is_anomaly"), r.getAs[Any]("zscore")))).toMap
+    assert(got.size == 25)
+    assert(got(24L)._1, s"spike hour must flag: ${got(24L)}")
+    (0L until 24L).foreach(h => assert(!got(h)._1, s"steady hour $h flagged"))
+  }
+
   test("a17 salted join: identical to the plain join, salt in the join key") {
     val df = EventOps.saltedTypeJoin(spark, sf)
     val salted = df.collect().map(_.toString)
