@@ -35,6 +35,7 @@ object SparkEntry {
     // result-identical to the plain join the oracle replays
     "a17_salted_type_join"      -> ((s: SparkSession, d: String) => EventOps.saltedTypeJoin(s, d)),
     "a18_hourly_anomaly"        -> ((s: SparkSession, d: String) => EventOps.hourlyAnomaly(s, d)),
+    "a19_stream_anomaly"        -> graft.streaming.EventStream.streamAnomaly _,
     // C. deduplication
     "c1_dedup_exact"            -> DedupOps.dedupExact _,
     "c2_dedup_minhash"          -> ((s: SparkSession, d: String) => DedupOps.dedupMinhash(s, d)),
@@ -219,7 +220,10 @@ object SparkEntry {
   // parameters, so the SAME replay hash-gates both paths — sharing the
   // string (not copying it) makes oracle drift between them impossible.
   def oracleSql: Map[String, String] =
-    baseOracleSql + ("d12_ann_indexed" -> baseOracleSql("d10_ann_ivfpq"))
+    baseOracleSql +
+      ("d12_ann_indexed" -> baseOracleSql("d10_ann_ivfpq")) +
+      // a19 is a18 through the streaming rollup — one replay gates both
+      ("a19_stream_anomaly" -> baseOracleSql("a18_hourly_anomaly"))
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     // A-module rule: ALL time logic on epoch-ms longs in both engines

@@ -115,11 +115,24 @@ object EventOps {
     * ±Infinity in both) — the guard makes null the common value.
     */
   def hourlyAnomaly(spark: SparkSession, dir: String,
-                    trail: Int = 24, zCut: Double = 3.0): DataFrame = {
-    val hourly = ev(spark, dir)
-      .groupBy(col("event_type"),
-               (floor(col("ms") / 3600000L) * 3600000L).as("hour_ms"))
-      .agg(count(lit(1)).as("n_events"))
+                    trail: Int = 24, zCut: Double = 3.0): DataFrame =
+    anomalyFromBuckets(
+      ev(spark, dir)
+        .groupBy(col("event_type"),
+                 (floor(col("ms") / 3600000L) * 3600000L).as("hour_ms"))
+        .agg(count(lit(1)).as("n_events")),
+      trail, zCut)
+
+  /** a18's trailing-stats stage over an already-aggregated
+    * (event_type, hour_ms, n_events) bucket frame — shared with the
+    * streaming twin (a19), whose watermarked rollup lands exactly this
+    * shape. The window runs over BUCKETS (≈ hours·types rows), so at
+    * any corpus size this stage is tiny; the event scan is the scale
+    * cost and it lives in whichever rollup feeds this.
+    */
+  private[graft] def anomalyFromBuckets(hourly: DataFrame,
+                                        trail: Int = 24,
+                                        zCut: Double = 3.0): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ms"))
       .rowsBetween(-trail, -1)
     hourly

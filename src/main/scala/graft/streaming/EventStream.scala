@@ -599,6 +599,35 @@ object EventStream {
     runToBatch(spark, hourlyRollup(readEvents(spark, dir)))
       .orderBy(col("hour_ms"))
 
+  /** Watermarked per-(type, hour) rollup — the bucket stream a19's
+    * anomaly stats consume. Same append-capable shape as
+    * [[hourlyRollup]]: with the watermark the state store holds only
+    * open windows, so state ≈ types × watermark-delay hours at any
+    * stream length.
+    */
+  def hourlyTypeRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "1 hour")
+      .groupBy(col("event_type"), window(col("event_time"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+              unix_millis(col("window.start")).as("hour_ms"),
+              col("n_events"))
+
+  /** a19: streaming anomaly detection — the event scan runs through
+    * the watermarked streaming rollup (bounded state, incremental
+    * catch-up under AvailableNow); the trailing z-score stage then
+    * runs as a BATCH window over the landed bucket table, which is
+    * ≈ hours × types rows at any corpus size. That split is the
+    * production shape (and the reason there is no chained stateful
+    * z-score operator: Spark disallows arbitrary stateful chaining
+    * after a windowed agg, and the bucket table is tiny anyway).
+    * Equals a18 row-for-row by construction — it shares a18's oracle.
+    */
+  def streamAnomaly(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.anomalyFromBuckets(
+      runToBatch(spark, hourlyTypeRollup(readEvents(spark, dir))))
+
   /** a13: the attribution interval join computed through the streaming
     * path — two independent file-source streams joined stream-to-stream.
     */

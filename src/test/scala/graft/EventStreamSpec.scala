@@ -33,6 +33,18 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("a19 streamed anomaly equals batch a18 row-for-row") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("hour_ms"),
+       r.getAs[Long]("n_events"), r.getAs[Any]("trail_mean"),
+       r.getAs[Any]("trail_std"), r.getAs[Any]("zscore"),
+       r.getAs[Boolean]("is_anomaly"))
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val streamed = rows(EventStream.streamAnomaly(spark, sf))
+    val batch = rows(EventOps.hourlyAnomaly(spark, sf))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("append-mode rollup emits exactly the watermark-closed windows") {
     val appended = EventStream.runToBatch(
       spark, EventStream.hourlyRollup(EventStream.readEvents(spark, sf)),

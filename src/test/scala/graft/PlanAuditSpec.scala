@@ -16,7 +16,8 @@ class PlanAuditSpec extends SparkSpec {
   // time (memory-sink materialization) — audited via their own specs
   private val streamingBacked = Set(
     "a9_stream_hourly", "a10_stream_state", "a13_stream_join",
-    "a14_stream_asof", "a15_stream_asof_ooo", "p5_stream_ingest")
+    "a14_stream_asof", "a15_stream_asof_ooo", "a19_stream_anomaly",
+    "p5_stream_ingest")
 
   // every BNLJ here is a documented broadcast-small-side pattern
   private val bnljByDesign = Set(
