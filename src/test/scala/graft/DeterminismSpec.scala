@@ -31,7 +31,11 @@ class DeterminismSpec extends SparkSpec {
     // a partitioned running sum; sorted-order mode tie-break inside
     // MaxRun; newest-first list form with id tiebreak
     "e11_unigram_logprob", "c8_dup_spans", "e10_top_ngram_share",
-    "b44_earned_list")
+    "b44_earned_list",
+    // round 9: SemDeDup keep-rank (cent_cos ties on exact twins broken
+    // by vec_id), cut-rebuild collect_list reassembled via array_sort,
+    // trailing-window stats over a partitioned ordered frame
+    "c9_semdedup", "c10_dedup_cut", "a18_hourly_anomaly")
 
   private def snap(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
