@@ -2043,18 +2043,21 @@ object SparkEntry {
     // c9: the d5 oracle's md5-sampled centroids + single-nearest
     // routing, then the SemDeDup keep rule as plain relational
     // algebra: rank members (cent_cos ASC, vec_id), remove any member
-    // an earlier-ranked one matches at cos >= 0.45. Same bit-exact
+    // an earlier-ranked one matches at cos >= tau. Same bit-exact
     // sequential double folds as the d-family oracles, so the raw
-    // threshold compare agrees between engines.
+    // threshold compare agrees between engines. nlist/tau/clusterCap
+    // are interpolated from DedupOps' registered-default constants —
+    // changing a Scala default moves this replay with it (the c2/c5
+    // no-drift pattern).
     "c9_semdedup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
                     FROM embeddings),
          nr AS (SELECT vec_id,
              sqrt(list_reduce(list_transform(emb, v -> v * v),
                               (a, x) -> a + x)) AS nrm FROM e),
          ct AS (SELECT e.vec_id AS cent_id, emb AS ce, nrm AS cnrm
                 FROM e JOIN nr ON e.vec_id = nr.vec_id
-                ORDER BY md5(e.vec_id::VARCHAR), e.vec_id LIMIT 64),
+                ORDER BY md5(e.vec_id::VARCHAR), e.vec_id LIMIT ${DedupOps.SemNlist}),
          sc AS (SELECT e.vec_id, ct.cent_id,
              list_reduce(list_transform(list_zip(e.emb, ct.ce),
                                         z -> z[1] * z[2]), (a, x) -> a + x)
@@ -2070,13 +2073,13 @@ object SparkEntry {
          wi AS (SELECT rk.vec_id, rk.cent_id, rk.krnk, e.emb, nr.nrm
                 FROM rk JOIN e ON rk.vec_id = e.vec_id
                         JOIN nr ON rk.vec_id = nr.vec_id
-                WHERE rk.krnk <= 1024),
+                WHERE rk.krnk <= ${DedupOps.SemClusterCap}),
          rm AS (SELECT DISTINCT py.vec_id
                 FROM wi px JOIN wi py ON px.cent_id = py.cent_id
                   AND px.krnk < py.krnk
                 WHERE list_reduce(list_transform(list_zip(px.emb, py.emb),
                         z -> z[1] * z[2]), (a, x) -> a + x)
-                      / (px.nrm * py.nrm) >= 0.45)
+                      / (px.nrm * py.nrm) >= ${DedupOps.SemTau})
          SELECT rk.vec_id, rk.cent_id, round(rk.cent_cos, 6) AS cent_cos,
                 rm.vec_id IS NULL AS kept
          FROM rk LEFT JOIN rm ON rk.vec_id = rm.vec_id

@@ -8,9 +8,20 @@ object Verify {
     val spark = GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     // dev-only narrowing (comma-separated names); the driver sets
-    // nothing and always gets the full sweep
+    // nothing and always gets the full sweep. When active, say so
+    // LOUDLY and drop a marker file into outDir — a narrowed dump must
+    // never be mistakable for full-coverage evidence.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      System.err.println(
+        s"[verify] ***** NARROWED SWEEP (SPARK_GRAFT_VERIFY_ONLY): " +
+          s"${names.toSeq.sorted.mkString(",")} — NOT full coverage *****")
+      Files.writeString(Paths.get(s"$outDir/_NARROWED"),
+        names.toSeq.sorted.mkString("\n") + "\n")
+    }
+    // and a FULL sweep into a reused dir must clear a stale marker
+    if (only.isEmpty) Files.deleteIfExists(Paths.get(s"$outDir/_NARROWED"))
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

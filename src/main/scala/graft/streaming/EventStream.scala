@@ -53,8 +53,14 @@ object EventStream {
     * varied.
     */
   def eventSchemaFor(spark: SparkSession, dir: String): StructType = {
-    val (_, footer) = StreamFiles.dirAndSchema(spark, dir, "events.parquet")
-    val tsType = footer.fields.find(_.name == "ts").map(_.dataType)
+    // the footer read throws when no file has landed yet — THAT is the
+    // case the declared-constant fallback exists for (a stream booting
+    // against an empty landing dir), so catch it rather than die before
+    // the first file arrives
+    val tsType = scala.util.Try(
+        StreamFiles.dirAndSchema(spark, dir, "events.parquet")._2)
+      .toOption
+      .flatMap(_.fields.find(_.name == "ts").map(_.dataType))
       .getOrElse(eventSchema("ts").dataType)
     StructType(eventSchema.fields.map {
       case f if f.name == "ts" => f.copy(dataType = tsType)

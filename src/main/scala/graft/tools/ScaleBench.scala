@@ -52,9 +52,14 @@ object ScaleBench {
       timeNoop(spark.range(0, 512, 1, 512).select(sum(col("id"))))
     }
 
-    // dev-only narrowing (comma-separated labels), like Bench's _ONLY
+    // dev-only narrowing (comma-separated labels), like Bench's _ONLY.
+    // When active the output JSON carries a "narrowed" field (and
+    // stderr shouts) so a partial artifact can't pass as a full run.
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    only.foreach(n => System.err.println(
+      s"[scale-bench] ***** NARROWED (SPARK_GRAFT_SCALE_ONLY): " +
+        s"${n.toSeq.sorted.mkString(",")} — NOT the full hot set *****"))
     // work items: (label, dir-tag, thunk)
     def allItems: Seq[(String, String, () => DataFrame)] =
       Hot.flatMap { q =>
@@ -119,7 +124,9 @@ object ScaleBench {
     def runsObj(tag: String) = labels.map { q =>
       "\"" + q + "\":" + times((q, tag)).map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_curve","base_dir":"$base","scaled_dir":"$scaled","factor":$factor,"repeats":$repeats,"base":${obj(baseMin)},"scaled":${obj(scaledMin)},"ratio":$ratios,"base_runs":${runsObj("base")},"scaled_runs":${runsObj("scaled")},"ambient":$amb}""")
+    val narrowed = only.map(n => s""","narrowed":${n.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")}""").getOrElse("")
+    println(s"""{"metric":"scale_curve","base_dir":"$base","scaled_dir":"$scaled","factor":$factor,"repeats":$repeats,"base":${obj(baseMin)},"scaled":${obj(scaledMin)},"ratio":$ratios,"base_runs":${runsObj("base")},"scaled_runs":${runsObj("scaled")},"ambient":$amb$narrowed}""")
     spark.stop()
   }
 }

@@ -80,6 +80,7 @@ class PlanAuditSpec extends SparkSpec {
       "a13_stream_join"    -> "StreamingSymmetricHashJoin",// stream⋈stream
       "a14_stream_asof"    -> "FlatMapGroupsWithState",    // as-of state
       "a15_stream_asof_ooo" -> "FlatMapGroupsWithState",   // OOO buffer
+      "a19_stream_anomaly" -> "StateStoreSave",            // windowed agg feed
       "p5_stream_ingest"   -> "FlatMapGroupsWithState")    // dedup winner
     statefulOp.keys.toSeq.sorted.foreach { name =>
       SparkEntry.queries(name)(spark, sf).collect()
