@@ -161,6 +161,18 @@ object SparkEntry {
     // rate-conversion volume + the raw per-token price list
     "b48_trading_volume_rates"  -> MarketOps.tradingVolumeRates _,
     "b49_token_price_history_raw" -> ((s: SparkSession, d: String) => MarketOps.tokenPriceHistoryRaw(s, d)),
+    // b50 (round 10): the 4-way transaction-feed union page —
+    // listTransactions' per-branch filter + truncate-before-lookup
+    // contract (b9/b16/b17 only exercised two-way unions)
+    "b50_transactions_union"    -> ((s: SparkSession, d: String) => MarketOps.transactionsUnion(s, d)),
+    // b51-b55 (round 10): getSortOfToken's remaining sort modes as
+    // registered pages (mode 4 = b36, default arm = b37; mode 6 shares
+    // mode 2's ordering under fixed-duration listings)
+    "b51_sorted_created_desc"   -> ((s: SparkSession, d: String) => MarketOps.marketplaceSorted(s, d, sortMode = 1)),
+    "b52_sorted_oldest"         -> ((s: SparkSession, d: String) => MarketOps.marketplaceSorted(s, d, sortMode = 2)),
+    "b53_sorted_created_asc"    -> ((s: SparkSession, d: String) => MarketOps.marketplaceSorted(s, d, sortMode = 3)),
+    "b54_sorted_price_desc"     -> ((s: SparkSession, d: String) => MarketOps.marketplaceSorted(s, d, sortMode = 5)),
+    "b55_sorted_ending_soon"    -> ((s: SparkSession, d: String) => MarketOps.marketplaceSorted(s, d, sortMode = 6)),
   )
 
   /** Shared DuckDB prelude for the f-family oracles: rebuilds
@@ -223,7 +235,11 @@ object SparkEntry {
     baseOracleSql +
       ("d12_ann_indexed" -> baseOracleSql("d10_ann_ivfpq")) +
       // a19 is a18 through the streaming rollup — one replay gates both
-      ("a19_stream_anomaly" -> baseOracleSql("a18_hourly_anomaly"))
+      ("a19_stream_anomaly" -> baseOracleSql("a18_hourly_anomaly")) +
+      // b55 (ending-soonest under fixed-duration listings) IS mode 2's
+      // ordering — getSortOfToken maps both to listing-date ascending,
+      // so one replay gates both registered arms
+      ("b55_sorted_ending_soon" -> baseOracleSql("b52_sorted_oldest"))
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     // A-module rule: ALL time logic on epoch-ms longs in both engines
@@ -2291,5 +2307,77 @@ object SparkEntry {
       """SELECT l_shipdate AS update_ts, l_extendedprice AS price
          FROM lineitem WHERE l_partkey = 42
          ORDER BY update_ts, price""",
+    // b50: listTransactions' pipeline order replayed literally — each
+    // branch sorts and truncates to page*pageSize BEFORE anything
+    // joins, the union re-sorts globally, the page slices, and only
+    // then the null-preserving buyer lookup runs (order/ship resolve
+    // via orders→customer; event arms have no order behind them →
+    // NULL buyer, the reference's preserveNullAndEmptyArrays). Sort
+    // keys are unique per branch ((kind, orderkey, seq)), so every
+    // LIMIT is deterministic. Event day = epoch-day arithmetic on
+    // epoch_ms (the A-module time rule).
+    "b50_transactions_union" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             'order' AS kind, o_orderkey AS orderkey, 0 AS seq,
+             o_totalprice AS amount
+           FROM orders ORDER BY day DESC, orderkey DESC, seq LIMIT 50),
+         sh AS (SELECT CAST(l_shipdate AS DATE) AS day, 'ship' AS kind,
+             l_orderkey AS orderkey, l_linenumber AS seq,
+             l_extendedprice AS amount
+           FROM lineitem ORDER BY day DESC, orderkey DESC, seq LIMIT 50),
+         pu AS (SELECT DATE '1970-01-01'
+               + ((epoch_ms(ts) // 86400000)::INT) AS day,
+             'purchase' AS kind, event_id AS orderkey, 0 AS seq,
+             value AS amount
+           FROM events WHERE event_type = 'purchase'
+           ORDER BY day DESC, orderkey DESC, seq LIMIT 50),
+         ck AS (SELECT DATE '1970-01-01'
+               + ((epoch_ms(ts) // 86400000)::INT) AS day,
+             'click' AS kind, event_id AS orderkey, 0 AS seq,
+             value AS amount
+           FROM events WHERE event_type = 'click'
+           ORDER BY day DESC, orderkey DESC, seq LIMIT 50),
+         u AS (SELECT * FROM o UNION ALL SELECT * FROM sh
+               UNION ALL SELECT * FROM pu UNION ALL SELECT * FROM ck),
+         pg AS (SELECT * FROM u
+                ORDER BY day DESC, kind, orderkey DESC, seq
+                LIMIT 25 OFFSET 25),
+         res AS (SELECT pg.kind, pg.day, pg.orderkey, pg.seq, pg.amount,
+                   c_name AS buyer
+                 FROM pg JOIN orders ON pg.orderkey = o_orderkey
+                         JOIN customer ON o_custkey = c_custkey
+                 WHERE pg.kind IN ('order', 'ship')),
+         evp AS (SELECT kind, day, orderkey, seq, amount,
+                   NULL AS buyer
+                 FROM pg WHERE kind NOT IN ('order', 'ship'))
+         SELECT * FROM (SELECT * FROM res UNION ALL SELECT * FROM evp)
+         ORDER BY day DESC, kind, orderkey DESC, seq""",
+    // b51-b54: the b36 page under getSortOfToken's remaining modes
+    // (1 = creation desc, 2 = listing asc, 3 = creation asc,
+    // 5 = price desc; b55 shares b52's replay).
+    "b51_sorted_created_desc" ->
+      """SELECT o_orderkey, o_totalprice, c_name,
+         CAST(o_orderdate AS DATE) AS order_date
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'O'
+         ORDER BY o_orderkey DESC LIMIT 20""",
+    "b52_sorted_oldest" ->
+      """SELECT o_orderkey, o_totalprice, c_name,
+         CAST(o_orderdate AS DATE) AS order_date
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'O'
+         ORDER BY o_orderdate ASC, o_orderkey LIMIT 20""",
+    "b53_sorted_created_asc" ->
+      """SELECT o_orderkey, o_totalprice, c_name,
+         CAST(o_orderdate AS DATE) AS order_date
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'O'
+         ORDER BY o_orderkey ASC LIMIT 20""",
+    "b54_sorted_price_desc" ->
+      """SELECT o_orderkey, o_totalprice, c_name,
+         CAST(o_orderdate AS DATE) AS order_date
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'O'
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
   )
 }

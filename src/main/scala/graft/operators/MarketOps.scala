@@ -1164,4 +1164,90 @@ object MarketOps {
       .select(col("l_shipdate").as("update_ts"),
               col("l_extendedprice").as("price"))
       .orderBy(col("update_ts"), col("price"))
+
+  /** b50: the multi-collection transaction feed — `listTransactions`
+    * (app.service.ts:802-965), the one reference query shape b9/b16/
+    * b17's two-way unions only partially exercised: each event
+    * collection gets its OWN eventType filter arm, is sorted and
+    * truncated to `page·pageSize` BEFORE any entity lookup (the
+    * reference's `$sort → $limit → $lookup` pipeline order), then the
+    * surviving branches union, re-sort globally and slice the page.
+    * Kinds map the reference's order-event/token-event split onto the
+    * synthetic log as four event streams: `order` (order placed) plus
+    * the three lineitem lifecycle dates `ship`/`commit`/`receipt`.
+    * The filter contract mirrors the reference exactly: selecting a
+    * subset runs only those branches; an EMPTY selection means the
+    * default full set (the reference's no-filter arm).
+    *
+    * Scale shape: every branch is a TakeOrdered (per-partition top-K,
+    * `page·pageSize` rows out regardless of log size — no branch ever
+    * shuffles its full collection), the union is ≤ 4·page·pageSize
+    * rows, and the buyer lookup joins AFTER the final slice, so the
+    * pageSize-row side broadcasts into orders→customer. A 100 TB feed
+    * costs four pruned scans + two broadcast lookups.
+    */
+  def transactionsUnion(spark: SparkSession, dir: String,
+                        kinds: Seq[String] = Seq.empty,
+                        page: Int = 2, pageSize: Int = 25): DataFrame = {
+    val selected = if (kinds.isEmpty) TransactionKinds else kinds
+    val depth = page * pageSize
+    // epoch-day arithmetic, not a direct ts cast — robust to the event
+    // log's historical ts physical types (see Tables.epochMs)
+    val evDay = date_add(to_date(lit("1970-01-01")),
+                         (col("ms") / lit(86400000L)).cast("int"))
+    def evBranch(kind: String): DataFrame =
+      Tables.eventsMs(spark, dir)
+        .filter(col("event_type") === kind)
+        .select(evDay.as("day"), lit(kind).as("kind"),
+                col("event_id").as("orderkey"), lit(0).as("seq"),
+                col("value").as("amount"))
+    val branches: Map[String, () => DataFrame] = Map(
+      "order" -> (() => Tables.orders(spark, dir)
+        .select(col("o_orderdate").cast("date").as("day"),
+                lit("order").as("kind"), col("o_orderkey").as("orderkey"),
+                lit(0).as("seq"), col("o_totalprice").as("amount"))),
+      "ship" -> (() => Tables.lineitem(spark, dir)
+        .select(col("l_shipdate").cast("date").as("day"),
+                lit("ship").as("kind"), col("l_orderkey").as("orderkey"),
+                col("l_linenumber").as("seq"),
+                col("l_extendedprice").as("amount"))),
+      "purchase" -> (() => evBranch("purchase")),
+      "click"    -> (() => evBranch("click")))
+    val truncated = selected.map { k =>
+      branches(k)()
+        .orderBy(col("day").desc, col("orderkey").desc, col("seq"))
+        .limit(depth)
+    }
+    val pageRows = truncated.reduce(_.unionByName(_))
+      .orderBy(col("day").desc, col("kind"), col("orderkey").desc,
+               col("seq"))
+      .offset((page - 1) * pageSize).limit(pageSize)
+    // the null-preserving buyer lookup ($unwind preserveNullAndEmpty):
+    // order/ship rows resolve through orders→customer; event rows have
+    // no marketplace order behind them, so their buyer is null exactly
+    // like a reference token event with no order match
+    val orderish = pageRows.filter(col("kind").isin("order", "ship"))
+    val eventish = pageRows.filter(!col("kind").isin("order", "ship"))
+      .withColumn("buyer", lit(null).cast("string"))
+    val withCust = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(orderish), col("orderkey") === col("o_orderkey"))
+    val resolved = Tables.customer(spark, dir)
+      .join(broadcast(withCust), col("o_custkey") === col("c_custkey"))
+      .select(col("kind"), col("day"), col("orderkey"), col("seq"),
+              col("amount"), col("c_name").as("buyer"))
+    resolved
+      .unionByName(eventish.select(col("kind"), col("day"),
+        col("orderkey"), col("seq"), col("amount"), col("buyer")))
+      .orderBy(col("day").desc, col("kind"), col("orderkey").desc,
+               col("seq"))
+  }
+
+  /** The reference's default transaction-feed kind set (the arm
+    * `listTransactions` takes when the caller specifies no eventType
+    * filter): both order-side collections plus the two default
+    * event-log filter arms.
+    */
+  val TransactionKinds: Seq[String] =
+    Seq("order", "ship", "purchase", "click")
 }

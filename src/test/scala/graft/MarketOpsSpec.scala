@@ -425,4 +425,41 @@ class MarketOpsSpec extends SparkSpec {
     val plan = raw.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("l_partkey"), plan)
   }
+
+  test("b50 kinds filter contract: subsets run only their branches; empty selection = the default full set") {
+    def kindsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.getAs[String]("kind")).toSet
+    // empty selection == explicitly selecting every kind (the
+    // reference's no-filter arm)
+    val full = MarketOps.transactionsUnion(spark, sf)
+    val explicitFull =
+      MarketOps.transactionsUnion(spark, sf, MarketOps.TransactionKinds)
+    assert(full.collect().map(_.toString).toSeq ==
+      explicitFull.collect().map(_.toString).toSeq)
+    // a subset selection never leaks other branches onto the page
+    val shipOnly = MarketOps.transactionsUnion(spark, sf, Seq("ship"))
+    assert(kindsOf(shipOnly) == Set("ship"))
+    val two = MarketOps.transactionsUnion(spark, sf, Seq("order", "purchase"))
+    assert(kindsOf(two).subsetOf(Set("order", "purchase")) &&
+      kindsOf(two).nonEmpty)
+    // the null-preserving lookup: order/ship rows resolve a buyer,
+    // event rows carry NULL (no order behind a log tick)
+    two.collect().foreach { r =>
+      if (r.getAs[String]("kind") == "order")
+        assert(r.getAs[String]("buyer") != null)
+      else assert(r.getAs[String]("buyer") == null)
+    }
+    // single-branch page 1 == that branch's own top page with buyers
+    // attached (the per-branch truncate is the global truncate when
+    // only one branch is selected)
+    val p1 = MarketOps.transactionsUnion(spark, sf, Seq("ship"), page = 1)
+      .collect().map(r => (r.getAs[Long]("orderkey"), r.getAs[Int]("seq")))
+    val expect = Tables.lineitem(spark, sf)
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
+               col("l_linenumber"))
+      .limit(25)
+      .collect().map(r => (r.getAs[Long]("l_orderkey"),
+                           r.getAs[Int]("l_linenumber")))
+    assert(p1.toSeq == expect.toSeq)
+  }
 }
