@@ -99,6 +99,15 @@ object SparkEntry {
     // d12: the LANDED-index probe (ensureIvf + DPP-pruned posting-list
     // scan) — first run in a JVM builds, later runs probe only
     "d12_ann_indexed"           -> ((s: SparkSession, d: String) => graft.sources.Warehouse.annIndexed(s, d)),
+    // d13-d15 (round 10): the FIXED-|Q| production forms of d5/d10/d12.
+    // The qmod batches grow with the corpus (|Q| = N/50), so their
+    // scaled cost is Q·scan — quadratic in SF by WORKLOAD definition;
+    // these hold the batch at SimOps.FixedQBatch vectors at any SF,
+    // the curve a production deployment actually rides (query traffic
+    // doesn't grow because the corpus did)
+    "d13_ann_ivf_fixedq"        -> ((s: SparkSession, d: String) => SimOps.annIvf(s, d, nq = SimOps.FixedQBatch)),
+    "d14_ann_ivfpq_fixedq"      -> ((s: SparkSession, d: String) => SimOps.annIvfPq(s, d, nq = SimOps.FixedQBatch)),
+    "d15_ann_indexed_fixedq"    -> ((s: SparkSession, d: String) => graft.sources.Warehouse.annIndexed(s, d, nq = SimOps.FixedQBatch)),
     // B. marketplace/analytics
     "b1_pricing_summary"        -> MarketOps.pricingSummary _,
     "b2_top_sellers"            -> MarketOps.topSellers _,
@@ -239,7 +248,27 @@ object SparkEntry {
       // b55 (ending-soonest under fixed-duration listings) IS mode 2's
       // ordering — getSortOfToken maps both to listing-date ascending,
       // so one replay gates both registered arms
-      ("b55_sorted_ending_soon" -> baseOracleSql("b52_sorted_oldest"))
+      ("b55_sorted_ending_soon" -> baseOracleSql("b52_sorted_oldest")) +
+      // d13/d14/d15: the d5/d10 replays with the query predicate
+      // swapped from the qmod sample to the fixed md5-salted batch —
+      // DERIVED from the base strings (not copied), so the fixed-Q
+      // oracles can never drift from the one-shot ones; d15 probes the
+      // landed index built at d10's parameters, so it shares d14's
+      // derived replay exactly as d12 shares d10's
+      ("d13_ann_ivf_fixedq" -> fixedqOracle(baseOracleSql("d5_ann_ivf"))) +
+      ("d14_ann_ivfpq_fixedq" -> fixedqOracle(baseOracleSql("d10_ann_ivfpq"))) +
+      ("d15_ann_indexed_fixedq" -> fixedqOracle(baseOracleSql("d10_ann_ivfpq")))
+
+  /** Swap a d-family replay's query-batch predicate (`vec_id % 50 = 0`,
+    * which selects N/50 queries) for the fixed-size md5-salted batch
+    * d13/d14/d15 run — the SAME batch SimOps.fixedQueryBatch selects.
+    * String-transforming the existing replay keeps one source of truth
+    * for the whole IVF/PQ pipeline SQL.
+    */
+  private def fixedqOracle(base: String): String =
+    base.replace("WHERE vec_id % 50 = 0",
+      "WHERE vec_id IN (SELECT vec_id FROM e ORDER BY " +
+        s"md5(vec_id::VARCHAR || 'q'), vec_id LIMIT ${operators.SimOps.FixedQBatch})")
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     // A-module rule: ALL time logic on epoch-ms longs in both engines

@@ -26,6 +26,28 @@ object SimOps {
     emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
 
+  /** The registered fixed-Q batch size (d13/d14/d15) — interpolation
+    * source for their oracles.
+    */
+  val FixedQBatch: Int = 100
+
+  /** FIXED-size query batch: the `nq` vectors of smallest
+    * (md5(vec_id ∥ 'q'), vec_id) rank — the 'q' salt keeps the batch
+    * decorrelated from the centroid/codebook samples, which rank by
+    * unsalted md5. This is the production ANN workload shape: query
+    * traffic does not grow because the corpus did, so the qmod forms
+    * (|Q| = N/qmod) are the wrong curve to extrapolate — their scaled
+    * cost is Q·scan = quadratic in SF by workload definition, not by
+    * algorithm. A TakeOrdered top-nq, never a full sort. Expects the
+    * (vec_id, embedding, nrm) projection.
+    */
+  private[graft] def fixedQueryBatch(emb: DataFrame, nq: Int): DataFrame =
+    emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+               col("nrm").as("qnrm"),
+               md5(concat(col("vec_id").cast("string"), lit("q"))).as("qk"))
+      .orderBy(col("qk"), col("query_id")).limit(nq)
+      .select(col("query_id"), col("qe"), col("qnrm"))
+
   /** d1: exact cosine top-10 per query — broadcast-nested-loop of the
     * tiny query batch against every candidate, exact double cosine,
     * group-limited rank.
@@ -258,7 +280,8 @@ object SimOps {
 
   def annIvf(spark: SparkSession, dir: String, k: Int = 10,
              qmod: Int = 50, nlist: Int = 64, nProbe: Int = 8,
-             kmeansIters: Int = 0, nAssign: Int = 4): DataFrame = {
+             kmeansIters: Int = 0, nAssign: Int = 4,
+             nq: Int = 0): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               VectorFns.norm(col("embedding")).as("nrm"))
@@ -270,11 +293,11 @@ object SimOps {
     // on a cell boundary is findable from either side; index size
     // grows ×nAssign, probe cost doesn't); queries probe nProbe cells
     val lists = cells(emb, "vec_id", "embedding", "nrm", nAssign)
-    val probes = cells(
-      emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
+    val qbase = if (nq > 0) fixedQueryBatch(emb, nq)
+      else emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-                col("nrm").as("qnrm")),
-      "query_id", "qe", "qnrm", nProbe)
+                col("nrm").as("qnrm"))
+    val probes = cells(qbase, "query_id", "qe", "qnrm", nProbe)
     ivfScoreTopK(lists, probes, k, dedup = nAssign > 1)
   }
 
@@ -342,16 +365,17 @@ object SimOps {
                qmod: Int = 50, nlist: Int = 64, nProbe: Int = 8,
                nAssign: Int = 4, ks: Int = 256, m: Int = 8,
                subDim: Int = 8, rerank: Int = 16,
-               kmeansIters: Int = 0): DataFrame = {
+               kmeansIters: Int = 0, nq: Int = 0): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               VectorFns.norm(col("embedding")).as("nrm"))
     val cells = nearestCells(ivfCentroids(emb, nlist, kmeansIters)) _
     val lists = cells(emb, "vec_id", "embedding", "nrm", nAssign)
       .select(col("vec_id").as("cand_id"), col("cent_id"))
-    val queries = emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-              col("nrm").as("qnrm"))
+    val queries = if (nq > 0) fixedQueryBatch(emb, nq)
+      else emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+                col("nrm").as("qnrm"))
     val probes = cells(queries, "query_id", "qe", "qnrm", nProbe)
       .select(col("query_id"), col("cent_id"))
     val pairs = lists.join(probes, "cent_id")

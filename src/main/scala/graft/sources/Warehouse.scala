@@ -222,9 +222,10 @@ object Warehouse {
     * the point: same answer, index amortized instead of rebuilt.
     */
   def annIndexed(spark: SparkSession, dir: String, k: Int = 10,
-                 qmod: Int = 50, nProbe: Int = 8): DataFrame = {
+                 qmod: Int = 50, nProbe: Int = 8,
+                 nq: Int = 0): DataFrame = {
     ensureIvf(spark, dir, kmeansIters = 0)
-    annIvfPqIndexed(spark, dir, k, qmod, nProbe)
+    annIvfPqIndexed(spark, dir, k, qmod, nProbe, nq = nq)
   }
 
   /** Incremental index maintenance — the d11 production path: route
@@ -439,15 +440,17 @@ object Warehouse {
     */
   def annIvfPqIndexed(spark: SparkSession, dir: String, k: Int = 10,
                       qmod: Int = 50, nProbe: Int = 8, m: Int = 8,
-                      subDim: Int = 8, rerank: Int = 16): DataFrame = {
+                      subDim: Int = 8, rerank: Int = 16,
+                      nq: Int = 0): DataFrame = {
     import graft.operators.SimOps
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
-    val queries = emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-              col("nrm").as("qnrm"))
+    val queries = if (nq > 0) SimOps.fixedQueryBatch(emb, nq)
+      else emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+                col("nrm").as("qnrm"))
     // the exact centroid set buildIvf routed with, read back from the
     // landed index — refined routing costs the probe nothing
     val probes = SimOps.nearestCells(ivfCents(spark))(

@@ -66,14 +66,18 @@ object ScaleBench {
         Seq((q, "base", () => SparkEntry.queries(q)(spark, base)),
             (q, "scaled", () => SparkEntry.queries(q)(spark, scaled)))
       } ++ Seq(
-        ("d5_ann_ivf_fixedq", "base",
-         () => graft.operators.SimOps.annIvf(spark, base)),
-        ("d5_ann_ivf_fixedq", "scaled",
-         () => graft.operators.SimOps.annIvf(spark, scaled, qmod = 50 * factor)),
-        ("d10_ann_ivfpq_fixedq", "base",
-         () => graft.operators.SimOps.annIvfPq(spark, base)),
-        ("d10_ann_ivfpq_fixedq", "scaled",
-         () => graft.operators.SimOps.annIvfPq(spark, scaled, qmod = 50 * factor)),
+        // the registered fixed-|Q| production forms (d13/d14): the
+        // batch is SimOps.FixedQBatch vectors at ANY SF, so no qmod
+        // rescaling gymnastics — the round-9 artifact's
+        // d5/d10_ann_ivf(pq)_fixedq labels are superseded by these
+        ("d13_ann_ivf_fixedq", "base",
+         () => SparkEntry.queries("d13_ann_ivf_fixedq")(spark, base)),
+        ("d13_ann_ivf_fixedq", "scaled",
+         () => SparkEntry.queries("d13_ann_ivf_fixedq")(spark, scaled)),
+        ("d14_ann_ivfpq_fixedq", "base",
+         () => SparkEntry.queries("d14_ann_ivfpq_fixedq")(spark, base)),
+        ("d14_ann_ivfpq_fixedq", "scaled",
+         () => SparkEntry.queries("d14_ann_ivfpq_fixedq")(spark, scaled)),
         // c9's production shape: nlist ∝ √N balances exhaustive routing
         // (O(N·nlist)) against the per-cluster pair quadratic
         // (O(N²/nlist)) — measured: nlist ∝ N ran 18× at data ×10
@@ -83,6 +87,14 @@ object ScaleBench {
          () => graft.operators.DedupOps.semDedup(spark, base)),
         ("c9_semdedup_scalednlist", "scaled",
          () => graft.operators.DedupOps.semDedup(spark, scaled,
+           nlist = (64 * math.sqrt(factor)).round.toInt)),
+        // c9's hierarchical-routing arm at the SAME √-scaled nlist —
+        // the coarse quantizer must pull the scaled point below the
+        // exhaustive-routing curve (that's its whole claim)
+        ("c9_semdedup_hier", "base",
+         () => graft.operators.DedupOps.semDedupHier(spark, base)),
+        ("c9_semdedup_hier", "scaled",
+         () => graft.operators.DedupOps.semDedupHier(spark, scaled,
            nlist = (64 * math.sqrt(factor)).round.toInt)))
     def items = allItems.filter(i => only.forall(_.contains(i._1)))
 

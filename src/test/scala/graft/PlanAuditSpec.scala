@@ -31,6 +31,9 @@ class PlanAuditSpec extends SparkSpec {
     "d10_ann_ivfpq",           // broadcast centroid probe + query subs
     "d11_ann_incremental",     // broadcast frozen-centroid routing
     "d12_ann_indexed",         // broadcast PERSISTED-centroid probe (d10's landed twin)
+    "d13_ann_ivf_fixedq",      // d5's probe with the fixed-|Q| batch
+    "d14_ann_ivfpq_fixedq",    // d10's probe with the fixed-|Q| batch
+    "d15_ann_indexed_fixedq",  // d12's probe with the fixed-|Q| batch
     "c9_semdedup",             // broadcast centroid routing (d5's sample)
     "e11_unigram_logprob",     // 1-row total-tokens + n_docs broadcasts
     "e13_bigram_logprob",      // 1-row (T, V) broadcast
