@@ -93,6 +93,11 @@ object SparkEntry {
     "e11_unigram_logprob"       -> ((s: SparkSession, d: String) => TextOps.unigramLogprob(s, d)),
     "e12_gopher_rules"          -> TextOps.gopherRules _,
     "e13_bigram_logprob"        -> ((s: SparkSession, d: String) => TextOps.bigramLogprob(s, d)),
+    // e14 (round 10): learned byte-level BPE token accounting — the
+    // ONE rows-only query by design: DuckDB cannot replay the
+    // iterative merge loop, so the hash-strength check is TextOpsSpec's
+    // doc-by-doc JVM recompute instead (see the operator scaladoc)
+    "e14_bpe_token_stats"       -> ((s: SparkSession, d: String) => TextOps.bpeTokenStats(s, d)),
     "d9_pq_quantize"            -> ((s: SparkSession, d: String) => SimOps.pqQuantize(s, d)),
     "d10_ann_ivfpq"             -> ((s: SparkSession, d: String) => SimOps.annIvfPq(s, d)),
     "d11_ann_incremental"       -> ((s: SparkSession, d: String) => SimOps.annIvfIncremental(s, d)),

@@ -21,6 +21,20 @@ object TextFns {
   def reTokens(text: Column): Column =
     regexp_extract_all(text, lit("[a-zA-Z0-9]+"), lit(0))
 
+  /** The tokenizer seam's LEARNED-subword arm: token count under a
+    * trained byte-level BPE merge table (see [[Bpe]]). OFF by default
+    * everywhere — every registered oracle tokenizes by whitespace via
+    * [[tokens]]; e14 (TextOps.bpeTokenStats) is the one query that
+    * opts in. A scalar UDF by necessity, disclosed there: the encode
+    * loop over a learned merge table has no built-in-expression
+    * equivalent, and this signature is exactly where a production
+    * pipeline mounts its real tokenizer.
+    */
+  def bpeTokenCount(rank: Map[(String, String), Int]): Column => Column = {
+    val f = udf((t: String) => Bpe.tokenCount(t, rank))
+    (text: Column) => f(text)
+  }
+
   /** Word n-gram shingles of the token array: sliding windows joined by
     * a space — the codegen'd `ShingleWindows` expression (one native
     * loop; see its scaladoc for why the composable

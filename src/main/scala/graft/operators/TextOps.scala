@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{MaxRun, TextFns}
+import graft.functions.{Bpe, MaxRun, TextFns}
 import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §2.E)
@@ -518,6 +518,54 @@ object TextOps {
       .withColumn("keep",
         col("r_len") && col("r_mean_word") && col("r_symbol") &&
           col("r_alpha") && col("r_stops"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** e14: token accounting under a LEARNED subword vocabulary — the
+    * public byte-level BPE algorithm (Bpe.scala) mounted on the
+    * tokenizer seam the rest of the e/c families stub with whitespace
+    * tokens; the biggest realism gap between this engine's token
+    * counts and a real pretraining pipeline's, now measured instead
+    * of ignored.
+    *
+    * Train side: merges learned from the md5-rank top-`sampleDocs`
+    * documents — a BOUNDED driver-side build (≤ 64 docs at ANY SF,
+    * the same documented build-once pattern as the PQ codebook
+    * training in SimOps); the learned table is ≤ `nMerges` entries
+    * and ships to executors inside the UDF closure.
+    *
+    * Encode side: a scalar Scala UDF — the ONE e-family kernel that
+    * is JVM code rather than a codegen'd expression, disclosed and
+    * deliberate: BPE's iterate-until-no-merge-applies loop over a
+    * learned table has no built-in equivalent, and this signature
+    * (TextFns.bpeTokenCount) is exactly where a production pipeline
+    * mounts its real tokenizer. Per-row work is O(bytes · merges
+    * applied); no shuffle — scan-bound like the rest of the family.
+    *
+    * Oracle: rows-only at the driver (DuckDB cannot replay the
+    * iterative merge loop); the full-definition naive recompute — a
+    * doc-by-doc JVM re-encode — plus hand-computed merge-table truths
+    * live in TextOpsSpec.
+    */
+  def bpeTokenStats(spark: SparkSession, dir: String, nMerges: Int = 192,
+                    sampleDocs: Int = 64): DataFrame = {
+    val sample = docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+              md5(col("doc_id").cast("string")).as("hk"))
+      .orderBy(col("hk"), col("doc_id")).limit(sampleDocs)
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val rank = Bpe.train(sample, nMerges).zipWithIndex.toMap
+    val nBpe = TextFns.bpeTokenCount(rank)
+    docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+              size(TextFns.tokens(col("text"))).cast("long")
+                .as("n_ws_tokens"),
+              nBpe(col("text")).cast("long").as("n_bpe_tokens"))
+      .withColumn("bpe_per_ws",
+        round(col("n_bpe_tokens").cast("double") /
+              col("n_ws_tokens").cast("double"), 4))
       .orderBy(col("doc_id"))
   }
 }

@@ -303,4 +303,57 @@ class TextOpsSpec extends SparkSpec {
       .collect().toSeq.map(_.toString)
     assert(b == rows.toSeq.map(_.toString))
   }
+
+  test("e14 BPE algorithm: hand-computed merge table and encode truths") {
+    import graft.functions.Bpe
+    // corpus: 'abab' x2, 'abc' x1 → pair counts ab:5 bc:1 ba:2 →
+    // merge1 = (a,b); then 'ab ab'x2 'ab c' → (ab,ab):2 beats (ab,c):1
+    // → merge2 = (ab,ab); nothing left repeating (ab,c appears once)
+    val merges = Bpe.train(Seq("abab abab abc"), nMerges = 10)
+    assert(merges == Vector(("a", "b"), ("ab", "ab")))
+    val rank = merges.zipWithIndex.toMap
+    assert(Bpe.encode("abab", rank) == Vector("abab"))
+    assert(Bpe.encode("abc", rank) == Vector("ab", "c"))
+    assert(Bpe.encode("zzz", rank) == Vector("z", "z", "z"),
+      "byte fallback must keep unseen input total")
+    assert(Bpe.tokenCount("abab abc zz", rank) == 1 + 2 + 2)
+    // determinism tie-break: equal counts pick the lexicographically
+    // smallest pair — 'ba' and 'ab' both occur twice in 'abab'... use
+    // a clean tie: 'xy xy zw zw' → (x,y):2 ties (z,w):2 → (x,y) first
+    val tie = Bpe.train(Seq("xy xy zw zw"), nMerges = 1)
+    assert(tie == Vector(("x", "y")))
+  }
+
+  test("e14 BPE token stats equal a doc-by-doc JVM re-encode (the rows-only query's hash-strength check)") {
+    import graft.functions.Bpe
+    val got = TextOps.bpeTokenStats(spark, sf).collect()
+    val texts = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // replicate the training-sample selection rule (md5-rank top-64)
+    val sample = texts.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(64).map(_._2).toSeq
+    val rank = Bpe.train(sample, 192).zipWithIndex.toMap
+    assert(got.length == texts.length)
+    val byId = texts.toMap
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val text = byId(id)
+      val ws = text.split(" ", -1).length.toLong
+      val bpe = Bpe.tokenCount(text, rank).toLong
+      assert(r.getAs[Long]("n_ws_tokens") == ws, s"doc $id ws")
+      assert(r.getAs[Long]("n_bpe_tokens") == bpe, s"doc $id bpe")
+      assert(r.getAs[Double]("bpe_per_ws") ==
+        BigDecimal(bpe.toDouble / ws.toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"doc $id ratio")
+    }
+    // subword compression is real: merges must make BPE counts land
+    // strictly under the per-byte ceiling for typical docs
+    val anyCompressed = got.exists { r =>
+      r.getAs[Long]("n_bpe_tokens") <
+        byId(r.getAs[Long]("doc_id")).getBytes("UTF-8").length }
+    assert(anyCompressed, "no doc compressed below byte count — merges dead")
+  }
 }
