@@ -55,9 +55,16 @@ object GenScale {
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     replicas(emb) { (e, r) =>
-      val shifted = if (r == 0) col("embedding")
-        else concat(slice(col("embedding"), r + 1, 64 - r),
-                    slice(col("embedding"), 1, r))
+      // cyclic shift by r mod dim; past one full cycle (reps > 64) the
+      // shift repeats, so replicas 64.. additionally flip sign —
+      // negation preserves norms and every within-replica pairwise dot
+      // (the structure-preservation contract) while the (r, r+64)
+      // cross-replica cosine lands at −1, far from any near-dup τ
+      val s = r % 64
+      val rolled = if (s == 0) col("embedding")
+        else concat(slice(col("embedding"), s + 1, 64 - s),
+                    slice(col("embedding"), 1, s))
+      val shifted = if (r < 64) rolled else transform(rolled, x => -x)
       e.select((col("vec_id") + lit(r * Off)).as("vec_id"),
                shifted.as("embedding"), col("label"))
     }.repartition(32).write.mode("overwrite")
