@@ -15,6 +15,18 @@ object GraftSession {
   /** Threads/partitions: driver sets SPARK_GRAFT_CPUS; default 4. */
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
+  /** Shuffle partitions: default = thread count (right for local test
+    * runs). SPARK_GRAFT_SHUFFLE_PARTITIONS overrides it WITHOUT adding
+    * threads — the cluster-parity knob for scale experiments: on a real
+    * fleet partitions scale with executors, so benching data ×100
+    * through a fixed 32-way shuffle makes each task hold 100× the
+    * per-task state of the base run (a spill regime no sized cluster
+    * would sit in). Scale controls set this to keep per-task volume
+    * constant instead.
+    */
+  def shufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+
   /** The off-heap state-store provider for stateful streaming. The
     * default HDFSBackedStateStoreProvider keeps EVERY key's state
     * on-heap per shuffle partition — fine for tests, a hard cliff on a
@@ -42,7 +54,7 @@ object GraftSession {
       .master(s"local[$cpus]")
       .appName(appName)
       .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
