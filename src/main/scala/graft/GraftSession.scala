@@ -61,6 +61,20 @@ object GraftSession {
       // parquet reader rejects; read it as a raw nanosecond long — all
       // event-time logic downstream is integer epoch-ms arithmetic.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ObjectHashAggregate (the exec strategy behind every typed
+      // Aggregator here — MinhashAgg, CappedDistinctAgg, TopKAgg)
+      // falls back to SORT-based aggregation after this many distinct
+      // keys per task; Spark's default of 128 turns any realistic
+      // group cardinality into a full sort of the input. Our
+      // aggregator states are hard-bounded (≤128 longs for a MinHash
+      // signature, ≤df+1 ids for a capped posting list, ≤k heap
+      // entries), so a six-figure in-memory key count is a few hundred
+      // MB per task, not a hazard — raise the threshold so the hash
+      // path survives real key counts. Execution strategy only; plans
+      // and results are identical either way. Override per deployment
+      // via SPARK_GRAFT_AGG_FALLBACK.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+              sys.env.getOrElse("SPARK_GRAFT_AGG_FALLBACK", "262144"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
