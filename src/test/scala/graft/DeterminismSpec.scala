@@ -35,7 +35,15 @@ class DeterminismSpec extends SparkSpec {
     // round 9: SemDeDup keep-rank (cent_cos ties on exact twins broken
     // by vec_id), cut-rebuild collect_list reassembled via array_sort,
     // trailing-window stats over a partitioned ordered frame
-    "c9_semdedup", "c10_dedup_cut", "a18_hourly_anomaly")
+    "c9_semdedup", "c10_dedup_cut", "a18_hourly_anomaly",
+    // round 10: 4-branch union page (per-branch LIMIT boundaries +
+    // global page slice + kind-split lookup), the fixed-|Q| md5-rank
+    // query batch (TakeOrdered boundary ties) through both the
+    // one-shot and landed-index probes, BPE counts (driver-trained
+    // merge table must be partitioning-independent)
+    "b50_transactions_union", "b54_sorted_price_desc",
+    "d13_ann_ivf_fixedq", "d14_ann_ivfpq_fixedq",
+    "e14_bpe_token_stats")
 
   private def snap(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
