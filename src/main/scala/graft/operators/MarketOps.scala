@@ -1218,10 +1218,14 @@ object MarketOps {
         .orderBy(col("day").desc, col("orderkey").desc, col("seq"))
         .limit(depth)
     }
+    // persist the pageSize-row slice: the kind-split below reads it
+    // twice, and without the cache each side re-runs every branch's
+    // TakeOrdered scan (8 pruned scans instead of 4 at any scale)
     val pageRows = truncated.reduce(_.unionByName(_))
       .orderBy(col("day").desc, col("kind"), col("orderkey").desc,
                col("seq"))
       .offset((page - 1) * pageSize).limit(pageSize)
+      .persist()
     // the null-preserving buyer lookup ($unwind preserveNullAndEmpty):
     // order/ship rows resolve through orders→customer; event rows have
     // no marketplace order behind them, so their buyer is null exactly
