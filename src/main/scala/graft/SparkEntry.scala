@@ -47,6 +47,7 @@ object SparkEntry {
     "c8_dup_spans"              -> ((s: SparkSession, d: String) => DedupOps.dupSpans(s, d)),
     "c9_semdedup"               -> ((s: SparkSession, d: String) => DedupOps.semDedup(s, d)),
     "c10_dedup_cut"             -> ((s: SparkSession, d: String) => DedupOps.dedupCut(s, d)),
+    "c11_semdedup_hier"         -> ((s: SparkSession, d: String) => DedupOps.semDedupHier(s, d)),
     // D. similarity search
     "d1_ann_bruteforce"         -> ((s: SparkSession, d: String) => SimOps.annBruteforce(s, d)),
     "d2_ann_lsh"                -> ((s: SparkSession, d: String) => SimOps.annLsh(s, d)),
@@ -98,6 +99,7 @@ object SparkEntry {
     // iterative merge loop, so the hash-strength check is TextOpsSpec's
     // doc-by-doc JVM recompute instead (see the operator scaladoc)
     "e14_bpe_token_stats"       -> ((s: SparkSession, d: String) => TextOps.bpeTokenStats(s, d)),
+    "e14b_bpe_accounting"       -> TextOps.bpeAccounting _,
     "d9_pq_quantize"            -> ((s: SparkSession, d: String) => SimOps.pqQuantize(s, d)),
     "d10_ann_ivfpq"             -> ((s: SparkSession, d: String) => SimOps.annIvfPq(s, d)),
     "d11_ann_incremental"       -> ((s: SparkSession, d: String) => SimOps.annIvfIncremental(s, d)),
@@ -1054,21 +1056,53 @@ object SparkEntry {
                + 0.25 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text))
                + 0.25 * len(list_distinct(toks))::DOUBLE / len(toks), 4) AS quality
          FROM t ORDER BY doc_id""",
+    // e3: the Cavnar–Trenkle replay — training (md5-rank per-lang
+    // sample → top-K char-1..3-gram rank profiles) is plain relational
+    // algebra on both sides, so the oracle re-derives the profiles
+    // itself; constants interpolated from TextOps. All-integer
+    // distances, (count DESC, gram) / (dist, lang) total orders.
     "e3_lang_id" ->
-      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
-                    FROM documents),
-         s AS (SELECT doc_id, lang,
-           len(list_filter(toks, t -> t IN ('the','a')))::DOUBLE / len(toks) AS en_s,
-           len(list_filter(toks, t -> t IN ('data','table','row')))::DOUBLE / len(toks) AS da_s,
-           len(list_filter(toks, t -> t IN ('query','join','group')))::DOUBLE / len(toks) AS qu_s
-           FROM t)
-         SELECT doc_id, lang AS labeled_lang,
-           round(en_s, 6) AS en_score, round(da_s, 6) AS data_score,
-           round(qu_s, 6) AS query_score,
-           CASE WHEN en_s >= da_s AND en_s >= qu_s THEN 'en'
-                WHEN da_s >= qu_s THEN 'data-ish'
-                ELSE 'query-ish' END AS guessed_lang
-         FROM s ORDER BY doc_id""",
+      s"""WITH d AS (SELECT doc_id, lang, text FROM documents),
+         grams AS (SELECT doc_id, lang, unnest(
+             (CASE WHEN len(text) >= 1 THEN list_transform(
+                generate_series(1, len(text)), i -> substr(text, i, 1))
+              ELSE [] END) ||
+             (CASE WHEN len(text) >= 2 THEN list_transform(
+                generate_series(1, len(text) - 1), i -> substr(text, i, 2))
+              ELSE [] END) ||
+             (CASE WHEN len(text) >= 3 THEN list_transform(
+                generate_series(1, len(text) - 2), i -> substr(text, i, 3))
+              ELSE [] END)) AS g
+           FROM d),
+         smp AS (SELECT doc_id FROM d
+                 QUALIFY row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(doc_id::VARCHAR), doc_id)
+                   <= ${TextOps.LangTrainPerLang}),
+         prof AS (SELECT lang AS plang, g,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY c DESC, g) AS prnk
+           FROM (SELECT lang, g, count(*) AS c FROM grams
+                 WHERE doc_id IN (SELECT doc_id FROM smp) GROUP BY 1, 2)
+           QUALIFY prnk <= ${TextOps.LangProfileK}),
+         dt AS (SELECT doc_id, g,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY c DESC, g) AS drnk
+           FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+           QUALIFY drnk <= ${TextOps.LangProfileK}),
+         langs AS (SELECT DISTINCT plang FROM prof),
+         sc AS (SELECT dt.doc_id, langs.plang,
+             sum(coalesce(abs(dt.drnk - prof.prnk),
+                          ${TextOps.LangProfileK}))::BIGINT AS dist
+           FROM dt CROSS JOIN langs
+                LEFT JOIN prof ON prof.plang = langs.plang AND prof.g = dt.g
+           GROUP BY 1, 2),
+         best AS (SELECT doc_id, plang AS guessed_lang, dist FROM sc
+                  QUALIFY row_number() OVER (PARTITION BY doc_id
+                    ORDER BY dist, plang) = 1)
+         SELECT d.doc_id, d.lang AS labeled_lang,
+                best.guessed_lang, best.dist AS profile_dist
+         FROM d LEFT JOIN best ON d.doc_id = best.doc_id
+         ORDER BY d.doc_id""",
     "e4_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp,
          md5(array_to_string(string_split(text, ' '), ' ')) AS fp_norm,
@@ -1393,6 +1427,14 @@ object SparkEntry {
            round(avg(lp), 4) AS avg_logprob,
            round(sum(oov)::DOUBLE / count(*), 6) AS unseen_rate
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    // e14b: e14's DuckDB-expressible half — whitespace counts + byte
+    // length (the byte-level BPE's pre-merge token count); the learned
+    // BPE columns stay JVM-spec'd in e14's rows-only row.
+    "e14b_bpe_accounting" ->
+      """SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+           strlen(text)::BIGINT AS n_bytes
+         FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
     "e12_gopher_rules" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
                     FROM documents),
@@ -2113,6 +2155,69 @@ object SparkEntry {
                                         z -> z[1] * z[2]), (a, x) -> a + x)
                / (nr.nrm * ct.cnrm) AS csim
            FROM e JOIN nr ON e.vec_id = nr.vec_id CROSS JOIN ct),
+         asg AS (SELECT vec_id, cent_id, csim AS cent_cos FROM sc
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY csim DESC, cent_id) = 1),
+         rk AS (SELECT vec_id, cent_id, cent_cos,
+             row_number() OVER (PARTITION BY cent_id
+               ORDER BY cent_cos ASC, vec_id) AS krnk
+           FROM asg),
+         wi AS (SELECT rk.vec_id, rk.cent_id, rk.krnk, e.emb, nr.nrm
+                FROM rk JOIN e ON rk.vec_id = e.vec_id
+                        JOIN nr ON rk.vec_id = nr.vec_id
+                WHERE rk.krnk <= ${DedupOps.SemClusterCap}),
+         rm AS (SELECT DISTINCT py.vec_id
+                FROM wi px JOIN wi py ON px.cent_id = py.cent_id
+                  AND px.krnk < py.krnk
+                WHERE list_reduce(list_transform(list_zip(px.emb, py.emb),
+                        z -> z[1] * z[2]), (a, x) -> a + x)
+                      / (px.nrm * py.nrm) >= ${DedupOps.SemTau})
+         SELECT rk.vec_id, rk.cent_id, round(rk.cent_cos, 6) AS cent_cos,
+                rm.vec_id IS NULL AS kept
+         FROM rk LEFT JOIN rm ON rk.vec_id = rm.vec_id
+         ORDER BY rk.vec_id""",
+    // c11: c9's replay with the HIERARCHICAL routing in front — coarse
+    // level = the md5-rank prefix of the SAME centroid sample, each
+    // fine centroid homed to its max-cosine coarse cell, each vector
+    // probing its top-`SemCoarseProbes` coarse cells and taking the
+    // fine argmax among the homed candidates. All float folds are the
+    // identical sequential double reductions as c9's, so the per-level
+    // row_number ranks agree bit-exactly; the keep/remove tail is
+    // byte-identical to c9's CTEs.
+    "c11_semdedup_hier" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                    FROM embeddings),
+         nr AS (SELECT vec_id,
+             sqrt(list_reduce(list_transform(emb, v -> v * v),
+                              (a, x) -> a + x)) AS nrm FROM e),
+         ct AS (SELECT e.vec_id AS cent_id, emb AS ce, nrm AS cnrm
+                FROM e JOIN nr ON e.vec_id = nr.vec_id
+                ORDER BY md5(e.vec_id::VARCHAR), e.vec_id LIMIT ${DedupOps.SemNlist}),
+         co AS (SELECT cent_id AS co_id, ce AS coe, cnrm AS conrm FROM ct
+                ORDER BY md5(cent_id::VARCHAR), cent_id LIMIT ${DedupOps.SemNCoarse}),
+         fs AS (SELECT ct.cent_id, ct.ce, ct.cnrm, co.co_id,
+             list_reduce(list_transform(list_zip(ct.ce, co.coe),
+                                        z -> z[1] * z[2]), (a, x) -> a + x)
+               / (ct.cnrm * co.conrm) AS fsim
+           FROM ct CROSS JOIN co),
+         fh AS (SELECT co_id, cent_id, ce, cnrm FROM fs
+                QUALIFY row_number() OVER (PARTITION BY cent_id
+                  ORDER BY fsim DESC, co_id) = 1),
+         ps AS (SELECT e.vec_id, co.co_id,
+             list_reduce(list_transform(list_zip(e.emb, co.coe),
+                                        z -> z[1] * z[2]), (a, x) -> a + x)
+               / (nr.nrm * co.conrm) AS cosim
+           FROM e JOIN nr ON e.vec_id = nr.vec_id CROSS JOIN co),
+         pr AS (SELECT vec_id, co_id FROM ps
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cosim DESC, co_id) <= ${DedupOps.SemCoarseProbes}),
+         sc AS (SELECT e.vec_id, fh.cent_id,
+             list_reduce(list_transform(list_zip(e.emb, fh.ce),
+                                        z -> z[1] * z[2]), (a, x) -> a + x)
+               / (nr.nrm * fh.cnrm) AS csim
+           FROM pr JOIN fh USING (co_id)
+                   JOIN e ON pr.vec_id = e.vec_id
+                   JOIN nr ON pr.vec_id = nr.vec_id),
          asg AS (SELECT vec_id, cent_id, csim AS cent_cos FROM sc
                  QUALIFY row_number() OVER (PARTITION BY vec_id
                    ORDER BY csim DESC, cent_id) = 1),

@@ -1173,8 +1173,9 @@ object MarketOps {
     * reference's `$sort → $limit → $lookup` pipeline order), then the
     * surviving branches union, re-sort globally and slice the page.
     * Kinds map the reference's order-event/token-event split onto the
-    * synthetic log as four event streams: `order` (order placed) plus
-    * the three lineitem lifecycle dates `ship`/`commit`/`receipt`.
+    * synthetic log as four collections: `order` (order placed),
+    * `ship` (lineitem shipments), and the two event-log arms
+    * `purchase`/`click` (see [[TransactionKinds]]).
     * The filter contract mirrors the reference exactly: selecting a
     * subset runs only those branches; an EMPTY selection means the
     * default full set (the reference's no-filter arm).
@@ -1190,11 +1191,16 @@ object MarketOps {
                         kinds: Seq[String] = Seq.empty,
                         page: Int = 2, pageSize: Int = 25): DataFrame = {
     val selected = if (kinds.isEmpty) TransactionKinds else kinds
+    require(selected.forall(TransactionKinds.contains),
+      s"unknown transaction kind(s) ${selected.filterNot(TransactionKinds.contains).mkString(",")}; " +
+      s"valid kinds: ${TransactionKinds.mkString(",")}")
     val depth = page * pageSize
     // epoch-day arithmetic, not a direct ts cast — robust to the event
-    // log's historical ts physical types (see Tables.epochMs)
+    // log's historical ts physical types (see Tables.epochMs); floor()
+    // so pre-1970 (negative-ms) timestamps land on the same day as the
+    // oracle's integer floor division
     val evDay = date_add(to_date(lit("1970-01-01")),
-                         (col("ms") / lit(86400000L)).cast("int"))
+                         floor(col("ms") / lit(86400000L)).cast("int"))
     def evBranch(kind: String): DataFrame =
       Tables.eventsMs(spark, dir)
         .filter(col("event_type") === kind)

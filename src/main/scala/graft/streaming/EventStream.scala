@@ -55,11 +55,13 @@ object EventStream {
   def eventSchemaFor(spark: SparkSession, dir: String): StructType = {
     // the footer read throws when no file has landed yet — THAT is the
     // case the declared-constant fallback exists for (a stream booting
-    // against an empty landing dir), so catch it rather than die before
-    // the first file arrives
-    val tsType = scala.util.Try(
+    // against an empty landing dir). Spark surfaces both "path does not
+    // exist" and "unable to infer schema from an empty dir" as
+    // AnalysisException, so catch exactly that; genuine footer
+    // corruption / IO errors (SparkException, IOException) propagate
+    val tsType = (try Some(
         StreamFiles.dirAndSchema(spark, dir, "events.parquet")._2)
-      .toOption
+      catch { case _: org.apache.spark.sql.AnalysisException => None })
       .flatMap(_.fields.find(_.name == "ts").map(_.dataType))
       .getOrElse(eventSchema("ts").dataType)
     StructType(eventSchema.fields.map {

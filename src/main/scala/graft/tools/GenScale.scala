@@ -31,6 +31,13 @@ object GenScale {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/testdata_sf1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    // the embedding decorrelation below has exactly two arms (cyclic
+    // shift cycle of 64 × one sign flip): at reps > 128 replica r and
+    // r-128 would get identical vectors under distinct vec_ids —
+    // silent exact duplicates breaking the structure-preservation
+    // contract — so enforce the bound instead of leaving it latent
+    require(reps >= 1 && reps <= 128,
+      s"reps must be in [1, 128] (got $reps): embedding decorrelation covers two shift cycles only")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -25,7 +25,28 @@ object ScaleBench {
     "c6_dedup_clusters", "d5_ann_ivf", "d10_ann_ivfpq",
     "e11_unigram_logprob", "p1_corpus_prep", "p3_fuzzy_dedup",
     "p9_filter_funnel", "p11_incremental_dedup", "d11_ann_incremental",
-    "e13_bigram_logprob", "c9_semdedup", "c10_dedup_cut")
+    "e13_bigram_logprob", "c9_semdedup", "c10_dedup_cut",
+    // round 11: the stateful-stream decade claims (watermark-bounded
+    // state) measured, not just spec-proven, plus the registered
+    // hierarchical c9 routing (c11) at its fixed defaults
+    "a9_stream_hourly", "a10_stream_state", "p5_stream_ingest",
+    "c11_semdedup_hier")
+
+  /** Run `body` (a stream construction whose catch-up executes inside
+    * it) with the session state-store provider pinned, restoring the
+    * prior conf after — the RocksDbStateSpec seam, reused for timing.
+    */
+  private def withStateProvider[A](spark: SparkSession, cls: String)
+                                  (body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, cls)
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -88,14 +109,38 @@ object ScaleBench {
         ("c9_semdedup_scalednlist", "scaled",
          () => graft.operators.DedupOps.semDedup(spark, scaled,
            nlist = (64 * math.sqrt(factor)).round.toInt)),
-        // c9's hierarchical-routing arm at the SAME √-scaled nlist —
-        // the coarse quantizer must pull the scaled point below the
-        // exhaustive-routing curve (that's its whole claim)
-        ("c9_semdedup_hier", "base",
+        // the hierarchical-routing arm (registered as c11) at the SAME
+        // √-scaled nlist — the coarse quantizer must pull the scaled
+        // point below the exhaustive-routing curve (that's its whole
+        // claim). Label was "c9_semdedup_hier" through round 10.
+        ("c11_semdedup_hier_scalednlist", "base",
          () => graft.operators.DedupOps.semDedupHier(spark, base)),
-        ("c9_semdedup_hier", "scaled",
+        ("c11_semdedup_hier_scalednlist", "scaled",
          () => graft.operators.DedupOps.semDedupHier(spark, scaled,
-           nlist = (64 * math.sqrt(factor)).round.toInt)))
+           nlist = (64 * math.sqrt(factor)).round.toInt)),
+        // c4's exhaustive arm as the A/B foil for the registered
+        // adaptive query (which picks the PPJoin-style positional path
+        // at scale): the standing round-10 48.7×/59× points were this
+        // arm, so the pair stays comparable round-over-round
+        ("c4_ngram_jaccard_exhaustive", "base",
+         () => graft.operators.DedupOps.ngramJaccardExhaustive(spark, base)),
+        ("c4_ngram_jaccard_exhaustive", "scaled",
+         () => graft.operators.DedupOps.ngramJaccardExhaustive(spark, scaled)),
+        // the stateful streams again under the RocksDB provider — the
+        // 100 TB state-store setting; result identity is RocksDbStateSpec,
+        // THIS is the scale-cost evidence with the provider noted
+        ("a10_stream_state_rocksdb", "base",
+         () => withStateProvider(spark, GraftSession.RocksDbProvider) {
+           SparkEntry.queries("a10_stream_state")(spark, base) }),
+        ("a10_stream_state_rocksdb", "scaled",
+         () => withStateProvider(spark, GraftSession.RocksDbProvider) {
+           SparkEntry.queries("a10_stream_state")(spark, scaled) }),
+        ("p5_stream_ingest_rocksdb", "base",
+         () => withStateProvider(spark, GraftSession.RocksDbProvider) {
+           SparkEntry.queries("p5_stream_ingest")(spark, base) }),
+        ("p5_stream_ingest_rocksdb", "scaled",
+         () => withStateProvider(spark, GraftSession.RocksDbProvider) {
+           SparkEntry.queries("p5_stream_ingest")(spark, scaled) }))
     def items = allItems.filter(i => only.forall(_.contains(i._1)))
 
     // warmup: flagship-equivalent scan of both dirs

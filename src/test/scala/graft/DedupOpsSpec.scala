@@ -92,6 +92,48 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("c4 prefix arm: byte-identical to exhaustive when the τ-guard holds (planted completeness)") {
+    // ≥50 planted near-dup pairs with J ≥ τ=0.5, so the prefix fast
+    // path's exactness guard passes and the auto path must take it —
+    // this is the planted-pair completeness proof for the prefix-filter
+    // theorem: if the prefix candidate generation missed ANY qualifying
+    // pair, the top-50 could not match the exhaustive arm's.
+    val vocab = (0 until 400).map(i => s"w$i")
+    val rnd = new scala.util.Random(7)
+    def mkDoc(): String = Seq.fill(60)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 60).map(i => i.toLong -> mkDoc()).toMap
+    def editOneToken(t: String): String = {
+      val ts = t.split(" "); ts(30) = "edited"; ts.mkString(" ")
+    }
+    // 60 near-dup pairs (J ≈ 0.9) + 20 pure-noise docs
+    val docs = base ++
+      base.map { case (id, t) => (100 + id) -> editOneToken(t) } ++
+      (0 until 20).map(i => (200 + i).toLong -> mkDoc())
+    val dir = java.nio.file.Files.createTempDirectory("graft-c4prefix").toString
+    import spark.implicits._
+    docs.toSeq.sortBy(_._1).map { case (id, t) =>
+        (id, t, "en", "planted", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("jaccard")))
+    val exh = rowsOf(DedupOps.ngramJaccardExhaustive(spark, dir))
+    val pre = rowsOf(DedupOps.ngramJaccardPrefix(spark, dir))
+    assert(pre.length == 50 && pre.forall(_._3 >= 0.5),
+      "guard precondition not met — corpus has <50 pairs at τ")
+    assert(pre.sameElements(exh),
+      s"prefix arm diverges from exhaustive: ${pre.toSeq.diff(exh.toSeq)}")
+    // the auto path must return the identical rows (fast path taken)
+    val auto = rowsOf(DedupOps.ngramJaccard(spark, dir))
+    assert(auto.sameElements(exh))
+    // every planted pair the exhaustive top-50 surfaces is found
+    val planted = (0 until 60).map(i => (i.toLong, (100 + i).toLong)).toSet
+    val got = pre.map(r => (r._1, r._2)).toSet
+    assert(got.subsetOf(planted),
+      "top-50 should be planted pairs only on this corpus")
+  }
+
   test("planted corpus: every dedup operator recovers controlled duplicates") {
     // Controlled ground truth: 40 random-token base docs, 4 exact-dup
     // pairs, 6 near-dup pairs (one token edited — jaccard ≈ 0.9+).

@@ -35,6 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     "d14_ann_ivfpq_fixedq",    // d10's probe with the fixed-|Q| batch
     "d15_ann_indexed_fixedq",  // d12's probe with the fixed-|Q| batch
     "c9_semdedup",             // broadcast centroid routing (d5's sample)
+    "c11_semdedup_hier",       // broadcast coarse+fine centroid routing
+    "e3_lang_id",              // broadcast nLang-row profile cross
     "e11_unigram_logprob",     // 1-row total-tokens + n_docs broadcasts
     "e13_bigram_logprob",      // 1-row (T, V) broadcast
     "p12_source_filter")       // 1-row median-quality broadcast
@@ -63,11 +65,33 @@ class PlanAuditSpec extends SparkSpec {
     // (c2's signatures cross a typed-Aggregator LogicalRDD boundary,
     // so its shingle stage isn't visible in the final plan — its
     // kernel use is covered by the shared shingleSets helper c4 audits)
-    Seq("e7_dup_ngram_ratio", "e6_ngram_freq",
-        "c4_ngram_jaccard", "c8_dup_spans", "p2_decontaminate")
+    Seq("e7_dup_ngram_ratio", "e6_ngram_freq", "c8_dup_spans",
+        "p2_decontaminate")
       .foreach { q =>
         assert(planOf(q).contains("shingle_windows"),
           s"$q lost ShingleWindows")
+      }
+    // c4 picks its arm at call time (positional fast path vs
+    // exhaustive fallback), so audit BOTH builders directly instead of
+    // the registered query. The exhaustive arm must keep the
+    // ShingleWindows kernel visible; the positional arm checkpoints
+    // its ranked postings (LogicalRDD boundary — kernel use is the
+    // same shared ngramJaccardIndex, covered by the exhaustive row,
+    // the c2-signature precedent), and must stay cartesian/BNLJ-free:
+    // its self-join is equi on the shingle key with residual bounds,
+    // its semi-filter an equi broadcast hash join.
+    assert(operators.DedupOps.ngramJaccardExhaustive(spark, sf)
+      .queryExecution.optimizedPlan.toString.contains("shingle_windows"),
+      "c4/exhaustive lost ShingleWindows")
+    Seq(
+      "c4/exhaustive" -> operators.DedupOps.ngramJaccardExhaustive(spark, sf),
+      "c4/positional" -> operators.DedupOps.ngramJaccardPrefix(spark, sf))
+      .foreach { case (tag, df) =>
+        val phys = df.queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        assert(!phys.contains("CartesianProduct"), s"$tag plans a CartesianProduct")
+        assert(!phys.contains("BroadcastNestedLoopJoin"),
+          s"$tag plans a BroadcastNestedLoopJoin")
       }
     assert(planOf("p10_holdout_split").contains("md5_hash64"),
       "p10 lost Md5Hash64")

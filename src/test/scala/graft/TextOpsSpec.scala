@@ -34,19 +34,103 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
-  test("e3 lang-id guess is deterministic argmax of its scores") {
-    val got = TextOps.langId(spark, sf).collect()
-    got.foreach { r =>
-      val (en, da, qu) = (r.getAs[Double]("en_score"),
-                          r.getAs[Double]("data_score"),
-                          r.getAs[Double]("query_score"))
-      val expect =
-        if (en >= da && en >= qu) "en"
-        else if (da >= qu) "data-ish" else "query-ish"
-      // rounded-score argmax can differ from raw argmax only on exact
-      // ties introduced by rounding; tolerate those
-      val g = r.getAs[String]("guessed_lang")
-      assert(g == expect || Seq(en, da, qu).distinct.size < 3, s"$g vs $expect")
+  // naive JVM Cavnar–Trenkle recompute of TextOps.langId's definition
+  private def naiveCt(docs: Seq[(Long, String, String)])
+      : Map[Long, (String, Long)] = {
+    val K = TextOps.LangProfileK
+    def grams(t: String): Seq[String] =
+      (1 to 3).flatMap(n => if (t.length >= n) t.sliding(n).toSeq else Nil)
+    def topK(gs: Seq[String]): Map[String, Int] =
+      gs.groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (g, c) => (-c, g) }.take(K)
+        .zipWithIndex.map { case ((g, _), i) => g -> (i + 1) }.toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val sample = docs.groupBy(_._3).values.flatMap(ds =>
+      ds.sortBy(d => (md5hex(d._1.toString), d._1))
+        .take(TextOps.LangTrainPerLang)).toSeq
+    val profiles: Map[String, Map[String, Int]] = sample.groupBy(_._3)
+      .view.mapValues(ds => topK(ds.flatMap(d => grams(d._2)))).toMap
+    val langs = profiles.keys.toSeq.sorted
+    docs.map { case (id, text, _) =>
+      val dt = topK(grams(text))
+      val scored = langs.map { l =>
+        val p = profiles(l)
+        l -> dt.map { case (g, dr) =>
+          p.get(g).map(pr => math.abs(dr - pr).toLong).getOrElse(K.toLong)
+        }.sum
+      }
+      val (bl, bd) = scored.minBy { case (l, d) => (d, l) }
+      id -> (bl, bd)
+    }.toMap
+  }
+
+  test("e3 lang-id: C&T profiles separate a planted multilingual corpus; dist matches JVM recompute") {
+    // three fake languages with disjoint character distributions — the
+    // discriminative-power proof the shared-vocabulary synthetic corpus
+    // cannot give
+    val vocab = Map(
+      "aa" -> Vector("alpha", "arbor", "amber", "altar", "apple"),
+      "bb" -> Vector("bubble", "barrel", "bobbin", "bramble", "board"),
+      "cc" -> Vector("cocoa", "cactus", "circus", "cycle", "crest"))
+    val rnd = new scala.util.Random(3)
+    val docs = (0 until 90).map { i =>
+      val l = Seq("aa", "bb", "cc")(i % 3)
+      val v = vocab(l)
+      (i.toLong, Seq.fill(40)(v(rnd.nextInt(v.size))).mkString(" "), l)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ct").toString
+    import spark.implicits._
+    docs.map { case (id, t, l) => (id, t, l, "planted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = TextOps.langId(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("guessed_lang"), r.getAs[Long]("profile_dist"))).toMap
+    // 100% accuracy on the planted corpus
+    docs.foreach { case (id, _, l) =>
+      assert(got(id)._1 == l, s"doc $id: guessed ${got(id)._1}, labeled $l")
+    }
+    // and the (guess, distance) pair matches the naive recompute exactly
+    val naive = naiveCt(docs)
+    docs.foreach { case (id, _, _) =>
+      assert(got(id) == naive(id), s"doc $id: ${got(id)} vs ${naive(id)}")
+    }
+  }
+
+  test("e3 lang-id on the real corpus: valid label space, deterministic, JVM-exact") {
+    val rows = TextOps.langId(spark, sf).collect()
+    assert(rows.length == texts.size)
+    val labels = rows.map(_.getAs[String]("labeled_lang")).toSet
+    rows.foreach { r =>
+      assert(labels.contains(r.getAs[String]("guessed_lang")),
+        "guess outside the corpus label space")
+    }
+    val full = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val naive = naiveCt(full.toSeq)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert((r.getAs[String]("guessed_lang"),
+              r.getAs[Long]("profile_dist")) == naive(id))
+    }
+  }
+
+  test("e14b accounting agrees with e14 and upper-bounds the learned-BPE count") {
+    val acc = TextOps.bpeAccounting(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ws_tokens"), r.getAs[Long]("n_bytes"))).toMap
+    val bpe = TextOps.bpeTokenStats(spark, sf).collect()
+    assert(bpe.length == acc.size)
+    bpe.foreach { r =>
+      val (ws, bytes) = acc(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_ws_tokens") == ws)
+      // byte-level BPE starts from the byte sequence and every merge
+      // strictly shrinks it
+      assert(r.getAs[Long]("n_bpe_tokens") <= bytes)
     }
   }
 
