@@ -47,6 +47,22 @@ object TextFns {
     graftbridge.column(
       ShingleWindows(graftbridge.expression(toks), n))
 
+  /** Char n-grams for n in nMin..nMax — the codegen'd [[CharGrams]]
+    * kernel (e3's Cavnar–Trenkle feature space). DuckDB twin: substr
+    * windows over generate_series, per width.
+    */
+  def charGrams(text: Column, nMin: Int, nMax: Int): Column =
+    graftbridge.column(
+      CharGrams(graftbridge.expression(text), nMin, nMax))
+
+  /** Top-k char n-grams by (count DESC, gram), in rank order — the
+    * per-row [[CharGramRanks]] kernel (e3's per-doc profile with no
+    * shuffle). DuckDB twin: the relational count + row_number replay.
+    */
+  def charGramRanks(text: Column, nMin: Int, nMax: Int, k: Int): Column =
+    graftbridge.column(
+      CharGramRanks(graftbridge.expression(text), nMin, nMax, k))
+
   /** Deterministic 64-bit hash of a column (xxhash64 with fixed seed —
     * stable across partitions, sessions and cluster sizes).
     */

@@ -81,17 +81,12 @@ object TextOps {
   /** Char n-grams (n = 1..3) of a text column as one array — the
     * Cavnar–Trenkle feature space, spaces included (the publication
     * pads word boundaries; raw-text windows keep the DuckDB replay a
-    * plain substr loop).
+    * plain substr loop). The codegen'd [[graft.functions.CharGrams]]
+    * kernel: the composable substr-transform chain is interpreted and
+    * was 60% of e3's cost.
     */
   private def charGrams(text: Column): Column =
-    flatten(array((1 to 3).map { n =>
-      // guard: Spark's 2-arg sequence(1, stop) REVERSES when stop < 1
-      // (auto step -1), so short/empty texts need the explicit empty arm
-      when(length(text) >= n,
-           transform(sequence(lit(1), length(text) - lit(n - 1)),
-                     i => text.substr(i, lit(n))))
-        .otherwise(array().cast("array<string>"))
-    }: _*))
+    TextFns.charGrams(text, 1, 3)
 
   /** e3: language-ID via the public char-n-gram rank-profile method
     * (Cavnar & Trenkle 1994, "N-Gram-Based Text Categorization").
@@ -129,13 +124,18 @@ object TextOps {
       .withColumn("prnk", row_number().over(byLangCnt))
       .filter(col("prnk") <= LangProfileK)
       .select(col("lang").as("plang"), col("g"), col("prnk"))
-    val byDocCnt = Window.partitionBy(col("doc_id"))
-      .orderBy(col("c").desc, col("g"))
+    // per-doc profiles via the per-ROW CharGramRanks kernel: counting,
+    // (count DESC, gram) ranking and the top-K cut happen inside each
+    // row, so the doc side never explodes ~900 gram rows per doc
+    // through a (doc, gram) aggregation + rank window (that relational
+    // form — which the oracle still replays — moved 4.4M rows through
+    // three exchanges and was 80% of e3's cost at sf0.1)
     val docTop = d
-      .select(col("doc_id"), explode(charGrams(col("text"))).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .withColumn("drnk", row_number().over(byDocCnt))
-      .filter(col("drnk") <= LangProfileK)
+      .select(col("doc_id"),
+              posexplode(TextFns.charGramRanks(col("text"), 1, 3,
+                                               LangProfileK))
+                .as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("drnk"), col("g"))
     val byDocDist = Window.partitionBy(col("doc_id"))
       .orderBy(col("dist"), col("plang"))
     val langs = profiles.select(col("plang")).distinct()

@@ -31,6 +31,55 @@ class TextFnsPropertySpec extends SparkSpec {
     Seq(text).toDF("text").select(cols: _*).collect()(0)
   }
 
+  // mixed-width unicode text: the CharGrams byte-offset table must
+  // slice character-correct windows through 1-4 byte codepoints
+  private val uniText: Gen[String] =
+    Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        Gen.oneOf(('a' to 'z') ++ Seq(' ', '.', '!')).map(_.toString),
+        Gen.oneOf("é", "ß", "日", "本", "語", "€", "𝕏"))).map(_.mkString))
+
+  test("charGrams == JVM substring sliding model on mixed-width unicode") {
+    run(Prop.forAll(uniText) { t =>
+      val got = evalOnce(t)(TextFns.charGrams(col("text"), 1, 3))
+        .getSeq[String](0)
+      // reference: by CODE POINT (SQL substr semantics — a surrogate
+      // pair is one character)
+      val cps = t.codePoints.toArray.map(cp => new String(Character.toChars(cp)))
+      val want = (1 to 3).flatMap(n =>
+        if (cps.length >= n) cps.sliding(n).map(_.mkString).toSeq else Nil)
+      got == want
+    }, "charGrams")
+  }
+
+  test("charGramRanks == JVM count/sort/topK model on mixed-width unicode") {
+    run(Prop.forAll(uniText, Gen.chooseNum(1, 10)) { (t, k) =>
+      val got = evalOnce(t)(TextFns.charGramRanks(col("text"), 1, 3, k))
+        .getSeq[String](0)
+      val cps = t.codePoints.toArray.map(cp => new String(Character.toChars(cp)))
+      val grams = (1 to 3).flatMap(n =>
+        if (cps.length >= n) cps.sliding(n).map(_.mkString).toSeq else Nil)
+      // reference tie order: UTF-8 byte-wise unsigned (Spark string
+      // order); compare via the UTF-8 byte arrays
+      def byteLt(a: String, b: String): Boolean = {
+        val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          if ((x(i) & 0xFF) != (y(i) & 0xFF)) return (x(i) & 0xFF) < (y(i) & 0xFF)
+          i += 1
+        }
+        x.length < y.length
+      }
+      val want = grams.groupBy(identity).view.mapValues(_.size).toSeq
+        .sortWith { case ((g1, c1), (g2, c2)) =>
+          if (c1 != c2) c1 > c2 else byteLt(g1, g2)
+        }
+        .take(k).map(_._1)
+      got == want
+    }, "charGramRanks")
+  }
+
   test("shingles == JVM sliding-window model (incl. short/empty docs)") {
     run(Prop.forAll(doc) { t =>
       val got = evalOnce(t)(TextFns.shingles(TextFns.tokens(col("text")), 3))

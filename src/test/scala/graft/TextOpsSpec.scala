@@ -117,6 +117,25 @@ class TextOpsSpec extends SparkSpec {
       assert((r.getAs[String]("guessed_lang"),
               r.getAs[Long]("profile_dist")) == naive(id))
     }
+    // accuracy vs `lang` must strictly beat the retired round-1
+    // stopword mechanism (frozen here as the comparison baseline; it
+    // guessed outside the label space for all but 'en'). The corpus
+    // shares one vocabulary across langs, so neither mechanism can
+    // beat noise-level separability — the claim is strictly-better,
+    // not good (measured 0.05 -> 0.26 at sf0.01).
+    def oldGuess(text: String): String = {
+      val toks = text.split(" ", -1)
+      def ratio(ws: Set[String]) = toks.count(ws).toDouble / toks.length
+      val (en, da, qu) = (ratio(Set("the", "a")),
+        ratio(Set("data", "table", "row")), ratio(Set("query", "join", "group")))
+      if (en >= da && en >= qu) "en" else if (da >= qu) "data-ish" else "query-ish"
+    }
+    val oldAcc = full.count { case (_, t, l) => oldGuess(t) == l }.toDouble / full.length
+    val newAcc = rows.count(r =>
+      r.getAs[String]("guessed_lang") == r.getAs[String]("labeled_lang"))
+      .toDouble / rows.length
+    assert(newAcc > oldAcc,
+      f"C&T accuracy $newAcc%.3f must beat the stopword toy's $oldAcc%.3f")
   }
 
   test("e14b accounting agrees with e14 and upper-bounds the learned-BPE count") {
