@@ -1224,14 +1224,19 @@ object MarketOps {
         .orderBy(col("day").desc, col("orderkey").desc, col("seq"))
         .limit(depth)
     }
-    // persist the pageSize-row slice: the kind-split below reads it
-    // twice, and without the cache each side re-runs every branch's
-    // TakeOrdered scan (8 pruned scans instead of 4 at any scale)
+    // materialize the pageSize-row slice: the kind-split below reads it
+    // twice, and without it each side re-runs every branch's
+    // TakeOrdered scan (8 pruned scans instead of 4 at any scale).
+    // localCheckpoint, not persist(): the ContextCleaner frees the
+    // checkpointed blocks when the returned result is dropped, whereas
+    // a persist with no reachable unpersist point (the operator
+    // returns lazily) would pin ≤ pageSize rows per call for the life
+    // of a long-running session — the c2 signature-table convention.
     val pageRows = truncated.reduce(_.unionByName(_))
       .orderBy(col("day").desc, col("kind"), col("orderkey").desc,
                col("seq"))
       .offset((page - 1) * pageSize).limit(pageSize)
-      .persist()
+      .localCheckpoint(false)
     // the null-preserving buyer lookup ($unwind preserveNullAndEmpty):
     // order/ship rows resolve through orders→customer; event rows have
     // no marketplace order behind them, so their buyer is null exactly
