@@ -43,7 +43,15 @@ class DeterminismSpec extends SparkSpec {
     // merge table must be partitioning-independent)
     "b50_transactions_union", "b54_sorted_price_desc",
     "d13_ann_ivf_fixedq", "d14_ann_ivfpq_fixedq",
-    "e14_bpe_token_stats")
+    "e14_bpe_token_stats",
+    // round 11: the adaptive positional-filter candidate join (top-50
+    // Jaccard cut boundary ties + the exactness-guard arm choice must
+    // not depend on partitioning), the rewritten banding family's
+    // in-array pair expansion (c5 joins embeddings back once per
+    // DISTINCT pair), hierarchical SemDeDup coarse-cell top-probes +
+    // fine-centroid argmax ties, and C&T rank-profile distance ties
+    "c4_ngram_jaccard", "c5_dedup_embedding",
+    "c11_semdedup_hier", "e3_lang_id", "p11_incremental_dedup")
 
   private def snap(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
