@@ -140,7 +140,25 @@ object ScaleBench {
            SparkEntry.queries("p5_stream_ingest")(spark, base) }),
         ("p5_stream_ingest_rocksdb", "scaled",
          () => withStateProvider(spark, GraftSession.RocksDbProvider) {
-           SparkEntry.queries("p5_stream_ingest")(spark, scaled) }))
+           SparkEntry.queries("p5_stream_ingest")(spark, scaled) }),
+        // p11's LANDED form: the standing index is persisted
+        // (Warehouse.buildMinhash, rebuilt per dir in the untimed prep
+        // below — the d15/ann_split precedent: build-once cost
+        // amortizes at production, probe is the recurring cost). The
+        // registered one-shot p11 label above measures index recompute
+        // + probe; THIS label is the production curve a crawler pays
+        // per arriving batch.
+        ("p11_incremental_probe", "base",
+         () => graft.sources.Warehouse.incrementalMinhashIndexed(spark, base)),
+        ("p11_incremental_probe", "scaled",
+         () => graft.sources.Warehouse.incrementalMinhashIndexed(spark, scaled)))
+    // untimed per-measurement preparation (index builds): runs before
+    // the timer, so the label measures ONLY the recurring cost
+    val preps: Map[(String, String), () => Unit] = Map(
+      ("p11_incremental_probe", "base") ->
+        (() => graft.sources.Warehouse.buildMinhash(spark, base)),
+      ("p11_incremental_probe", "scaled") ->
+        (() => graft.sources.Warehouse.buildMinhash(spark, scaled)))
     def items = allItems.filter(i => only.forall(_.contains(i._1)))
 
     // warmup: flagship-equivalent scan of both dirs
@@ -154,6 +172,7 @@ object ScaleBench {
     for (_ <- 1 to repeats) {
       cpu += controlCpu(); sched += controlSched()
       for ((q, tag, mk) <- items) {
+        preps.get((q, tag)).foreach(_.apply())
         val t = timeNoop(mk())
         times((q, tag)) = times.getOrElse((q, tag), Vector.empty) :+ t
         System.err.println(f"[scale-bench] $q%-22s $tag%-6s ${t}%.2fs")
