@@ -136,10 +136,17 @@ object EventOps {
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ms"))
       .rowsBetween(-trail, -1)
     hourly
-      .withColumn("trail_n", count(col("n_events")).over(w))
-      .withColumn("mu", avg(col("n_events")).over(w))
-      .withColumn("sd",
-        when(col("trail_n") >= 2, stddev_samp(col("n_events")).over(w)))
+      // all three trailing aggregates in ONE select so they land in a
+      // single WindowExec pass (the when(trail_n >= 2) guard used to
+      // reference the first window column inline, splitting the plan
+      // into two Window nodes over the same sort); the guard itself
+      // moves to the next projection — it only turns stddev_samp's
+      // n=1 NaN into null, so values are unchanged
+      .select(col("*"),
+              count(col("n_events")).over(w).as("trail_n"),
+              avg(col("n_events")).over(w).as("mu"),
+              stddev_samp(col("n_events")).over(w).as("sd_raw"))
+      .withColumn("sd", when(col("trail_n") >= 2, col("sd_raw")))
       .withColumn("z",
         when(col("sd") > 0, (col("n_events") - col("mu")) / col("sd")))
       .select(col("event_type"), col("hour_ms"), col("n_events"),
@@ -292,9 +299,13 @@ object EventOps {
       .orderBy(col("ms"), col("side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     views.unionByName(purchases)
-      .withColumn("view_value", last(col("v_value"), ignoreNulls = true).over(w))
-      .withColumn("view_ms",
-        last(when(col("side") === 0, col("ms")), ignoreNulls = true).over(w))
+      // one select → one WindowExec pass (chained withColumn would
+      // leave two Window nodes over the same (user_id, ms, side) sort)
+      .select(col("*"),
+              last(col("v_value"), ignoreNulls = true).over(w)
+                .as("view_value"),
+              last(when(col("side") === 0, col("ms")), ignoreNulls = true)
+                .over(w).as("view_ms"))
       .filter(col("side") === 1)
       .select(col("event_id"), col("user_id"), col("ms").as("purchase_ms"),
               col("view_ms"), col("view_value"))
