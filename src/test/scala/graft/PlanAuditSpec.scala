@@ -121,4 +121,78 @@ class PlanAuditSpec extends SparkSpec {
         s"$name micro-batch plans a BroadcastNestedLoopJoin")
     }
   }
+
+  test("same-spec window expressions share one WindowExec pass") {
+    // the a12/a18/c10 defect class (fixed round 11): chained
+    // withColumn leaves a Project between two Window nodes over the
+    // SAME (partition, order) spec, which CollapseWindow cannot merge
+    // — the sorted stream is walked twice for expressions that could
+    // share one pass. Legitimate stacks (a5/c8's lag feeding a running
+    // sum) are excluded by the dependence check: the upper node's
+    // expressions must reference the lower node's outputs (resolved
+    // through the intermediate Projects' aliases).
+    import org.apache.spark.sql.execution.ProjectExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.sparkPlan.foreach {
+        case w1: WindowExec =>
+          val projects = scala.collection.mutable.ArrayBuffer[ProjectExec]()
+          var cur = w1.child
+          while (cur.isInstanceOf[ProjectExec]) {
+            projects += cur.asInstanceOf[ProjectExec]
+            cur = cur.asInstanceOf[ProjectExec].child
+          }
+          cur match {
+            case w2: WindowExec
+              if w1.partitionSpec.length == w2.partitionSpec.length &&
+                 w1.partitionSpec.zip(w2.partitionSpec)
+                   .forall { case (a, b) => a.semanticEquals(b) } &&
+                 w1.orderSpec.length == w2.orderSpec.length &&
+                 w1.orderSpec.zip(w2.orderSpec)
+                   .forall { case (a, b) => a.semanticEquals(b) } =>
+              var refs: Set[Attribute] =
+                w1.windowExpression.flatMap(_.references).toSet
+              projects.foreach { p =>
+                val aliased = p.projectList.collect {
+                  case a: Alias => (a.toAttribute: Attribute) -> a.child.references.toSeq
+                }.toMap
+                refs = refs.flatMap(att =>
+                  aliased.getOrElse(att, Seq(att)))
+              }
+              val lowerOut: Set[Attribute] =
+                w2.windowExpression.map(_.toAttribute).toSet
+              assert(refs.exists(lowerOut.contains),
+                s"$name: two same-spec Window nodes with independent " +
+                "expressions — put them in one select so WindowExec " +
+                "walks the sorted stream once")
+            case _ => ()
+          }
+        case _ => ()
+      }
+    // planted control: the detector must actually flag the defect —
+    // a12's pre-fix shape (two independent same-spec withColumns)
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val w = Window.partitionBy($"k").orderBy($"t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      // the second window function's argument must be a derived
+      // expression: the analyzer extracts it into a Project between
+      // the two Window nodes, which is exactly what blocks
+      // CollapseWindow (plain-column arguments collapse fine)
+      val bad = Seq((1L, 1L, 2.0), (1L, 2L, 3.0)).toDF("k", "t", "v")
+        .withColumn("a", last($"v", ignoreNulls = true).over(w))
+        .withColumn("b",
+          last(when($"v" > 2.5, $"t"), ignoreNulls = true).over(w))
+      val caught = intercept[org.scalatest.exceptions.TestFailedException] {
+        audit("planted-control", bad)
+      }
+      assert(caught.getMessage.contains("same-spec Window nodes"),
+        s"detector control failed for the wrong reason: ${caught.getMessage}")
+    }
+    SparkEntry.queries.keys.filterNot(streamingBacked).toSeq.sorted
+      .foreach(name => audit(name, SparkEntry.queries(name)(spark, sf)))
+  }
 }
