@@ -48,6 +48,11 @@ object SparkEntry {
     "c9_semdedup"               -> ((s: SparkSession, d: String) => DedupOps.semDedup(s, d)),
     "c10_dedup_cut"             -> ((s: SparkSession, d: String) => DedupOps.dedupCut(s, d)),
     "c11_semdedup_hier"         -> ((s: SparkSession, d: String) => DedupOps.semDedupHier(s, d)),
+    // c12: incremental exact-normalized dedup — sharded-bloom
+    // membership gate in front of the exact verify join (the bloom
+    // only prunes, never decides, so the oracle replays it as a plain
+    // normalized-key join)
+    "c12_bloom_dedup"           -> ((s: SparkSession, d: String) => DedupOps.bloomDedup(s, d)),
     // D. similarity search
     "d1_ann_bruteforce"         -> ((s: SparkSession, d: String) => SimOps.annBruteforce(s, d)),
     "d2_ann_lsh"                -> ((s: SparkSession, d: String) => SimOps.annLsh(s, d)),
@@ -100,6 +105,7 @@ object SparkEntry {
     // doc-by-doc JVM recompute instead (see the operator scaladoc)
     "e14_bpe_token_stats"       -> ((s: SparkSession, d: String) => TextOps.bpeTokenStats(s, d)),
     "e14b_bpe_accounting"       -> TextOps.bpeAccounting _,
+    "e15_word_entropy"          -> TextOps.wordEntropy _,
     "d9_pq_quantize"            -> ((s: SparkSession, d: String) => SimOps.pqQuantize(s, d)),
     "d10_ann_ivfpq"             -> ((s: SparkSession, d: String) => SimOps.annIvfPq(s, d)),
     "d11_ann_incremental"       -> ((s: SparkSession, d: String) => SimOps.annIvfIncremental(s, d)),
@@ -1435,6 +1441,47 @@ object SparkEntry {
            len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
            strlen(text)::BIGINT AS n_bytes
          FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
+    // e15: entropy folds over the SORTED distinct-token list in both
+    // engines (list_reduce ≡ Spark's aggregate, same accumulation
+    // order), so round(6) is presentation, not tolerance
+    "e15_word_entropy" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         u AS (SELECT doc_id, toks,
+                 list_sort(list_distinct(toks)) AS uniq FROM t),
+         c AS (SELECT doc_id, len(toks)::DOUBLE AS n, uniq,
+                 list_transform(uniq, w ->
+                   len(list_filter(toks, x -> x = w))::DOUBLE) AS counts
+               FROM u),
+         s AS (SELECT doc_id, n, len(uniq)::BIGINT AS d,
+                 -list_reduce(
+                    list_transform(counts,
+                      c -> (c / n) * log2(c / n)),
+                    (a, b) -> a + b) AS ent,
+                 list_max(counts) AS mx
+               FROM c)
+         SELECT doc_id, n::BIGINT AS n_tokens, d AS n_distinct,
+           round(d / n, 6) AS ttr,
+           round(ent, 6) AS entropy,
+           round(CASE WHEN d > 1 THEN ent / log2(d::DOUBLE)
+                      ELSE 0.0 END, 6) AS norm_entropy,
+           round(mx / n, 6) AS top_share
+         FROM s ORDER BY doc_id""",
+    // c12: the bloom gate only PRUNES (no false negatives; false
+    // positives resolved by the exact verify), so the replay is a
+    // plain join on the normalized word-set key
+    "c12_bloom_dedup" ->
+      """WITH d AS (SELECT doc_id,
+                 array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ') AS k
+               FROM documents WHERE text IS NOT NULL),
+         b AS (SELECT doc_id, k FROM d WHERE doc_id % 10 = 0),
+         s AS (SELECT doc_id, k FROM d WHERE doc_id % 10 <> 0),
+         m AS (SELECT b.doc_id, min(s.doc_id) AS dup_of
+               FROM b JOIN s USING (k) GROUP BY b.doc_id)
+         SELECT b.doc_id, m.dup_of,
+           (m.dup_of IS NOT NULL) AS is_dup
+         FROM b LEFT JOIN m USING (doc_id) ORDER BY doc_id""",
     "e12_gopher_rules" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
                     FROM documents),

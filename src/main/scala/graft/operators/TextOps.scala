@@ -654,4 +654,49 @@ object TextOps {
                 .as("n_ws_tokens"),
               octet_length(col("text")).cast("long").as("n_bytes"))
       .orderBy(col("doc_id"))
+
+  /** e15: within-doc lexical diversity — word-distribution Shannon
+    * entropy, type-token ratio and top-word share, the
+    * MassiveText/FineWeb "fraction of unique words" signal family
+    * that e2's shape heuristics and e7/e10's n-gram repetition ratios
+    * don't capture: a doc cycling three words has healthy mean word
+    * length (e2 passes it) and can stay under e10's top-SHARE radar
+    * while its entropy collapses toward log2(3). `norm_entropy`
+    * (entropy / log2(n_distinct)) is the vocabulary-size-free form —
+    * 1.0 = perfectly uniform usage, → 0 = one word dominating.
+    *
+    * 100 TB shape: pure per-row expression work, zero shuffles (the
+    * orderBy is the driver contract); per-doc cost is
+    * O(distinct · tokens) element compares — bounded by doc length
+    * squared, all inside one whole-stage-codegen'd projection.
+    *
+    * Determinism across engines: the entropy sum folds over the
+    * SORTED distinct-token list in both Spark (`aggregate` over
+    * array_sort) and DuckDB (list_reduce over list_sort), so the
+    * floating-point accumulation order is identical — the round(6) is
+    * presentation, not a tolerance.
+    */
+  def wordEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(col("toks")).cast("double")
+    val counts = transform(col("uniq"), u =>
+      size(filter(col("toks"), t => t === u)).cast("double"))
+    val entropyRaw = -aggregate(col("counts"), lit(0.0),
+      (acc, c) => acc + (c / n) * log2(c / n))
+    docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .withColumn("uniq", array_sort(array_distinct(col("toks"))))
+      .withColumn("counts", counts)
+      .withColumn("ent", entropyRaw)
+      .select(col("doc_id"),
+              size(col("toks")).cast("long").as("n_tokens"),
+              size(col("uniq")).cast("long").as("n_distinct"),
+              round(size(col("uniq")).cast("double") / n, 6).as("ttr"),
+              round(col("ent"), 6).as("entropy"),
+              round(when(size(col("uniq")) > 1,
+                         col("ent") / log2(size(col("uniq")).cast("double")))
+                      .otherwise(lit(0.0)), 6).as("norm_entropy"),
+              round(array_max(col("counts")) / n, 6).as("top_share"))
+      .orderBy(col("doc_id"))
+  }
 }

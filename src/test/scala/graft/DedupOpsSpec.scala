@@ -213,6 +213,54 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(3L) == (3L, 1L), "singleton keeps its own label")
   }
 
+  test("c12 bloom dedup: planted word-set dups labeled exactly; bloom never decides") {
+    // Ground truth under the word-SET fingerprint: batch docs
+    // (id % 10 == 0) that permute/repeat a standing doc's vocabulary
+    // are dups of it; novel vocabularies are not. dup_of must be the
+    // MIN standing partner when several share the set.
+    val docs = Seq(
+      1L  -> "alpha beta gamma delta",
+      2L  -> "delta gamma beta alpha",        // standing twin of 1 (permuted)
+      3L  -> "epsilon zeta eta theta",
+      5L  -> "iota kappa lambda mu",
+      10L -> "beta alpha delta gamma gamma",  // batch: same SET as 1 and 2 → dup_of 1
+      20L -> "theta eta zeta epsilon",        // batch: permutes 3 → dup_of 3
+      30L -> "nu xi omicron pi",              // batch: novel → not a dup
+      40L -> "iota kappa lambda")             // batch: SUBSET of 5's set ≠ equal → not a dup
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    import spark.implicits._
+    docs.map { case (id, t) => (id, t, "en", "planted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = DedupOps.bloomDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+         r.getAs[Boolean]("is_dup"))).toMap
+    assert(got.keySet == Set(10L, 20L, 30L, 40L), "output = the arriving batch")
+    assert(got(10L) == (Some(1L), true), "min standing partner wins")
+    assert(got(20L) == (Some(3L), true))
+    assert(got(30L) == (None, false))
+    assert(got(40L) == (None, false), "subset vocabulary is not set equality")
+  }
+
+  test("c12 bloom dedup == naive set-join recompute on the real corpus (no false negatives)") {
+    // The bloom is a pruner: the output must equal the plain
+    // normalized-key join's answer doc for doc — a bloom false
+    // negative (the one failure the sketch contract forbids) would
+    // surface here as a missed dup.
+    val norm: String => String = t => t.split(" ", -1).distinct.sorted.mkString(" ")
+    val standing = texts.collect { case (id, t) if id % 10 != 0 => (id, norm(t)) }
+    val expected = texts.collect { case (id, t) if id % 10 == 0 =>
+      val partners = standing.collect { case (sid, k) if k == norm(t) => sid }
+      id -> (if (partners.isEmpty) None else Some(partners.min))
+    }
+    val got = DedupOps.bloomDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got == expected.toMap)
+  }
+
   test("c6 clusters on the real corpus: labels are a valid CC fixpoint") {
     val got = DedupOps.dedupClusters(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->

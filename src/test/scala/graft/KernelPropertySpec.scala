@@ -144,4 +144,35 @@ class KernelPropertySpec extends SparkSpec {
       }
     }, "cappedDistinct", n = 25)
   }
+
+  test("bloomAgg == Set model: zero false negatives through the partial/merge path; fpp sane") {
+    // c12's membership sketch: every inserted fingerprint MUST test
+    // positive after Spark's real partial-aggregate + shuffle-merge
+    // path (repartition(7) forces non-trivial filter merges); values
+    // never inserted may false-positive at ≈fpp but not wholesale.
+    val rows: Gen[List[(Long, Long)]] = Gen.chooseNum(1, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 50000L))))
+    run(Prop.forAll(rows) { kv =>
+      import spark.implicits._
+      val blooms = kv.toDF("k", "v").repartition(7)
+        .groupBy(col("k"))
+        .agg(graft.functions.BloomAgg.fn(256L, 0.01)(col("v")).as("bf"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          graft.functions.BloomAgg.deserialize(r.getAs[Array[Byte]](1)))
+        .toMap
+      val model = kv.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val noFalseNegatives = model.forall { case (k, vs) =>
+        vs.forall(blooms(k).mightContainLong)
+      }
+      // 200 probes of values outside the insert domain: at fpp=0.01
+      // and ≤200 inserts into a 256-item filter, >20% hits would mean
+      // the sketch is broken (degenerate all-ones), not unlucky
+      val fpProbes = (1L to 200L).map(i => 1000000L + i * 7919L)
+      val fppSane = blooms.values.forall { bf =>
+        fpProbes.count(bf.mightContainLong) <= 40
+      }
+      noFalseNegatives && fppSane
+    }, "bloomAgg", n = 25)
+  }
 }

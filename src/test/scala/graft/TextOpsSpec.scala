@@ -459,4 +459,50 @@ class TextOpsSpec extends SparkSpec {
         byId(r.getAs[Long]("doc_id")).getBytes("UTF-8").length }
     assert(anyCompressed, "no doc compressed below byte count — merges dead")
   }
+
+  test("e15 word entropy: hand-computed truths and a doc-by-doc JVM recompute") {
+    // hand-computed: "a a b" → counts over sorted uniq [a,b] = [2,1],
+    // H = -(2/3·log2(2/3) + 1/3·log2(1/3)) ≈ 0.918296; uniform "a b c"
+    // → H = log2 3, norm exactly 1; constant "x x x" → H = 0, norm 0.
+    val docs = Seq(0L -> "a a b", 1L -> "a b c", 2L -> "x x x")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ent").toString
+    import spark.implicits._
+    docs.map { case (id, t) => (id, t, "en", "planted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = TextOps.wordEntropy(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def approx(a: Double, b: Double) = math.abs(a - b) < 1e-6
+    assert(got(0L).getAs[Long]("n_tokens") == 3L)
+    assert(got(0L).getAs[Long]("n_distinct") == 2L)
+    assert(approx(got(0L).getAs[Double]("entropy"), 0.918296))
+    assert(approx(got(0L).getAs[Double]("top_share"), 0.666667))
+    assert(approx(got(1L).getAs[Double]("entropy"), math.log(3) / math.log(2)))
+    assert(got(1L).getAs[Double]("norm_entropy") == 1.0)
+    assert(got(2L).getAs[Double]("entropy") == 0.0)
+    assert(got(2L).getAs[Double]("norm_entropy") == 0.0)
+    assert(got(2L).getAs[Double]("top_share") == 1.0)
+    // real corpus: full-definition recompute doc by doc, plus the
+    // norm_entropy ∈ [0, 1] invariant
+    val real = TextOps.wordEntropy(spark, sf).collect()
+    val texts = sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    real.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).split(" ", -1).toSeq
+      val n = toks.length.toDouble
+      val counts = toks.distinct.sorted.map(w => toks.count(_ == w).toDouble)
+      val ent = -counts.foldLeft(0.0)((acc, c) =>
+        acc + (c / n) * (math.log(c / n) / math.log(2.0)))
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong)
+      assert(r.getAs[Long]("n_distinct") == counts.length.toLong)
+      assert(approx(r.getAs[Double]("entropy"), ent))
+      assert(approx(r.getAs[Double]("top_share"), counts.max / n))
+      val ne = r.getAs[Double]("norm_entropy")
+      assert(ne >= 0.0 && ne <= 1.0 + 1e-9, s"norm_entropy $ne out of range")
+    }
+  }
 }
