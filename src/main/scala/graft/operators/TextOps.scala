@@ -678,23 +678,40 @@ object TextOps {
     */
   def wordEntropy(spark: SparkSession, dir: String): DataFrame = {
     val n = size(col("toks")).cast("double")
-    val counts = transform(col("uniq"), u =>
-      size(filter(col("toks"), t => t === u)).cast("double"))
+    // run-length counting over the SORTED token array — O(n log n)
+    // per row instead of the O(distinct·n) filter-per-unique form
+    // (measured 28.6 → single-digit seconds at the ×100 slice): run
+    // starts are the 1-based positions whose token differs from the
+    // predecessor; run k's count is the gap to the next start (n+1
+    // sentinel past the last). `get` (0-based, null past the end)
+    // keeps the next-start lookup ANSI-safe; the distinct tokens come
+    // out in sorted order, so the entropy fold's accumulation order —
+    // the cross-engine determinism contract — is unchanged.
+    // `sorted` is a materialized column, NOT inlined into the lambda —
+    // an expression inside a higher-order-function lambda re-evaluates
+    // per element, which would turn one sort into n sorts per row
+    val starts = filter(sequence(lit(1), size(col("toks"))), i =>
+      i === 1 ||
+        element_at(col("sorted"), i) =!= element_at(col("sorted"), i - 1))
+    val counts = transform(col("starts"), (s, j) =>
+      (coalesce(get(col("starts"), j + 1),
+                size(col("toks")) + 1) - s).cast("double"))
     val entropyRaw = -aggregate(col("counts"), lit(0.0),
       (acc, c) => acc + (c / n) * log2(c / n))
     docs(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .withColumn("uniq", array_sort(array_distinct(col("toks"))))
+      .withColumn("sorted", array_sort(col("toks")))
+      .withColumn("starts", starts)
       .withColumn("counts", counts)
       .withColumn("ent", entropyRaw)
       .select(col("doc_id"),
               size(col("toks")).cast("long").as("n_tokens"),
-              size(col("uniq")).cast("long").as("n_distinct"),
-              round(size(col("uniq")).cast("double") / n, 6).as("ttr"),
+              size(col("starts")).cast("long").as("n_distinct"),
+              round(size(col("starts")).cast("double") / n, 6).as("ttr"),
               round(col("ent"), 6).as("entropy"),
-              round(when(size(col("uniq")) > 1,
-                         col("ent") / log2(size(col("uniq")).cast("double")))
+              round(when(size(col("starts")) > 1,
+                         col("ent") / log2(size(col("starts")).cast("double")))
                       .otherwise(lit(0.0)), 6).as("norm_entropy"),
               round(array_max(col("counts")) / n, 6).as("top_share"))
       .orderBy(col("doc_id"))

@@ -30,7 +30,12 @@ object ScaleBench {
     // state) measured, not just spec-proven, plus the registered
     // hierarchical c9 routing (c11) at its fixed defaults
     "a9_stream_hourly", "a10_stream_state", "p5_stream_ingest",
-    "c11_semdedup_hier")
+    "c11_semdedup_hier",
+    // round 11 (cont.): the sharded-bloom incremental gate and the
+    // zero-shuffle entropy scorer — c12's curve should track the
+    // batch side (index build included in the one-shot, like p11's),
+    // e15's the scan
+    "c12_bloom_dedup", "e15_word_entropy")
 
   /** Run `body` (a stream construction whose catch-up executes inside
     * it) with the session state-store provider pinned, restoring the
