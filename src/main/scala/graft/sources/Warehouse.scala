@@ -363,6 +363,30 @@ object Warehouse {
     * bands table is the crawler's persistent dedup state, appended as
     * batches are accepted; the cap is a build-time posting-list limit.
     */
+  /** Land c12's standing index: the per-shard bloom table (nShards
+    * rows) and the fingerprint→min-doc store. Rebuilt per dir; the
+    * probe (DedupOps.bloomDedupIndexed) then never reads the history
+    * corpus at all.
+    */
+  def buildBloom(spark: SparkSession, dir: String,
+                 nShards: Int = graft.operators.DedupOps.BloomShards,
+                 fpp: Double = 0.01, newMod: Int = 10): Unit = {
+    dropManaged(spark, Seq("graft_bloom_shards", "graft_bloom_fps"))
+    val (shards, fps) = graft.operators.DedupOps
+      .bloomIndexParts(spark, dir, nShards, fpp, newMod)
+    shards.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable("graft_bloom_shards")
+    fps.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable("graft_bloom_fps")
+  }
+
+  /** See [[buildBloom]]; delegate kept here so the landed arm lives
+    * next to the other warehouse probes.
+    */
+  def bloomDedupIndexed(spark: SparkSession, dir: String,
+                        newMod: Int = 10): DataFrame =
+    graft.operators.DedupOps.bloomDedupIndexed(spark, dir, newMod)
+
   def buildMinhash(spark: SparkSession, dir: String, bucketCap: Int = 64,
                    newMod: Int = 10): Unit = {
     dropManaged(spark, Seq("graft_minhash_bands", "graft_minhash_sigs"))

@@ -156,14 +156,25 @@ object ScaleBench {
         ("p11_incremental_probe", "base",
          () => graft.sources.Warehouse.incrementalMinhashIndexed(spark, base)),
         ("p11_incremental_probe", "scaled",
-         () => graft.sources.Warehouse.incrementalMinhashIndexed(spark, scaled)))
+         () => graft.sources.Warehouse.incrementalMinhashIndexed(spark, scaled)),
+        // c12's landed form: index built untimed (below), the label is
+        // the recurring per-batch membership-gate cost — the curve a
+        // crawler pays per recrawl once the seen-set is standing
+        ("c12_bloom_probe", "base",
+         () => graft.sources.Warehouse.bloomDedupIndexed(spark, base)),
+        ("c12_bloom_probe", "scaled",
+         () => graft.sources.Warehouse.bloomDedupIndexed(spark, scaled)))
     // untimed per-measurement preparation (index builds): runs before
     // the timer, so the label measures ONLY the recurring cost
     val preps: Map[(String, String), () => Unit] = Map(
       ("p11_incremental_probe", "base") ->
         (() => graft.sources.Warehouse.buildMinhash(spark, base)),
       ("p11_incremental_probe", "scaled") ->
-        (() => graft.sources.Warehouse.buildMinhash(spark, scaled)))
+        (() => graft.sources.Warehouse.buildMinhash(spark, scaled)),
+      ("c12_bloom_probe", "base") ->
+        (() => graft.sources.Warehouse.buildBloom(spark, base)),
+      ("c12_bloom_probe", "scaled") ->
+        (() => graft.sources.Warehouse.buildBloom(spark, scaled)))
     def items = allItems.filter(i => only.forall(_.contains(i._1)))
 
     // warmup: flagship-equivalent scan of both dirs

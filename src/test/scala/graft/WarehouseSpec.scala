@@ -172,6 +172,28 @@ class WarehouseSpec extends SparkSpec {
       "plan walk saw no exchanges at all — walker broken?")
   }
 
+  test("c12 landed bloom index: probe never reads the history corpus, identical to one-shot") {
+    Warehouse.buildBloom(spark, sf)
+    val indexed = Warehouse.bloomDedupIndexed(spark, sf)
+    val got = nodes(indexed)
+    val result = indexed.collect().toSeq.map(_.toString)
+    val oneShot = graft.operators.DedupOps.bloomDedup(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(result == oneShot && result.nonEmpty)
+    // the probe's only scans are the arriving batch (documents, for
+    // its own fingerprints) and the landed store — and the store may
+    // reach a shuffle only through the broadcast verify join (same
+    // contract as the p11 landed test)
+    def reshards(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      if (p.nodeName.contains("BroadcastHashJoin")) false
+      else if (p.children.isEmpty && p.toString.contains("graft_bloom")) true
+      else org.apache.spark.sql.graftbridge.planChildren(p).exists(reshards)
+    val offending = got.filter(p => p.isInstanceOf[ShuffleExchangeLike] &&
+      org.apache.spark.sql.graftbridge.planChildren(p).exists(reshards))
+    assert(offending.isEmpty,
+      s"landed bloom store re-sharded:\n${offending.map(_.nodeName).mkString("\n")}")
+  }
+
   test("bucketed d7 semi join is exchange-free and result-identical to plain d7") {
     Warehouse.buildAnn(spark, sf)
     val bucketed = Warehouse.annFilteredBucketed(spark)
