@@ -68,6 +68,9 @@ object SparkEntry {
     "f3_media_by_lang"          -> MultimodalOps.mediaByLang _,
     "f4_audio_windows"          -> ((s: SparkSession, d: String) => MultimodalOps.audioWindows(s, d)),
     "f5_resize_images"          -> ((s: SparkSession, d: String) => MultimodalOps.resizeImages(s, d)),
+    // f6: perceptual-hash image near-dup (real ImageIO aHash arm;
+    // deterministic simhash stub is the live arm on synthetic data)
+    "f6_image_neardup"          -> ((s: SparkSession, d: String) => MultimodalOps.imageNearDup(s, d)),
     // P. pipeline compositions
     "p1_corpus_prep"            -> ((s: SparkSession, d: String) => PipelineOps.corpusPrep(s, d)),
     "p2_decontaminate"          -> ((s: SparkSession, d: String) => PipelineOps.decontaminate(s, d)),
@@ -121,6 +124,9 @@ object SparkEntry {
     "d13_ann_ivf_fixedq"        -> ((s: SparkSession, d: String) => SimOps.annIvf(s, d, nq = SimOps.FixedQBatch)),
     "d14_ann_ivfpq_fixedq"      -> ((s: SparkSession, d: String) => SimOps.annIvfPq(s, d, nq = SimOps.FixedQBatch)),
     "d15_ann_indexed_fixedq"    -> ((s: SparkSession, d: String) => graft.sources.Warehouse.annIndexed(s, d, nq = SimOps.FixedQBatch)),
+    // d16: kNN label propagation over the fixed-|Q| batch — the
+    // auto-labeling/label-audit application of the d4 TopK machinery
+    "d16_knn_classify"          -> ((s: SparkSession, d: String) => SimOps.knnClassify(s, d)),
     // B. marketplace/analytics
     "b1_pricing_summary"        -> MarketOps.pricingSummary _,
     "b2_top_sellers"            -> MarketOps.topSellers _,
@@ -815,6 +821,32 @@ object SparkEntry {
          SELECT query_id, cand_id, rnk, round(cos, 6) AS cosine
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
     },
+    // d16: d1's exact-cosine rank over the fixed md5-salted batch,
+    // then a majority vote over the k=10 neighbor labels (vote ties
+    // break by smallest label, cosine ties by cand_id — total orders
+    // in both engines).
+    "d16_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+                    FROM embeddings
+                    ORDER BY md5(vec_id::VARCHAR || 'q'), vec_id
+                    LIMIT ${operators.SimOps.FixedQBatch}),
+         p AS (SELECT q.query_id, e.vec_id AS cand_id, e.label,
+           list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qe::DOUBLE[]),
+                                   x -> x[1] * x[2]))
+           / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v * v)))
+            * sqrt(list_sum(list_transform(q.qe::DOUBLE[], v -> v * v)))) AS cos
+           FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id) AS rnk FROM p),
+         v AS (SELECT query_id, label, count(*) AS votes
+               FROM r WHERE rnk <= 10 GROUP BY 1, 2),
+         pr AS (SELECT query_id, label AS predicted_label, votes,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY votes DESC, label) AS rr FROM v)
+         SELECT q.query_id, q.qlabel AS actual_label, pr.predicted_label,
+                pr.votes, pr.predicted_label = q.qlabel AS agrees
+         FROM q JOIN pr ON q.query_id = pr.query_id AND pr.rr = 1
+         ORDER BY q.query_id""",
     "d1_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                     FROM embeddings WHERE vec_id % 50 = 0),
@@ -1579,6 +1611,57 @@ object SparkEntry {
                 round(sc, 6) AS scale,
                 (out_w::BIGINT * out_h * 3) AS est_bytes
          FROM rz ORDER BY doc_id""",
+    // f6: the stub arm is the whole story on the synthetic corpus
+    // (c3's simhash replay restricted to the image modality slice),
+    // then 8×8-bit banding, 64-cap, hamming ≤ 7 verify, and the
+    // bidirectional min-partner verdict. Image selection replays
+    // mediaTable's pmod(md5hash64(source), 3) = 0 exactly as
+    // mediaMetaSql does.
+    "f6_image_neardup" ->
+      """WITH md0 AS (SELECT doc_id, text, md5(source) AS msrc
+             FROM documents WHERE text IS NOT NULL),
+         hx AS (SELECT doc_id, text,
+             list_reduce(list_transform(generate_series(1, 16),
+               i -> (strpos('0123456789abcdef', substr(msrc, i::INT, 1)) - 1)::HUGEINT),
+               (a, x) -> a * 16 + x) AS usrc
+           FROM md0),
+         img AS (SELECT doc_id, text FROM hx
+           WHERE ((CASE WHEN usrc >= 9223372036854775808::HUGEINT
+                        THEN (usrc - 18446744073709551616::HUGEINT)::BIGINT
+                        ELSE usrc::BIGINT END % 3) + 3) % 3 = 0),
+         t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM img),
+         h AS (SELECT doc_id, md5(tok) AS m FROM t),
+         bv AS (SELECT doc_id, b,
+             CASE WHEN ((strpos('0123456789abcdef',
+                                substr(m, ((63 - b) // 4 + 1)::INT, 1)) - 1)
+                        >> (b % 4)::INT) & 1 = 1 THEN 1 ELSE -1 END AS v
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)),
+         s AS (SELECT doc_id, b, sum(v) AS sv FROM bv GROUP BY 1, 2),
+         sg AS (SELECT doc_id,
+             bit_or(CASE WHEN sv > 0 THEN
+               CASE WHEN b = 63 THEN (-9223372036854775808)::BIGINT
+                    ELSE 1::BIGINT << b::INT END
+               ELSE 0 END) AS phash
+           FROM s GROUP BY 1),
+         e AS (SELECT doc_id, phash, band,
+             (phash >> (band * 8)::INT) & 255 AS bkey
+           FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band)),
+         cap AS (SELECT * FROM (
+             SELECT e.*, count(*) OVER (PARTITION BY band, bkey) AS n FROM e)
+           WHERE n <= 64),
+         p AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM cap x JOIN cap y ON x.band = y.band AND x.bkey = y.bkey
+             AND x.doc_id < y.doc_id),
+         nd AS (SELECT a_id, b_id FROM p
+             JOIN sg sa ON sa.doc_id = a_id
+             JOIN sg sb ON sb.doc_id = b_id
+           WHERE bit_count(xor(sa.phash, sb.phash)) <= 7),
+         prt AS (SELECT doc_id, min(partner) AS dup_of FROM
+             (SELECT a_id AS doc_id, b_id AS partner FROM nd
+              UNION ALL SELECT b_id, a_id FROM nd) GROUP BY 1)
+         SELECT sg.doc_id, sg.phash, prt.dup_of,
+                prt.dup_of IS NOT NULL AS is_neardup
+         FROM sg LEFT JOIN prt USING (doc_id) ORDER BY doc_id""",
     // p4: md5(doc_id) is the deterministic pseudo-random order in both
     // engines; rank-based selection meets each lang quota exactly.
     "p4_stratified_sample" ->

@@ -439,6 +439,114 @@ object MultimodalOps {
                    maxW: Int = 256, maxH: Int = 256): DataFrame =
     resized(spark, dir, maxW, maxH).orderBy(col("doc_id"))
 
+  /** Real perceptual-hash arm — ImageIO decode (behind f5's magic
+    * sniff) → 8×8 bilinear luminance downscale → average hash (aHash,
+    * the pHash family's simplest public member): bit (y·8+x) set iff
+    * that cell's Rec.601 luminance exceeds the image mean. Structural
+    * by construction — recompression, mild noise or resizing moves
+    * few bits, so near-duplicate images land within a small hamming
+    * radius. None for anything ImageIO can't read, which then falls
+    * to the stub arm.
+    */
+  private[graft] def aHash64(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      if (!imageMagic(bytes)) None
+      else try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.map { im =>
+      val out = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(im, 0, 0, 8, 8, null)
+      g.dispose()
+      val lum = Array.tabulate(64) { i =>
+        val rgb = out.getRGB(i % 8, i / 8)
+        0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)
+      }
+      val mean = lum.sum / 64.0
+      lum.indices.foldLeft(0L)((acc, i) =>
+        if (lum(i) > mean) acc | (1L << i) else acc)
+    }
+  }
+
+  /** The real-arm dispatch as a column: a sniff-gated JVM kernel (the
+    * f-family's disclosed decode-boundary pattern — a pixel decode has
+    * no Column form). On the synthetic corpus every row fails the
+    * 4-byte sniff immediately and the coalesce falls through to the
+    * codegen'd simhash stub; a real corpus pays exactly the decode it
+    * must.
+    */
+  private val aHashUdf = udf((b: Array[Byte]) => aHash64(b))
+
+  /** f6: image near-duplicate detection — 64-bit perceptual hash per
+    * image, 8-band × 8-bit pigeonhole blocking (any pair within
+    * hamming ≤ 7 shares a band — c3's guarantee, here applied to
+    * pixels), bucket-capped candidate generation, exact hamming
+    * verify, and a per-image verdict (min near-duplicate partner or
+    * NULL). The 100 TB story is c3's: banding keeps candidate work
+    * bucket-local (no all-pairs), the cap bounds per-key state, and
+    * the hash itself is one scan. The hash dispatches REAL-first:
+    * ImageIO aHash for payloads a registered reader decodes
+    * (spec-proven on constructed PNGs: a noised copy lands within the
+    * radius, a structurally different image outside it), and the
+    * deterministic simhash-of-payload-tokens stub for the synthetic
+    * corpus — which keeps the whole query DuckDB-replayable, exactly
+    * the f1/f5 seam contract.
+    */
+  private[graft] def imageNearDupFrom(imgs: DataFrame, bucketCap: Int,
+                                      maxHamming: Int): DataFrame = {
+    import graft.functions.{CappedDistinctAgg, TextFns, VectorFns}
+    val hashed = imgs
+      .filter(col("payload").isNotNull)
+      .select(col("doc_id"),
+        coalesce(aHashUdf(col("payload")),
+                 TextFns.simhash64(TextFns.tokens(col("payload").cast("string"))))
+          .as("phash"))
+      // three consumers (band explode + both pair sides + the verdict
+      // base) — c3's localCheckpoint rationale
+      .localCheckpoint(false)
+    val bandCols = (0 until 8).map { b =>
+      struct(lit(b).as("band"), VectorFns.lshBand(col("phash"), b, 8).as("bkey"))
+    }
+    val buckets = hashed
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+      .groupBy(col("band"), col("bkey"))
+      .agg(CappedDistinctAgg.fn(bucketCap)(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= bucketCap)
+    val pairs = buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+                  y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+    val near = pairs
+      .join(hashed.select(col("doc_id").as("a_id"), col("phash").as("ph_a")),
+            "a_id")
+      .join(hashed.select(col("doc_id").as("b_id"), col("phash").as("ph_b")),
+            "b_id")
+      .filter(TextFns.hamming64(col("ph_a"), col("ph_b")) <= maxHamming)
+      .select(col("a_id"), col("b_id"))
+    val partners = near
+      .select(col("a_id").as("doc_id"), col("b_id").as("partner"))
+      .union(near.select(col("b_id").as("doc_id"), col("a_id").as("partner")))
+      .groupBy(col("doc_id")).agg(min(col("partner")).as("dup_of"))
+    hashed.join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"), col("dup_of"),
+              col("dup_of").isNotNull.as("is_neardup"))
+      .orderBy(col("doc_id"))
+  }
+
+  def imageNearDup(spark: SparkSession, dir: String,
+                   bucketCap: Int = 64, maxHamming: Int = 7): DataFrame =
+    imageNearDupFrom(
+      mediaTable(spark, dir).filter(col("media_type") === "image"),
+      bucketCap, maxHamming)
+
   /** f3: decoded metadata joined BACK to the document table — the
     * post-decode join every multimodal pipeline runs (pair pixels with
     * captions/labels), aggregated per (lang, media_type). Both sides

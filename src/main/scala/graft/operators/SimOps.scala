@@ -717,6 +717,64 @@ object SimOps {
       .orderBy(col("label"))
   }
 
+  /** d16: kNN auto-labeling (label propagation) — classify each query
+    * vector by the majority label of its k exact-cosine nearest
+    * neighbors in the labeled corpus, reporting predicted vs actual.
+    * The training-data use: propagate a small set of trusted labels
+    * onto unlabeled data (or audit an existing labeling) — the
+    * reference's tag/classification backfill jobs re-expressed as one
+    * declarative plan (PasarDAssist keeps per-token `tags` it
+    * re-derives in batch; app.service.ts browse filters consume them).
+    *
+    * Scale shape: the fixed-|Q| batch broadcasts (the d13 production
+    * contract — query traffic does not grow with the corpus), the
+    * corpus streams through ONE scan with a per-partition TopK partial
+    * (≤ k rows per query per map task reach the shuffle — the d4
+    * aggregator), and the vote/argmax runs over k·|Q| rows, driver-
+    * trivial at any corpus size. The label join probes the corpus a
+    * second time but column-pruned to (vec_id, label) — at 100 TB
+    * that's a metadata-narrow scan, not a second embedding read, and
+    * the probe side (k·|Q| rows) broadcasts so nothing re-shuffles.
+    * Ties: cosine ties break by cand_id (the d1 contract), vote ties
+    * by smallest label — both total orders, so the result is exact
+    * and DuckDB-replayable.
+    */
+  def knnClassify(spark: SparkSession, dir: String,
+                  k: Int = 10, nq: Int = FixedQBatch): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              VectorFns.norm(col("embedding")).as("nrm"))
+    val q = fixedQueryBatch(emb, nq)
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+              (graft.functions.FloatVecDot(col("embedding"), col("qe")) /
+               (col("nrm") * col("qnrm"))).as("cos"))
+    val topk = graft.functions.TopKAgg.topK(k)
+    val top = scored.groupBy(col("query_id"))
+      .agg(topk(col("cand_id"), col("cos")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.cand_id").as("cand_id"))
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("cand_id"), col("label"))
+    val votes = labels.join(broadcast(top), "cand_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    val pred = votes.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("label").as("predicted_label"),
+              col("votes"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("query_id"), col("label").as("actual_label"))
+      .join(broadcast(pred), "query_id")
+      .select(col("query_id"), col("actual_label"), col("predicted_label"),
+              col("votes"),
+              (col("predicted_label") === col("actual_label")).as("agrees"))
+      .orderBy(col("query_id"))
+  }
+
   /** d3: per-label embedding stats — count, average L2 norm, average
     * component mean. Pure partial-aggregable scan.
     */

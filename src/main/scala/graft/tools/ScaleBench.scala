@@ -35,7 +35,12 @@ object ScaleBench {
     // zero-shuffle entropy scorer — c12's curve should track the
     // batch side (index build included in the one-shot, like p11's),
     // e15's the scan
-    "c12_bloom_dedup", "e15_word_entropy")
+    "c12_bloom_dedup", "e15_word_entropy",
+    // round 11 (cont. 2): the perceptual-hash image near-dup (c3's
+    // banding machinery on pixels — should track c3's curve) and the
+    // fixed-|Q| kNN vote (the d13 contract: flat query batch, one
+    // corpus scan)
+    "f6_image_neardup", "d16_knn_classify")
 
   /** Run `body` (a stream construction whose catch-up executes inside
     * it) with the session state-store provider pinned, restoring the

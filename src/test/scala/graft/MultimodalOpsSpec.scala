@@ -266,6 +266,75 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(hand.width == 512 && hand.height == 256 && hand.channels == 1)
   }
 
+  test("f6 aHash real arm: stable under mild noise, far under inversion, declines non-images") {
+    import graft.operators.MultimodalOps.aHash64
+    // bimodal test image: left half dark, right half bright — every
+    // 8x8 cell sits far from the global mean, so the hash is robust
+    def encodePng(perturb: Boolean, invert: Boolean): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val bright0 = x >= 32
+        val bright = if (invert) !bright0 else bright0
+        val base = if (bright) 220 else 30
+        val v = if (perturb) math.min(255, base + ((x * 7 + y * 3) % 5))
+                else base
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, "png", bos))
+      bos.toByteArray
+    }
+    val a  = encodePng(perturb = false, invert = false)
+    val a2 = encodePng(perturb = true,  invert = false)
+    val b  = encodePng(perturb = false, invert = true)
+    assert(!java.util.Arrays.equals(a, a2), "perturbed copy must differ in bytes")
+    val (ha, ha2, hb) = (aHash64(a).get, aHash64(a2).get, aHash64(b).get)
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(aHash64(a).get == ha, "deterministic")
+    assert(hamming(ha, ha2) <= 7, s"noised copy too far: ${hamming(ha, ha2)}")
+    assert(hamming(ha, hb) > 7, s"inverted image too close: ${hamming(ha, hb)}")
+    // non-image payloads decline (sniff) and malformed sniffed bytes decline (reader)
+    assert(aHash64("just text".getBytes("UTF-8")).isEmpty)
+    assert(aHash64(a.take(20)).isEmpty)
+  }
+
+  test("f6 end-to-end: real near-dup PNGs pair up, the stub arm carries text payloads") {
+    import graft.operators.MultimodalOps.{MediaRecord, imageNearDupFrom, aHash64}
+    def encodePng(seed: Int, perturb: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val bright = (if (seed == 0) x >= 32 else x < 32)
+        val base = if (bright) 220 else 30
+        val v = math.min(255, base + (if (perturb > 0) (x * 7 + y * 3) % perturb else 0))
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, "png", bos))
+      bos.toByteArray
+    }
+    val spark2 = spark; import spark2.implicits._
+    val media = Seq(
+      MediaRecord(1L, "image", encodePng(0, 0)),
+      MediaRecord(2L, "image", encodePng(0, 5)),          // near-dup of 1
+      MediaRecord(3L, "image", encodePng(1, 0)),          // inverted: far
+      MediaRecord(4L, "image", "alpha beta gamma".getBytes("UTF-8")),
+      MediaRecord(5L, "image", "totally unrelated words here".getBytes("UTF-8")))
+      .toDS().toDF()
+    val rows = imageNearDupFrom(media, bucketCap = 64, maxHamming = 7)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == 5)
+    assert(rows(1L).getAs[Boolean]("is_neardup") &&
+           rows(1L).getAs[Long]("dup_of") == 2L)
+    assert(rows(2L).getAs[Boolean]("is_neardup") &&
+           rows(2L).getAs[Long]("dup_of") == 1L)
+    assert(!rows(3L).getAs[Boolean]("is_neardup"))
+    // the real arm produced doc 1's hash; the stub carried doc 4
+    assert(rows(1L).getAs[Long]("phash") == aHash64(encodePng(0, 0)).get)
+    assert(!rows(4L).getAs[Boolean]("is_neardup"))
+  }
+
   test("f5 real-pixel arm: ImageIO PNG/BMP decode + resize end-to-end") {
     import graft.operators.MultimodalOps.{MediaRecord, resizePixels, resizedFrom}
     // real encoded images, produced by the same public JVM API the

@@ -34,6 +34,7 @@ class PlanAuditSpec extends SparkSpec {
     "d13_ann_ivf_fixedq",      // d5's probe with the fixed-|Q| batch
     "d14_ann_ivfpq_fixedq",    // d10's probe with the fixed-|Q| batch
     "d15_ann_indexed_fixedq",  // d12's probe with the fixed-|Q| batch
+    "d16_knn_classify",        // d4's scan vs the broadcast fixed-|Q| batch
     "c9_semdedup",             // broadcast centroid routing (d5's sample)
     "c11_semdedup_hier",       // broadcast coarse+fine centroid routing
     "e3_lang_id",              // broadcast nLang-row profile cross

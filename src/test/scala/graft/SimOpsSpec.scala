@@ -33,6 +33,25 @@ class SimOpsSpec extends SparkSpec {
     got.foreach { case (q, cands) => assert(cands == naiveTopK(q, 10), s"query $q") }
   }
 
+  test("d16 kNN classify matches a naive vote over the naive top-10") {
+    val labels: Map[Long, Int] =
+      Tables.embeddings(spark, sf).select("vec_id", "label")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = SimOps.knnClassify(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val votes = naiveTopK(q, 10).map(labels)
+        .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+      val (predLabel, predVotes) =
+        votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      assert(r.getAs[Int]("predicted_label") == predLabel, s"query $q")
+      assert(r.getAs[Long]("votes") == predVotes.toLong, s"query $q votes")
+      assert(r.getAs[Int]("actual_label") == labels(q), s"query $q actual")
+      assert(r.getAs[Boolean]("agrees") == (predLabel == labels(q)))
+    }
+  }
+
   test("d2 LSH ANN: scores exact, candidates only from shared buckets, recall>0") {
     val got = SimOps.annLsh(spark, sf).collect()
     assert(got.nonEmpty)
