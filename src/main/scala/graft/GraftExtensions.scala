@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatVecDot, MaxRun, Md5Hash64}
+import graft.functions.{FloatVecDot, MaxRun, Md5Hash64, Simhash64}
 
 /** SparkSessionExtensions hook — registers the engine's custom
   * Catalyst expressions so pure-SQL users get them too:
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.floatVecDot)
     ext.injectFunction(GraftExtensions.md5Hash64)
     ext.injectFunction(GraftExtensions.maxRun)
+    ext.injectFunction(GraftExtensions.simhash64)
   }
 }
 
@@ -54,5 +55,15 @@ object GraftExtensions {
       require(children.length == 1,
         s"max_run expects 1 argument, got ${children.length}")
       MaxRun(children.head)
+    })
+
+  /** (name, info, builder) triple for simhash_64. */
+  val simhash64: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash_64"),
+    new ExpressionInfo(classOf[Simhash64].getName, "simhash_64"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"simhash_64 expects 1 argument, got ${children.length}")
+      Simhash64(children.head)
     })
 }

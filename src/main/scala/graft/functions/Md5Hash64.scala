@@ -61,10 +61,17 @@ object Md5Hash64 {
     * the string, which is what lets a DuckDB oracle replay it as
     * md5(text)).
     */
-  def hashBytes(bytes: Array[Byte]): Long = {
+  def hashBytes(bytes: Array[Byte]): Long =
+    hashBytes(bytes, 0, bytes.length)
+
+  /** Slice form — lets a tokenizing kernel hash sub-ranges without
+    * per-token array copies (the Simhash64 hot loop).
+    */
+  def hashBytes(bytes: Array[Byte], off: Int, len: Int): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(bytes)
+    md.update(bytes, off, len)
+    val d = md.digest()
     ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
       ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
       ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |

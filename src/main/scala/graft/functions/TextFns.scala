@@ -119,6 +119,17 @@ object TextFns {
     */
   def md5hash64(c: Column): Column = Md5Hash64(c)
 
+  /** One-pass native kernel form of [[simhash64]] over the RAW text —
+    * same bits (one md5 per space-split token, ±1 votes, majority
+    * pack; empty tokens kept, the `split(text, " ", -1)` contract the
+    * oracles replay), but computed where the text already is: no
+    * token-hash array, no 64 interpreted folds, and — unlike c3's
+    * original explode + 64-sum groupBy — no shuffle for the caller.
+    * TextFnsPropertySpec pins kernel ≡ composable on randomized and
+    * edge inputs.
+    */
+  def simhash64Kernel(text: Column): Column = Simhash64(text)
+
   def simhash64(toks: Column): Column = {
     val hashes = transform(toks, t => md5hash64(t))
     // For bit b: tokens with bit set minus tokens with bit unset; the

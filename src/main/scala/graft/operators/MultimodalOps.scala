@@ -504,7 +504,7 @@ object MultimodalOps {
       .filter(col("payload").isNotNull)
       .select(col("doc_id"),
         coalesce(aHashUdf(col("payload")),
-                 TextFns.simhash64(TextFns.tokens(col("payload").cast("string"))))
+                 TextFns.simhash64Kernel(col("payload").cast("string")))
           .as("phash"))
       // three consumers (band explode + both pair sides + the verdict
       // base) — c3's localCheckpoint rationale

@@ -155,6 +155,23 @@ class TextFnsPropertySpec extends SparkSpec {
     }, "simhash64")
   }
 
+  test("simhash_64 kernel == composable simhash64 (randomized + empty-token edges)") {
+    run(Prop.forAll(doc) { t =>
+      val r = evalOnce(t)(
+        TextFns.simhash64Kernel(col("text")),
+        TextFns.simhash64(TextFns.tokens(col("text"))))
+      r.getLong(0) == r.getLong(1)
+    }, "simhash64Kernel")
+    // pinned split(-1) edges: empty text, trailing/leading/double
+    // spaces all keep their empty tokens in BOTH forms
+    Seq("", " ", "a ", " a", "a  b", "  ").foreach { t =>
+      val r = evalOnce(t)(
+        TextFns.simhash64Kernel(col("text")),
+        TextFns.simhash64(TextFns.tokens(col("text"))))
+      assert(r.getLong(0) == r.getLong(1), s"edge '$t'")
+    }
+  }
+
   test("hamming64 == Long.bitCount of xor") {
     run(Prop.forAll(Gen.long, Gen.long) { (a, b) =>
       evalOnce("")(TextFns.hamming64(lit(a), lit(b))).getInt(0) ==
