@@ -1613,8 +1613,8 @@ object SparkEntry {
          FROM rz ORDER BY doc_id""",
     // f6: the stub arm is the whole story on the synthetic corpus
     // (c3's simhash replay restricted to the image modality slice),
-    // then 8×8-bit banding, 64-cap, hamming ≤ 7 verify, and the
-    // bidirectional min-partner verdict. Image selection replays
+    // then 4-band × 16-bit banding, 64-cap, hamming ≤ 3 verify, and
+    // the bidirectional min-partner verdict. Image selection replays
     // mediaTable's pmod(md5hash64(source), 3) = 0 exactly as
     // mediaMetaSql does.
     "f6_image_neardup" ->
@@ -1644,8 +1644,8 @@ object SparkEntry {
                ELSE 0 END) AS phash
            FROM s GROUP BY 1),
          e AS (SELECT doc_id, phash, band,
-             (phash >> (band * 8)::INT) & 255 AS bkey
-           FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band)),
+             (phash >> (band * 16)::INT) & 65535 AS bkey
+           FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
          cap AS (SELECT * FROM (
              SELECT e.*, count(*) OVER (PARTITION BY band, bkey) AS n FROM e)
            WHERE n <= 64),
@@ -1655,7 +1655,7 @@ object SparkEntry {
          nd AS (SELECT a_id, b_id FROM p
              JOIN sg sa ON sa.doc_id = a_id
              JOIN sg sb ON sb.doc_id = b_id
-           WHERE bit_count(xor(sa.phash, sb.phash)) <= 7),
+           WHERE bit_count(xor(sa.phash, sb.phash)) <= 3),
          prt AS (SELECT doc_id, min(partner) AS dup_of FROM
              (SELECT a_id AS doc_id, b_id AS partner FROM nd
               UNION ALL SELECT b_id, a_id FROM nd) GROUP BY 1)

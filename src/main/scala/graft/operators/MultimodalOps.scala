@@ -483,13 +483,20 @@ object MultimodalOps {
   private val aHashUdf = udf((b: Array[Byte]) => aHash64(b))
 
   /** f6: image near-duplicate detection — 64-bit perceptual hash per
-    * image, 8-band × 8-bit pigeonhole blocking (any pair within
-    * hamming ≤ 7 shares a band — c3's guarantee, here applied to
-    * pixels), bucket-capped candidate generation, exact hamming
-    * verify, and a per-image verdict (min near-duplicate partner or
-    * NULL). The 100 TB story is c3's: banding keeps candidate work
-    * bucket-local (no all-pairs), the cap bounds per-key state, and
-    * the hash itself is one scan. The hash dispatches REAL-first:
+    * image, 4-band × 16-bit pigeonhole blocking (any pair within
+    * hamming ≤ 3 shares a band), bucket-capped candidate generation,
+    * exact hamming verify, and a per-image verdict (min near-duplicate
+    * partner or NULL). The 100 TB story improves on c3's: banding
+    * keeps candidate work bucket-local (no all-pairs) and the 16-bit
+    * band keyspace (65,536 keys per band vs c3's 256) keeps expected
+    * bucket occupancy N/65,536 — under the cap to multi-million-image
+    * corpora, where 8-bit keys saturate by ~100k images and the cap
+    * starts dropping buckets (measured: the first 8-band × 8-bit cut
+    * of this query read FASTER at data ×100 than ×10 because nearly
+    * every bucket had overflowed and been dropped — a fast wrong
+    * curve). Hamming ≤ 3 is also the radius an aHash near-dup
+    * actually needs: the spec's noised real-PNG copy lands at
+    * distance ≤ 3, and independent images sit near 32. The hash dispatches REAL-first:
     * ImageIO aHash for payloads a registered reader decodes
     * (spec-proven on constructed PNGs: a noised copy lands within the
     * radius, a structurally different image outside it), and the
@@ -500,6 +507,8 @@ object MultimodalOps {
   private[graft] def imageNearDupFrom(imgs: DataFrame, bucketCap: Int,
                                       maxHamming: Int): DataFrame = {
     import graft.functions.{CappedDistinctAgg, TextFns, VectorFns}
+    require(maxHamming <= 3,
+      s"4-band x 16-bit blocking guarantees recall only to hamming 3, got $maxHamming")
     val hashed = imgs
       .filter(col("payload").isNotNull)
       .select(col("doc_id"),
@@ -509,8 +518,8 @@ object MultimodalOps {
       // three consumers (band explode + both pair sides + the verdict
       // base) — c3's localCheckpoint rationale
       .localCheckpoint(false)
-    val bandCols = (0 until 8).map { b =>
-      struct(lit(b).as("band"), VectorFns.lshBand(col("phash"), b, 8).as("bkey"))
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"), VectorFns.lshBand(col("phash"), b, 16).as("bkey"))
     }
     val buckets = hashed
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
@@ -542,7 +551,7 @@ object MultimodalOps {
   }
 
   def imageNearDup(spark: SparkSession, dir: String,
-                   bucketCap: Int = 64, maxHamming: Int = 7): DataFrame =
+                   bucketCap: Int = 64, maxHamming: Int = 3): DataFrame =
     imageNearDupFrom(
       mediaTable(spark, dir).filter(col("media_type") === "image"),
       bucketCap, maxHamming)

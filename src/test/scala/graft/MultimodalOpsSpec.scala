@@ -292,8 +292,8 @@ class MultimodalOpsSpec extends SparkSpec {
     val (ha, ha2, hb) = (aHash64(a).get, aHash64(a2).get, aHash64(b).get)
     def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
     assert(aHash64(a).get == ha, "deterministic")
-    assert(hamming(ha, ha2) <= 7, s"noised copy too far: ${hamming(ha, ha2)}")
-    assert(hamming(ha, hb) > 7, s"inverted image too close: ${hamming(ha, hb)}")
+    assert(hamming(ha, ha2) <= 3, s"noised copy too far: ${hamming(ha, ha2)}")
+    assert(hamming(ha, hb) > 3, s"inverted image too close: ${hamming(ha, hb)}")
     // non-image payloads decline (sniff) and malformed sniffed bytes decline (reader)
     assert(aHash64("just text".getBytes("UTF-8")).isEmpty)
     assert(aHash64(a.take(20)).isEmpty)
@@ -322,7 +322,7 @@ class MultimodalOpsSpec extends SparkSpec {
       MediaRecord(4L, "image", "alpha beta gamma".getBytes("UTF-8")),
       MediaRecord(5L, "image", "totally unrelated words here".getBytes("UTF-8")))
       .toDS().toDF()
-    val rows = imageNearDupFrom(media, bucketCap = 64, maxHamming = 7)
+    val rows = imageNearDupFrom(media, bucketCap = 64, maxHamming = 3)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(rows.size == 5)
     assert(rows(1L).getAs[Boolean]("is_neardup") &&
