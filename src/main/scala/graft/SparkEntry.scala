@@ -71,6 +71,9 @@ object SparkEntry {
     // f6: perceptual-hash image near-dup (real ImageIO aHash arm;
     // deterministic simhash stub is the live arm on synthetic data)
     "f6_image_neardup"          -> ((s: SparkSession, d: String) => MultimodalOps.imageNearDup(s, d)),
+    // f7: the incremental form — arriving image batch vs the standing
+    // catalog only (the crawler gate; landed twin in Warehouse)
+    "f7_image_neardup_incr"     -> ((s: SparkSession, d: String) => MultimodalOps.imageNearDupIncremental(s, d)),
     // P. pipeline compositions
     "p1_corpus_prep"            -> ((s: SparkSession, d: String) => PipelineOps.corpusPrep(s, d)),
     "p2_decontaminate"          -> ((s: SparkSession, d: String) => PipelineOps.decontaminate(s, d)),
@@ -1662,6 +1665,63 @@ object SparkEntry {
          SELECT sg.doc_id, sg.phash, prt.dup_of,
                 prt.dup_of IS NOT NULL AS is_neardup
          FROM sg LEFT JOIN prt USING (doc_id) ORDER BY doc_id""",
+    // f7: f6's hash/band/verify replay with the corpus split into a
+    // standing catalog (doc_id % mod <> 0) and an arriving batch
+    // (= 0); the standing band index is bucket-capped at build time,
+    // candidates are batch×standing only, and each batch image gets
+    // its min standing partner. Mod interpolated from
+    // MultimodalOps.NearDupBatchMod (source cycles with doc_id % 20,
+    // so mod 7 samples every source — documented at the constant).
+    "f7_image_neardup_incr" ->
+      s"""WITH md0 AS (SELECT doc_id, text, md5(source) AS msrc
+             FROM documents WHERE text IS NOT NULL),
+         hx AS (SELECT doc_id, text,
+             list_reduce(list_transform(generate_series(1, 16),
+               i -> (strpos('0123456789abcdef', substr(msrc, i::INT, 1)) - 1)::HUGEINT),
+               (a, x) -> a * 16 + x) AS usrc
+           FROM md0),
+         img AS (SELECT doc_id, text FROM hx
+           WHERE ((CASE WHEN usrc >= 9223372036854775808::HUGEINT
+                        THEN (usrc - 18446744073709551616::HUGEINT)::BIGINT
+                        ELSE usrc::BIGINT END % 3) + 3) % 3 = 0),
+         t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM img),
+         h AS (SELECT doc_id, md5(tok) AS m FROM t),
+         bv AS (SELECT doc_id, b,
+             CASE WHEN ((strpos('0123456789abcdef',
+                                substr(m, ((63 - b) // 4 + 1)::INT, 1)) - 1)
+                        >> (b % 4)::INT) & 1 = 1 THEN 1 ELSE -1 END AS v
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)),
+         s AS (SELECT doc_id, b, sum(v) AS sv FROM bv GROUP BY 1, 2),
+         sg AS (SELECT doc_id,
+             bit_or(CASE WHEN sv > 0 THEN
+               CASE WHEN b = 63 THEN (-9223372036854775808)::BIGINT
+                    ELSE 1::BIGINT << b::INT END
+               ELSE 0 END) AS phash
+           FROM s GROUP BY 1),
+         st AS (SELECT * FROM sg
+           WHERE doc_id % ${operators.MultimodalOps.NearDupBatchMod} <> 0),
+         nb AS (SELECT * FROM sg
+           WHERE doc_id % ${operators.MultimodalOps.NearDupBatchMod} = 0),
+         eb0 AS (SELECT doc_id, phash, band,
+             (phash >> (band * 16)::INT) & 65535 AS bkey
+           FROM st CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+         eb AS (SELECT * FROM (
+             SELECT eb0.*, count(*) OVER (PARTITION BY band, bkey) AS n FROM eb0)
+           WHERE n <= 64),
+         qb AS (SELECT doc_id, phash, band,
+             (phash >> (band * 16)::INT) & 65535 AS bkey
+           FROM nb CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+         cand AS (SELECT DISTINCT q.doc_id AS b_id, e.doc_id AS s_id
+           FROM qb q JOIN eb e ON q.band = e.band AND q.bkey = e.bkey),
+         nd AS (SELECT b_id, s_id FROM cand
+             JOIN sg sa ON sa.doc_id = b_id
+             JOIN sg sb ON sb.doc_id = s_id
+           WHERE bit_count(xor(sa.phash, sb.phash)) <= 3),
+         prt AS (SELECT b_id AS doc_id, min(s_id) AS dup_of
+           FROM nd GROUP BY 1)
+         SELECT nb.doc_id, nb.phash, prt.dup_of,
+                prt.dup_of IS NOT NULL AS is_neardup
+         FROM nb LEFT JOIN prt USING (doc_id) ORDER BY doc_id""",
     // p4: md5(doc_id) is the deterministic pseudo-random order in both
     // engines; rank-based selection meets each lang quota exactly.
     "p4_stratified_sample" ->

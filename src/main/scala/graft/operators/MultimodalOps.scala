@@ -504,23 +504,38 @@ object MultimodalOps {
     * corpus — which keeps the whole query DuckDB-replayable, exactly
     * the f1/f5 seam contract.
     */
-  private[graft] def imageNearDupFrom(imgs: DataFrame, bucketCap: Int,
-                                      maxHamming: Int): DataFrame = {
-    import graft.functions.{CappedDistinctAgg, TextFns, VectorFns}
-    require(maxHamming <= 3,
-      s"4-band x 16-bit blocking guarantees recall only to hamming 3, got $maxHamming")
-    val hashed = imgs
+  /** (doc_id, phash) projection of a media DataFrame — the hash stage
+    * shared by f6's one-shot, f7's batch/standing split and the landed
+    * index build. Callers that consume it more than once checkpoint.
+    */
+  private[graft] def phashed(imgs: DataFrame): DataFrame =
+    imgs
       .filter(col("payload").isNotNull)
       .select(col("doc_id"),
         coalesce(aHashUdf(col("payload")),
-                 TextFns.simhash64Kernel(col("payload").cast("string")))
+                 graft.functions.TextFns.simhash64Kernel(
+                   col("payload").cast("string")))
           .as("phash"))
-      // three consumers (band explode + both pair sides + the verdict
-      // base) — c3's localCheckpoint rationale
-      .localCheckpoint(false)
-    val bandCols = (0 until 4).map { b =>
-      struct(lit(b).as("band"), VectorFns.lshBand(col("phash"), b, 16).as("bkey"))
+
+  /** f6/f7's 4-band × 16-bit band-key columns over `phash`. */
+  private def phashBandCols: Seq[org.apache.spark.sql.Column] =
+    (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+             graft.functions.VectorFns.lshBand(col("phash"), b, 16).as("bkey"))
     }
+
+  private def requireRadius(maxHamming: Int): Unit =
+    require(maxHamming <= 3,
+      s"4-band x 16-bit blocking guarantees recall only to hamming 3, got $maxHamming")
+
+  private[graft] def imageNearDupFrom(imgs: DataFrame, bucketCap: Int,
+                                      maxHamming: Int): DataFrame = {
+    import graft.functions.{CappedDistinctAgg, TextFns}
+    requireRadius(maxHamming)
+    // three consumers (band explode + both pair sides + the verdict
+    // base) — c3's localCheckpoint rationale
+    val hashed = phashed(imgs).localCheckpoint(false)
+    val bandCols = phashBandCols
     val buckets = hashed
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
@@ -555,6 +570,108 @@ object MultimodalOps {
     imageNearDupFrom(
       mediaTable(spark, dir).filter(col("media_type") === "image"),
       bucketCap, maxHamming)
+
+  /** f7's batch modulus. NOT 10 like c12/p11: the synthetic `source`
+    * column cycles with doc_id % 20 and modality is source-derived, so
+    * a mod-10 batch split would never intersect the image sources; 7
+    * is coprime with the cycle and samples every source uniformly.
+    */
+  val NearDupBatchMod = 7
+
+  private def imageSlice(spark: SparkSession, dir: String,
+                         newMod: Int, batch: Boolean): DataFrame =
+    mediaTable(spark, dir).filter(col("media_type") === "image" &&
+      (if (batch) pmod(col("doc_id"), lit(newMod)) === 0
+       else pmod(col("doc_id"), lit(newMod)) =!= 0))
+
+  /** f7's standing-catalog index parts: the bucket-capped
+    * (doc_id, band, bkey) band index and the (doc_id, phash) signature
+    * store over the standing images — the p11 minhash-index shape on
+    * pixels. Build-time cap: an over-cap band bucket is dropped whole
+    * (boilerplate by definition at 16-bit keys), same contract as the
+    * one-shot's.
+    */
+  private[graft] def phashIndexParts(spark: SparkSession, dir: String,
+                                     bucketCap: Int = 64,
+                                     newMod: Int = NearDupBatchMod)
+      : (DataFrame, DataFrame) = {
+    // two consumers (band index + signature store)
+    val standing = phashed(imageSlice(spark, dir, newMod, batch = false))
+      .localCheckpoint(false)
+    val bands = standing
+      .select(col("doc_id"), explode(array(phashBandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+      .groupBy(col("band"), col("bkey"))
+      .agg(graft.functions.CappedDistinctAgg.fn(bucketCap)(col("doc_id"))
+             .as("ids"))
+      .filter(size(col("ids")) <= bucketCap)
+      .select(explode(col("ids")).as("doc_id"), col("band"), col("bkey"))
+    (bands, standing)
+  }
+
+  /** Probe + label stage shared by f7's one-shot and landed forms: the
+    * batch's band keys BROADCAST into the standing band index (the
+    * standing side never re-shards — the c12 probe contract), the
+    * surviving candidate pairs broadcast into the signature store for
+    * the exact hamming verify, and every arriving image gets a verdict
+    * (min standing near-dup partner or NULL).
+    */
+  private def nearDupProbe(batch: DataFrame, exBands: DataFrame,
+                           exSigs: DataFrame, maxHamming: Int): DataFrame = {
+    requireRadius(maxHamming)
+    // three consumers: band keys, hamming side, verdict base
+    val b = batch.localCheckpoint(false)
+    val qb = b.select(col("doc_id").as("b_id"),
+        explode(array(phashBandCols: _*)).as("bk"))
+      .select(col("b_id"), col("bk.band"), col("bk.bkey"))
+    val cand = exBands.join(broadcast(qb), Seq("band", "bkey"))
+      .select(col("b_id"), col("doc_id").as("s_id"))
+      .distinct()
+    val near = exSigs
+      .select(col("doc_id").as("s_id"), col("phash").as("ph_s"))
+      .join(broadcast(cand), "s_id")
+      .join(broadcast(b.select(col("doc_id").as("b_id"),
+                               col("phash").as("ph_b"))), "b_id")
+      .filter(graft.functions.TextFns.hamming64(col("ph_s"), col("ph_b"))
+                <= maxHamming)
+      .select(col("b_id"), col("s_id"))
+    val prt = near.groupBy(col("b_id")).agg(min(col("s_id")).as("dup_of"))
+      .withColumnRenamed("b_id", "doc_id")
+    b.join(prt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"), col("dup_of"),
+              col("dup_of").isNotNull.as("is_neardup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** f7: incremental image near-dup — the crawler production shape
+    * (c12 is the exact gate, p11 the fuzzy-text gate; this is the
+    * image gate): an arriving batch of images is labeled against the
+    * STANDING catalog only, never against itself — recrawled or
+    * re-encoded images are caught before they enter the corpus. Same
+    * hash (real aHash arm + kernel stub) and same 4×16-bit blocking as
+    * f6; only batch rows are output, each with its min standing
+    * partner.
+    */
+  def imageNearDupIncremental(spark: SparkSession, dir: String,
+                              bucketCap: Int = 64, maxHamming: Int = 3,
+                              newMod: Int = NearDupBatchMod): DataFrame = {
+    val (bands, sigs) = phashIndexParts(spark, dir, bucketCap, newMod)
+    nearDupProbe(phashed(imageSlice(spark, dir, newMod, batch = true)),
+                 bands, sigs, maxHamming)
+  }
+
+  /** f7 over the LANDED standing index (graft_phash_bands /
+    * graft_phash_sigs, Warehouse.buildPhash): only the arriving batch
+    * is hashed — the standing catalog's images are never re-read, and
+    * the persisted tables reach the plan only through broadcast joins.
+    */
+  private[graft] def imageNearDupIndexed(spark: SparkSession, dir: String,
+                                         maxHamming: Int = 3,
+                                         newMod: Int = NearDupBatchMod)
+      : DataFrame =
+    nearDupProbe(phashed(imageSlice(spark, dir, newMod, batch = true)),
+                 spark.table("graft_phash_bands"),
+                 spark.table("graft_phash_sigs"), maxHamming)
 
   /** f3: decoded metadata joined BACK to the document table — the
     * post-decode join every multimodal pipeline runs (pair pixels with

@@ -387,6 +387,28 @@ object Warehouse {
                         newMod: Int = 10): DataFrame =
     graft.operators.DedupOps.bloomDedupIndexed(spark, dir, newMod)
 
+  /** Land f7's standing image-catalog index: the bucket-capped band
+    * table and the (doc_id, phash) signature store. The probe
+    * (MultimodalOps.imageNearDupIndexed) then hashes only the arriving
+    * batch — the catalog's images are never re-read.
+    */
+  def buildPhash(spark: SparkSession, dir: String, bucketCap: Int = 64,
+                 newMod: Int = graft.operators.MultimodalOps.NearDupBatchMod)
+      : Unit = {
+    dropManaged(spark, Seq("graft_phash_bands", "graft_phash_sigs"))
+    val (bands, sigs) = graft.operators.MultimodalOps
+      .phashIndexParts(spark, dir, bucketCap, newMod)
+    bands.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable("graft_phash_bands")
+    sigs.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable("graft_phash_sigs")
+  }
+
+  /** See [[buildPhash]]; delegate kept next to the other landed probes. */
+  def imageNearDupIndexed(spark: SparkSession, dir: String,
+                          maxHamming: Int = 3): DataFrame =
+    graft.operators.MultimodalOps.imageNearDupIndexed(spark, dir, maxHamming)
+
   def buildMinhash(spark: SparkSession, dir: String, bucketCap: Int = 64,
                    newMod: Int = 10): Unit = {
     dropManaged(spark, Seq("graft_minhash_bands", "graft_minhash_sigs"))

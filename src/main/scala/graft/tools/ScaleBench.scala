@@ -40,7 +40,7 @@ object ScaleBench {
     // banding machinery on pixels — should track c3's curve) and the
     // fixed-|Q| kNN vote (the d13 contract: flat query batch, one
     // corpus scan)
-    "f6_image_neardup", "d16_knn_classify")
+    "f6_image_neardup", "d16_knn_classify", "f7_image_neardup_incr")
 
   /** Run `body` (a stream construction whose catch-up executes inside
     * it) with the session state-store provider pinned, restoring the
@@ -168,7 +168,13 @@ object ScaleBench {
         ("c12_bloom_probe", "base",
          () => graft.sources.Warehouse.bloomDedupIndexed(spark, base)),
         ("c12_bloom_probe", "scaled",
-         () => graft.sources.Warehouse.bloomDedupIndexed(spark, scaled)))
+         () => graft.sources.Warehouse.bloomDedupIndexed(spark, scaled)),
+        // f7's landed form: only the arriving image batch is hashed,
+        // the standing catalog index loads from its persisted tables
+        ("f7_image_probe", "base",
+         () => graft.sources.Warehouse.imageNearDupIndexed(spark, base)),
+        ("f7_image_probe", "scaled",
+         () => graft.sources.Warehouse.imageNearDupIndexed(spark, scaled)))
     // untimed per-measurement preparation (index builds): runs before
     // the timer, so the label measures ONLY the recurring cost
     val preps: Map[(String, String), () => Unit] = Map(
@@ -179,7 +185,11 @@ object ScaleBench {
       ("c12_bloom_probe", "base") ->
         (() => graft.sources.Warehouse.buildBloom(spark, base)),
       ("c12_bloom_probe", "scaled") ->
-        (() => graft.sources.Warehouse.buildBloom(spark, scaled)))
+        (() => graft.sources.Warehouse.buildBloom(spark, scaled)),
+      ("f7_image_probe", "base") ->
+        (() => graft.sources.Warehouse.buildPhash(spark, base)),
+      ("f7_image_probe", "scaled") ->
+        (() => graft.sources.Warehouse.buildPhash(spark, scaled)))
     def items = allItems.filter(i => only.forall(_.contains(i._1)))
 
     // warmup: flagship-equivalent scan of both dirs
