@@ -39,6 +39,7 @@ class RecallAtScaleSpec extends SparkSpec {
     buildTextAug(s"$d/text")
     buildEmbAug(s"$d/emb")
     buildEmbHot(s"$d/hot")
+    buildImgAug(s"$d/img")
     d
   }
 
@@ -79,6 +80,43 @@ class RecallAtScaleSpec extends SparkSpec {
     }
     val planted = (nearDups ++ doubled ++ hot).toSeq
       .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(planted)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  /** Image-modality near-dups for f6/f7: 20 long IMAGE docs (modality
+    * is source-derived, so the copy inherits it) re-planted with
+    * doubled text — the stub phash (simhash of payload tokens) is
+    * BIT-IDENTICAL (hamming 0), inside f6's 4×16-bit pigeonhole
+    * guarantee. Planted ids are multiples of 7 above maxId and bases
+    * are picked ≢ 0 (mod 7), so under f7's batch split every planted
+    * doc is an ARRIVING image and its base is STANDING catalog.
+    */
+  private lazy val imgPlantedIds: Seq[Long] = {
+    val maxId = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(max("doc_id")).head.getLong(0)
+    val start = (maxId / 7 + 1) * 7
+    (0 until nPlant).map(i => start + 7L * i)
+  }
+
+  private def buildImgAug(out: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val imgIds = graft.operators.MultimodalOps.mediaTable(spark, sfDir)
+      .filter(col("media_type") === "image")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bases = docs.filter(col("text").isNotNull &&
+        size(split(col("text"), " ")) >= 30 &&
+        pmod(col("doc_id"), lit(7)) =!= 0)
+      .collect().filter(r => imgIds(r.getAs[Long]("doc_id")))
+      .sortBy(_.getAs[Long]("doc_id")).take(nPlant)
+    assert(bases.length == nPlant, s"too few long image docs at $sfDir")
+    val spark2 = spark; import spark2.implicits._
+    val planted = bases.zip(imgPlantedIds).map { case (r, id) =>
+      (id, r.getAs[String]("text") + " " + r.getAs[String]("text"),
+       r.getAs[String]("lang"), r.getAs[String]("source"))
+    }.toSeq.toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")))
     docs.select("doc_id", "text", "lang", "source", "n_chars")
       .unionByName(planted)
@@ -203,6 +241,31 @@ class RecallAtScaleSpec extends SparkSpec {
     assert(recSized >= 0.9,
       s"c3 recall $recSized below pigeonhole floor under an adequate cap")
     assert(recSized >= recDefault, "raising the cap must not lose pairs")
+  }
+
+  test("f6 phash banding finds planted doubled-payload image near-dups at scale") {
+    val out = graft.operators.MultimodalOps.imageNearDup(spark, s"$work/img")
+      .collect()
+    val flagged = out.filter(_.getAs[Boolean]("is_neardup"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val recall = imgPlantedIds.count(flagged) / nPlant.toDouble
+    info(f"f6 planted image near-dup recall at $sfDir: $recall%.2f")
+    // hamming-0 plantings are inside the 4-band pigeonhole guarantee,
+    // and 16-bit band keys put ~N/65536 docs per bucket at this SF —
+    // no cap pressure, so the floor is exact
+    assert(recall == 1.0, s"f6 lost planted hamming-0 pairs: $recall")
+  }
+
+  test("f7 incremental probe catches every planted recrawl against the standing catalog") {
+    val out = graft.operators.MultimodalOps
+      .imageNearDupIncremental(spark, s"$work/img").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // every planted doc is an arriving image (id ≡ 0 mod 7, image
+    // source) and must be flagged against its STANDING base
+    imgPlantedIds.foreach { id =>
+      assert(byId.contains(id), s"planted $id missing from the batch")
+      assert(byId(id).getAs[Boolean]("is_neardup"), s"planted $id not flagged")
+    }
   }
 
   // ---- embedding family -----------------------------------------------
