@@ -369,11 +369,16 @@ object Warehouse {
     * corpus at all.
     */
   def buildBloom(spark: SparkSession, dir: String,
-                 nShards: Int = graft.operators.DedupOps.BloomShards,
                  fpp: Double = 0.01, newMod: Int = 10): Unit = {
+    // shard count pinned to DedupOps.BloomShards: the landed probe
+    // routes by pmod(fp, BloomShards), and a bloom table built at any
+    // other sharding would silently mis-route probes (an empty shard
+    // also can't be told apart from a missing one at read time, so the
+    // count can't be derived from the table safely)
     dropManaged(spark, Seq("graft_bloom_shards", "graft_bloom_fps"))
     val (shards, fps) = graft.operators.DedupOps
-      .bloomIndexParts(spark, dir, nShards, fpp, newMod)
+      .bloomIndexParts(spark, dir, graft.operators.DedupOps.BloomShards,
+                       fpp, newMod)
     shards.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable("graft_bloom_shards")
     fps.write.mode(SaveMode.Overwrite).format("parquet")
@@ -390,7 +395,11 @@ object Warehouse {
   /** Land f7's standing image-catalog index: the bucket-capped band
     * table and the (doc_id, phash) signature store. The probe
     * (MultimodalOps.imageNearDupIndexed) then hashes only the arriving
-    * batch — the catalog's images are never re-read.
+    * batch — the catalog's images are never re-read. Build and probe
+    * share `newMod` through the same default; probing with a batch
+    * that overlaps the landed catalog is not wrong (a recrawled image
+    * legitimately matches its own cataloged copy) but changes what
+    * "novel" means, so pass matching values when overriding.
     */
   def buildPhash(spark: SparkSession, dir: String, bucketCap: Int = 64,
                  newMod: Int = graft.operators.MultimodalOps.NearDupBatchMod)
