@@ -41,12 +41,15 @@ object SimOps {
     * algorithm. A TakeOrdered top-nq, never a full sort. Expects the
     * (vec_id, embedding, nrm) projection.
     */
-  private[graft] def fixedQueryBatch(emb: DataFrame, nq: Int): DataFrame =
-    emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-               col("nrm").as("qnrm"),
-               md5(concat(col("vec_id").cast("string"), lit("q"))).as("qk"))
+  private[graft] def fixedQueryBatch(emb: DataFrame, nq: Int,
+                                     carry: Seq[String] = Nil): DataFrame =
+    emb.select(Seq(col("vec_id").as("query_id"), col("embedding").as("qe"),
+                   col("nrm").as("qnrm"),
+                   md5(concat(col("vec_id").cast("string"), lit("q"))).as("qk"))
+                 ++ carry.map(col): _*)
       .orderBy(col("qk"), col("query_id")).limit(nq)
-      .select(col("query_id"), col("qe"), col("qnrm"))
+      .select(Seq(col("query_id"), col("qe"), col("qnrm"))
+                ++ carry.map(col): _*)
 
   /** d1: exact cosine top-10 per query — broadcast-nested-loop of the
     * tiny query batch against every candidate, exact double cosine,
@@ -735,17 +738,21 @@ object SimOps {
     * second time but column-pruned to (vec_id, label) — at 100 TB
     * that's a metadata-narrow scan, not a second embedding read, and
     * the probe side (k·|Q| rows) broadcasts so nothing re-shuffles.
-    * Ties: cosine ties break by cand_id (the d1 contract), vote ties
-    * by smallest label — both total orders, so the result is exact
-    * and DuckDB-replayable.
+    * The query batch CARRIES its own label out of the first scan, so
+    * the actual-vs-predicted report costs a tiny-⋈-tiny join, not a
+    * third corpus read. Ties: cosine ties break by cand_id (the d1
+    * contract), vote ties by smallest label — both total orders, so
+    * the result is exact and DuckDB-replayable.
     */
   def knnClassify(spark: SparkSession, dir: String,
                   k: Int = 10, nq: Int = FixedQBatch): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("label"),
               VectorFns.norm(col("embedding")).as("nrm"))
-    val q = fixedQueryBatch(emb, nq)
-    val scored = emb.crossJoin(broadcast(q))
+    val q = fixedQueryBatch(emb, nq, carry = Seq("label"))
+    // the corpus side owns "label" in the scoring join — drop the
+    // carried copy there and keep it for the final report
+    val scored = emb.crossJoin(broadcast(q.drop("label")))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
               (graft.functions.FloatVecDot(col("embedding"), col("qe")) /
@@ -766,9 +773,8 @@ object SimOps {
       .filter(col("r") === 1)
       .select(col("query_id"), col("label").as("predicted_label"),
               col("votes"))
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("query_id"), col("label").as("actual_label"))
-      .join(broadcast(pred), "query_id")
+    q.select(col("query_id"), col("label").as("actual_label"))
+      .join(pred, "query_id")
       .select(col("query_id"), col("actual_label"), col("predicted_label"),
               col("votes"),
               (col("predicted_label") === col("actual_label")).as("agrees"))
