@@ -106,4 +106,61 @@ object CorpusStream {
     EventStream.runToBatch(spark, ingest(readDocuments(spark, dir)).toDF(),
         "append", requireSingleBatch = true)
       .orderBy(col("doc_id"))
+
+  /** c12's landed membership gate as a STREAMING stage — the crawler's
+    * streaming front door: arriving documents fingerprint their word
+    * set per micro-batch, the broadcast shard blooms
+    * (graft_bloom_shards, Warehouse.buildBloom) gate each row, and
+    * survivors verify against the PERSISTED fingerprint store
+    * (graft_bloom_fps) through a stream-STATIC left join whose
+    * condition carries the bloom verdict — a bloom miss is
+    * definitively novel (no false negatives, the KernelPropertySpec
+    * contract), so skipping its probe cannot change the result and
+    * the gate stays semantics-invisible exactly as in batch c12.
+    *
+    * STATELESS by construction — the standing set lives in the landed
+    * index, not in stream state (contrast `ingest`, whose exact-dedup
+    * state grows with distinct content seen on the stream itself):
+    * the spec asserts the micro-batch plan carries no stateful
+    * operator, so there is no state store to size, checkpoint or
+    * expire. At warehouse scale the fp store is bucket-landed and the
+    * gate prunes the probe stream to ≈ true-dups + fpp·batch before
+    * the join, so the per-micro-batch cost tracks the batch, not the
+    * catalog.
+    */
+  def bloomGate(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import graft.operators.DedupOps
+    // bounded: exactly BloomShards rows at ANY catalog size
+    val shardMap = spark.table("graft_bloom_shards").collect()
+      .map(r => r.getInt(0) ->
+        graft.functions.BloomAgg.deserialize(r.getAs[Array[Byte]](1))).toMap
+    val bcast = spark.sparkContext.broadcast(shardMap)
+    val mightContain = udf((shard: Int, fp: Long) =>
+      bcast.value.get(shard).exists(_.mightContainLong(fp)))
+    val withFp = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), DedupOps.wordSetFp(col("text")).as("fp"))
+    val fps = spark.table("graft_bloom_fps")
+      .select(col("fp").as("sfp"), col("ex_id").as("dup_of"))
+    withFp
+      .join(fps,
+        col("fp") === col("sfp") &&
+          mightContain(pmod(col("fp"), lit(DedupOps.BloomShards.toLong))
+                         .cast("int"), col("fp")),
+        "left")
+      .select(col("doc_id"), col("dup_of"),
+              col("dup_of").isNotNull.as("is_dup"))
+  }
+
+  /** The gate run over the arriving batch slice (c12's doc_id % 10
+    * == 0 split) of the corpus directory — AvailableNow to a memory
+    * sink, the G-family harness.
+    */
+  def streamBloomGate(spark: SparkSession, dir: String,
+                      newMod: Int = 10): DataFrame =
+    EventStream.runToBatch(spark,
+        bloomGate(readDocuments(spark, dir)
+          .filter(pmod(col("doc_id"), lit(newMod)) === 0)),
+        "append")
+      .orderBy(col("doc_id"))
 }

@@ -135,6 +135,23 @@ class CorpusStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming bloom gate equals the landed batch probe and plans stateless") {
+    graft.sources.Warehouse.buildBloom(spark, sf)
+    val streamed = CorpusStream.streamBloomGate(spark, sf)
+      .collect().toSeq.map(_.toString)
+    val batch = graft.sources.Warehouse.bloomDedupIndexed(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(streamed == batch && streamed.nonEmpty,
+      "streaming gate verdicts differ from the landed batch probe")
+    // stateless by construction: the standing set is the landed index,
+    // not stream state — the micro-batch plan must carry no stateful op
+    val plan = EventStream.lastMicroBatchPlan
+    assert(plan.nonEmpty, "no micro-batch plan captured")
+    Seq("StateStoreSave", "FlatMapGroupsWithState",
+        "StreamingSymmetricHashJoin").foreach(op =>
+      assert(!plan.contains(op), s"bloom gate planned stateful $op"))
+  }
+
   test("JSONL landing path emits row-for-row what the parquet path emits") {
     // crawlers drop newline-delimited JSON; the ingest flow must be
     // source-format-agnostic. Export the corpus as JSONL, stream it
