@@ -130,6 +130,10 @@ object SparkEntry {
     // d16: kNN label propagation over the fixed-|Q| batch — the
     // auto-labeling/label-audit application of the d4 TopK machinery
     "d16_knn_classify"          -> ((s: SparkSession, d: String) => SimOps.knnClassify(s, d)),
+    // d16b (round 12): the same classification through the LANDED
+    // IVF-PQ index — neighbor search = d15's DPP-pruned probe, vote
+    // tail shared with d16; the exact d16 stays as the recall foil
+    "d16b_knn_indexed"          -> ((s: SparkSession, d: String) => graft.sources.Warehouse.knnClassifyIndexed(s, d)),
     // B. marketplace/analytics
     "b1_pricing_summary"        -> MarketOps.pricingSummary _,
     "b2_top_sellers"            -> MarketOps.topSellers _,
@@ -279,7 +283,35 @@ object SparkEntry {
       // derived replay exactly as d12 shares d10's
       ("d13_ann_ivf_fixedq" -> fixedqOracle(baseOracleSql("d5_ann_ivf"))) +
       ("d14_ann_ivfpq_fixedq" -> fixedqOracle(baseOracleSql("d10_ann_ivfpq"))) +
-      ("d15_ann_indexed_fixedq" -> fixedqOracle(baseOracleSql("d10_ann_ivfpq")))
+      ("d15_ann_indexed_fixedq" -> fixedqOracle(baseOracleSql("d10_ann_ivfpq"))) +
+      // d16b: the landed-index classify — neighbor list = d14/d15's
+      // derived fixed-|Q| IVF-PQ replay, vote/report = d16's SQL shape
+      // wrapped around it (knnVoteOracle). Derived, never copied, so
+      // it can't drift from either parent.
+      ("d16b_knn_indexed" ->
+        knnVoteOracle(fixedqOracle(baseOracleSql("d10_ann_ivfpq"))))
+
+  /** Wrap a d-family top-k replay (query_id, cand_id, rnk, cosine) in
+    * d16's vote/report SQL: majority vote over the neighbor labels
+    * (vote ties by smallest label — the same total order the Spark
+    * knnVoteTail uses), actual-vs-predicted over the fixed md5-salted
+    * batch. DuckDB nests the parent replay's WITH inside the knn CTE.
+    */
+  private def knnVoteOracle(knnSql: String): String =
+    s"""WITH knn AS ($knnSql),
+       q AS (SELECT vec_id AS query_id, label AS qlabel FROM embeddings
+             ORDER BY md5(vec_id::VARCHAR || 'q'), vec_id
+             LIMIT ${operators.SimOps.FixedQBatch}),
+       v AS (SELECT knn.query_id, emb.label, count(*) AS votes
+             FROM knn JOIN embeddings emb ON knn.cand_id = emb.vec_id
+             GROUP BY 1, 2),
+       pr AS (SELECT query_id, label AS predicted_label, votes,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY votes DESC, label) AS rr FROM v)
+       SELECT q.query_id, q.qlabel AS actual_label, pr.predicted_label,
+              pr.votes, pr.predicted_label = q.qlabel AS agrees
+       FROM q JOIN pr ON q.query_id = pr.query_id AND pr.rr = 1
+       ORDER BY q.query_id"""
 
   /** Swap a d-family replay's query-batch predicate (`vec_id % 50 = 0`,
     * which selects N/50 queries) for the fixed-size md5-salted batch

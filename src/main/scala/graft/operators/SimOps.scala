@@ -762,6 +762,19 @@ object SimOps {
       .agg(topk(col("cand_id"), col("cos")).as("top"))
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), col("t.cand_id").as("cand_id"))
+    knnVoteTail(spark, dir, top,
+                q.select(col("query_id"), col("label").as("actual_label")))
+  }
+
+  /** The d16 vote/report tail over a caller-supplied neighbor list
+    * (query_id, cand_id) and actual-label frame — shared by the exact
+    * full-scan d16 and the landed-index d16b so their vote semantics
+    * (vote ties by smallest label) can never drift. The neighbor list
+    * is k·|Q| rows, so IT broadcasts into the metadata-narrow
+    * (vec_id, label) corpus probe; nothing fact-scale re-shuffles.
+    */
+  private[graft] def knnVoteTail(spark: SparkSession, dir: String,
+                                 top: DataFrame, actual: DataFrame): DataFrame = {
     val labels = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("cand_id"), col("label"))
     val votes = labels.join(broadcast(top), "cand_id")
@@ -773,7 +786,7 @@ object SimOps {
       .filter(col("r") === 1)
       .select(col("query_id"), col("label").as("predicted_label"),
               col("votes"))
-    q.select(col("query_id"), col("label").as("actual_label"))
+    actual
       .join(pred, "query_id")
       .select(col("query_id"), col("actual_label"), col("predicted_label"),
               col("votes"),

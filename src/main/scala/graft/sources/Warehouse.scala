@@ -228,6 +228,38 @@ object Warehouse {
     annIvfPqIndexed(spark, dir, k, qmod, nProbe, nq = nq)
   }
 
+  /** d16b: kNN classification routed through the LANDED IVF-PQ index —
+    * the scale fix for d16's one design gap (its exact form scans the
+    * full corpus per classify batch; at 100 TB labeling 100 vectors
+    * would cost a complete corpus pass). Here the neighbor search IS
+    * d15's probe: `ensureIvf` lands (or re-uses) the cent_id-partitioned
+    * posting lists, the fixed-|Q| batch routes through the persisted
+    * centroids, dynamic partition pruning opens only probed cells, ADC
+    * shortlists from byte-codes, and the exact rerank touches
+    * rerank·k rows per query — so classification now costs what SEARCH
+    * costs (the postings are query-independent; one landed index serves
+    * both). The vote tail is shared with d16 verbatim (knnVoteTail), so
+    * tie-breaks cannot drift; d16's exact scan stays registered as the
+    * recall foil the way d1 backs d2/d5. Built at kmeansIters=0 so the
+    * routing is the md5-rank sample the DuckDB oracle replays — the
+    * oracle is DERIVED from d14's fixed-|Q| replay composed with d16's
+    * vote SQL (one source of truth for the whole IVF-PQ pipeline).
+    */
+  def knnClassifyIndexed(spark: SparkSession, dir: String, k: Int = 10,
+                         nq: Int = graft.operators.SimOps.FixedQBatch)
+      : DataFrame = {
+    import graft.operators.SimOps
+    ensureIvf(spark, dir, kmeansIters = 0)
+    val top = annIvfPqIndexed(spark, dir, k, nq = nq)
+      .select(col("query_id"), col("cand_id"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"),
+              graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+    val actual = SimOps.fixedQueryBatch(emb, nq, carry = Seq("label"))
+      .select(col("query_id"), col("label").as("actual_label"))
+    SimOps.knnVoteTail(spark, dir, top, actual)
+  }
+
   /** Incremental index maintenance — the d11 production path: route
     * the arriving batch (`vec_id % batchMod == 0`) through the
     * PERSISTED frozen centroids, PQ-encode it against the PERSISTED
@@ -369,7 +401,7 @@ object Warehouse {
     * corpus at all.
     */
   def buildBloom(spark: SparkSession, dir: String,
-                 fpp: Double = 0.01, newMod: Int = 10): Unit = {
+                 fpp: Double = 0.01, newMod: Int = graft.operators.DedupOps.IncrementalNewMod): Unit = {
     // shard count pinned to DedupOps.BloomShards: the landed probe
     // routes by pmod(fp, BloomShards), and a bloom table built at any
     // other sharding would silently mis-route probes (an empty shard
@@ -389,7 +421,7 @@ object Warehouse {
     * next to the other warehouse probes.
     */
   def bloomDedupIndexed(spark: SparkSession, dir: String,
-                        newMod: Int = 10): DataFrame =
+                        newMod: Int = graft.operators.DedupOps.IncrementalNewMod): DataFrame =
     graft.operators.DedupOps.bloomDedupIndexed(spark, dir, newMod)
 
   /** Land f7's standing image-catalog index: the bucket-capped band
@@ -413,13 +445,21 @@ object Warehouse {
       .saveAsTable("graft_phash_sigs")
   }
 
-  /** See [[buildPhash]]; delegate kept next to the other landed probes. */
+  /** See [[buildPhash]]; delegate kept next to the other landed probes.
+    * `newMod` threads through to the batch slice (round-12 advice fix:
+    * the delegate previously pinned the default, so an index built at a
+    * non-default newMod probed with a mismatched batch/standing split).
+    */
   def imageNearDupIndexed(spark: SparkSession, dir: String,
-                          maxHamming: Int = 3): DataFrame =
-    graft.operators.MultimodalOps.imageNearDupIndexed(spark, dir, maxHamming)
+                          maxHamming: Int = 3,
+                          newMod: Int =
+                            graft.operators.MultimodalOps.NearDupBatchMod)
+      : DataFrame =
+    graft.operators.MultimodalOps.imageNearDupIndexed(spark, dir, maxHamming,
+                                                      newMod)
 
   def buildMinhash(spark: SparkSession, dir: String, bucketCap: Int = 64,
-                   newMod: Int = 10): Unit = {
+                   newMod: Int = graft.operators.DedupOps.IncrementalNewMod): Unit = {
     dropManaged(spark, Seq("graft_minhash_bands", "graft_minhash_sigs"))
     val (bands, sigs) = graft.operators.DedupOps
       .minhashIndexParts(spark, dir, bucketCap, newMod)
@@ -433,8 +473,11 @@ object Warehouse {
     * DedupOps.incrementalMinhashIndexed.
     */
   def incrementalMinhashIndexed(spark: SparkSession, dir: String,
-                                tau: Double = 0.5): DataFrame =
-    graft.operators.DedupOps.incrementalMinhashIndexed(spark, dir, tau)
+                                tau: Double = 0.5,
+                                newMod: Int =
+                                  graft.operators.DedupOps.IncrementalNewMod)
+      : DataFrame =
+    graft.operators.DedupOps.incrementalMinhashIndexed(spark, dir, tau, newMod)
 
   /** d5 (IVF-flat) over the landed index: probe-side only — the cell
     * membership comes from graft_ivf_lists' partition directories

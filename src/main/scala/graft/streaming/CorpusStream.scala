@@ -111,12 +111,16 @@ object CorpusStream {
     * streaming front door: arriving documents fingerprint their word
     * set per micro-batch, the broadcast shard blooms
     * (graft_bloom_shards, Warehouse.buildBloom) gate each row, and
-    * survivors verify against the PERSISTED fingerprint store
-    * (graft_bloom_fps) through a stream-STATIC left join whose
-    * condition carries the bloom verdict — a bloom miss is
+    * only the SURVIVORS reach the stream-STATIC left join against the
+    * PERSISTED fingerprint store (graft_bloom_fps); bloom misses are
+    * routed AROUND the join and unioned back as novel — a miss is
     * definitively novel (no false negatives, the KernelPropertySpec
     * contract), so skipping its probe cannot change the result and
     * the gate stays semantics-invisible exactly as in batch c12.
+    * The verdict is a projected column, never a join predicate: a
+    * left-side-only predicate inside a left-outer condition cannot
+    * push below the join, so it would gate nothing (round-12 advice
+    * fix — this is the batch bloomLabels shape).
     *
     * STATELESS by construction — the standing set lives in the landed
     * index, not in stream state (contrast `ingest`, whose exact-dedup
@@ -140,14 +144,20 @@ object CorpusStream {
       bcast.value.get(shard).exists(_.mightContainLong(fp)))
     val withFp = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), DedupOps.wordSetFp(col("text")).as("fp"))
+      .withColumn("might",
+        mightContain(pmod(col("fp"), lit(DedupOps.BloomShards.toLong))
+                       .cast("int"), col("fp")))
     val fps = spark.table("graft_bloom_fps")
       .select(col("fp").as("sfp"), col("ex_id").as("dup_of"))
-    withFp
-      .join(fps,
-        col("fp") === col("sfp") &&
-          mightContain(pmod(col("fp"), lit(DedupOps.BloomShards.toLong))
-                         .cast("int"), col("fp")),
-        "left")
+    // survivors (≈ true dups + fpp·batch) probe the store; misses skip
+    // it entirely — the per-micro-batch join input tracks the dup rate,
+    // not the batch size
+    val probed = withFp.filter(col("might"))
+      .join(fps, col("fp") === col("sfp"), "left")
+      .select(col("doc_id"), col("dup_of"))
+    val novel = withFp.filter(!col("might"))
+      .select(col("doc_id"), lit(null).cast("long").as("dup_of"))
+    probed.unionAll(novel)
       .select(col("doc_id"), col("dup_of"),
               col("dup_of").isNotNull.as("is_dup"))
   }
@@ -157,7 +167,7 @@ object CorpusStream {
     * sink, the G-family harness.
     */
   def streamBloomGate(spark: SparkSession, dir: String,
-                      newMod: Int = 10): DataFrame =
+                      newMod: Int = graft.operators.DedupOps.IncrementalNewMod): DataFrame =
     EventStream.runToBatch(spark,
         bloomGate(readDocuments(spark, dir)
           .filter(pmod(col("doc_id"), lit(newMod)) === 0)),
