@@ -308,7 +308,18 @@ object Bench {
         s""""cpu_min":${fmt(mn(cs))},"cpu_median":${fmt(med(cs))},""" +
         s""""sched_min":${fmt(mn(ss))},"sched_median":${fmt(med(ss))}}"""
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_runs":$runs,"repeats":$repeats,"sf":"$sfDir","failed":$nFail,"warmup_sec":${fmt(warmup)},"total_excl_first":${fmt(totalExclFirst)},"total_firstpass":${fmt(firstPassTotal)},"ambient":$ambient,"multimodal_split":$mmJson,"ann_split":$annSplit,"recall":$recalls}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_runs":$runs,"repeats":$repeats,"sf":"$sfDir","failed":$nFail,"warmup_sec":${fmt(warmup)},"total_excl_first":${fmt(totalExclFirst)},"total_firstpass":${fmt(firstPassTotal)},"ambient":$ambient,"multimodal_split":$mmJson,"ann_split":$annSplit,"recall":$recalls}"""
+    println(line)
+    // Driver artifacts historically preserve only the tail of the
+    // stdout line (BENCH_r11.json kept 2000 chars), which truncates
+    // the per-query map past ~130 queries — so ALSO persist the full
+    // JSON to a stable file in the repo, committed with the round.
+    // Overwritten per run; the committed copy is the last full run.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_last_full.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full-JSON file write FAILED: ${e.getMessage}")
+    }
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

@@ -105,13 +105,23 @@ object SparkEntry {
     "e11_unigram_logprob"       -> ((s: SparkSession, d: String) => TextOps.unigramLogprob(s, d)),
     "e12_gopher_rules"          -> TextOps.gopherRules _,
     "e13_bigram_logprob"        -> ((s: SparkSession, d: String) => TextOps.bigramLogprob(s, d)),
-    // e14 (round 10): learned byte-level BPE token accounting — the
-    // ONE rows-only query by design: DuckDB cannot replay the
-    // iterative merge loop, so the hash-strength check is TextOpsSpec's
-    // doc-by-doc JVM recompute instead (see the operator scaladoc)
+    // e14 (round 10): learned byte-level BPE token accounting.
+    // Hash-green since round 12: the encode replays in DuckDB as a
+    // recursive CTE with the trained merges interpolated as literals
+    // (TextOps.bpeOracleSql, dumped via oracleSqlFor); TextOpsSpec's
+    // doc-by-doc JVM recompute stays as the independent check.
     "e14_bpe_token_stats"       -> ((s: SparkSession, d: String) => TextOps.bpeTokenStats(s, d)),
     "e14b_bpe_accounting"       -> TextOps.bpeAccounting _,
     "e15_word_entropy"          -> TextOps.wordEntropy _,
+    // e16 (round 12): BM25 ranked retrieval — the inverted-index
+    // keyword search b7/b25's LIKE filters stop short of
+    "e16_bm25_search"           -> ((s: SparkSession, d: String) => RetrievalOps.bm25Search(s, d)),
+    // e17 (round 12): learned NB quality classifier (counts-based
+    // training replayed relationally in the oracle, the e3 pattern)
+    "e17_quality_classifier"    -> ((s: SparkSession, d: String) => TextOps.qualityClassifier(s, d)),
+    // d17 (round 12): hybrid keyword+vector retrieval, RRF-fused over
+    // e16's BM25 machinery and d13's fixed-|Q| IVF ranking
+    "d17_hybrid_retrieval"      -> ((s: SparkSession, d: String) => RetrievalOps.hybridRetrieval(s, d)),
     "d9_pq_quantize"            -> ((s: SparkSession, d: String) => SimOps.pqQuantize(s, d)),
     "d10_ann_ivfpq"             -> ((s: SparkSession, d: String) => SimOps.annIvfPq(s, d)),
     "d11_ann_incremental"       -> ((s: SparkSession, d: String) => SimOps.annIvfIncremental(s, d)),
@@ -263,6 +273,18 @@ object SparkEntry {
              END AS duration_ms
          FROM sx)"""
 
+  /** The dir-aware oracle map Verify/VerifyOne actually dump: the
+    * static `oracleSql` plus entries whose SQL interpolates
+    * DATA-DERIVED constants (e14's trained merge table — training is
+    * iterative-global argmax, not relational algebra, so unlike e3's
+    * profiles it cannot re-derive inside the SQL). Falls back to the
+    * static map (e14 rows-only) when the corpus defeats the replay
+    * (non-ASCII text or zero trained merges — see TextOps.bpeOracleSql).
+    */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSql ++
+      TextOps.bpeOracleSql(spark, sfDir).map("e14_bpe_token_stats" -> _)
+
   // d12 probes the LANDED index built at the registered d10
   // parameters, so the SAME replay hash-gates both paths — sharing the
   // string (not copying it) makes oracle drift between them impossible.
@@ -289,7 +311,43 @@ object SparkEntry {
       // wrapped around it (knnVoteOracle). Derived, never copied, so
       // it can't drift from either parent.
       ("d16b_knn_indexed" ->
-        knnVoteOracle(fixedqOracle(baseOracleSql("d10_ann_ivfpq"))))
+        knnVoteOracle(fixedqOracle(baseOracleSql("d10_ann_ivfpq")))) +
+      // d17: hybrid fusion — text side = the shared BM25 replay with
+      // more-like-this query terms (top-8 by tf from the posting table
+      // itself), vector side = d13's derived fixed-|Q| IVF replay
+      // re-cut to the 20-deep list, RRF-fused with explicit ::DOUBLE
+      // arithmetic (DuckDB decimal division would otherwise diverge
+      // from Spark's double division)
+      ("d17_hybrid_retrieval" -> {
+        val vecSql = fixedqOracle(baseOracleSql("d5_ann_ivf"))
+          .replace("WHERE rnk <= 10", "WHERE rnk <= 20")
+        s"""WITH $bm25Postings,
+           qids AS (SELECT vec_id AS query_id FROM embeddings
+                    ORDER BY md5(vec_id::VARCHAR || 'q'), vec_id
+                    LIMIT ${operators.SimOps.FixedQBatch}),
+           qt AS (SELECT query_id, term FROM (
+                    SELECT p.doc_id AS query_id, p.term,
+                      row_number() OVER (PARTITION BY p.doc_id
+                        ORDER BY p.tf DESC, p.term) AS tr
+                    FROM post p JOIN qids ON p.doc_id = qids.query_id)
+                  WHERE tr <= 8),
+           ${bm25Scoring(exclSelf = true)},
+           txt AS (SELECT query_id, doc_id, rnk FROM rb WHERE rnk <= 20),
+           vec AS ($vecSql),
+           fused AS (SELECT coalesce(txt.query_id, vec.query_id) AS query_id,
+               coalesce(txt.doc_id, vec.cand_id) AS doc_id,
+               coalesce(1.0::DOUBLE / (60.0::DOUBLE + txt.rnk), 0.0::DOUBLE)
+                 + coalesce(1.0::DOUBLE / (60.0::DOUBLE + vec.rnk),
+                            0.0::DOUBLE) AS rrf,
+               txt.rnk AS text_rank, vec.rnk AS vec_rank
+             FROM txt FULL JOIN vec ON txt.query_id = vec.query_id
+                                   AND txt.doc_id = vec.cand_id),
+           fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf DESC, doc_id) AS rnk FROM fused)
+           SELECT query_id, rnk, doc_id, round(rrf, 6) AS rrf_score,
+                  text_rank, vec_rank
+           FROM fr WHERE rnk <= 10 ORDER BY query_id, rnk"""
+      })
 
   /** Wrap a d-family top-k replay (query_id, cand_id, rnk, cosine) in
     * d16's vote/report SQL: majority vote over the neighbor labels
@@ -312,6 +370,54 @@ object SparkEntry {
               pr.votes, pr.predicted_label = q.qlabel AS agrees
        FROM q JOIN pr ON q.query_id = pr.query_id AND pr.rr = 1
        ORDER BY q.query_id"""
+
+  /** The BM25 replay's corpus half (d → stats → posting table) — a
+    * WITH-clause fragment shared by e16 and d17 so the inverted-index
+    * SQL has one source of truth. Query-side CTEs (must define a `qt`
+    * with (query_id, term)) slot between this and [[bm25Scoring]];
+    * e16's `qt` precedes it (literal workload), d17's follows it
+    * (query terms come FROM the posting table).
+    */
+  private def bm25Postings: String =
+    """d AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                        w -> w <> '') AS toks
+            FROM documents WHERE text IS NOT NULL),
+       st AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)::DOUBLE) AS avgdl
+              FROM d),
+       post AS (SELECT term, doc_id, dl, count(*)::DOUBLE AS tf
+                FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+                      FROM d)
+                GROUP BY 1, 2, 3)"""
+
+  /** The BM25 replay's scoring half: df over the query-term slice,
+    * per-(query, doc) Lucene-idf BM25 contributions, sorted-fold
+    * score, per-query rank. k1/(k1+1) interpolate through a
+    * string-cast so the SQL double is bit-identical to the Scala one
+    * regardless of decimal-literal conversion paths.
+    */
+  private def bm25Scoring(exclSelf: Boolean): String = {
+    val k1p1 = s"'${RetrievalOps.K1 + 1.0}'::DOUBLE"
+    val k1 = s"'${RetrievalOps.K1}'::DOUBLE"
+    val oneMinusB = s"'${1.0 - RetrievalOps.B}'::DOUBLE"
+    val b = s"'${RetrievalOps.B}'::DOUBLE"
+    s"""dfs AS (SELECT term, count(*)::DOUBLE AS df FROM post
+             WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+       contrib AS (SELECT qt.query_id, post.doc_id, post.term,
+           ln((st.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+           * (post.tf * $k1p1
+              / (post.tf + $k1 * ($oneMinusB + $b * post.dl::DOUBLE
+                                                 / st.avgdl))) AS s
+         FROM post JOIN qt USING (term) JOIN dfs USING (term) CROSS JOIN st
+         ${if (exclSelf) "WHERE post.doc_id <> qt.query_id" else ""}),
+       sc AS (SELECT query_id, doc_id,
+           list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+             list_sort(list(struct_pack(term := term, s := s))), x -> x.s)),
+             (acc, x) -> acc + x) AS score,
+           count(*)::BIGINT AS n_terms
+         FROM contrib GROUP BY 1, 2),
+       rb AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id) AS rnk FROM sc)"""
+  }
 
   /** Swap a d-family replay's query-batch predicate (`vec_id % 50 = 0`,
     * which selects N/50 queries) for the fixed-size md5-salted batch
@@ -1534,6 +1640,61 @@ object SparkEntry {
                       ELSE 0.0 END, 6) AS norm_entropy,
            round(mx / n, 6) AS top_share
          FROM s ORDER BY doc_id""",
+    // e16: BM25 over the literal query workload (values interpolated
+    // from RetrievalOps.Bm25Queries — one source of truth). The score
+    // fold runs over the (term ASC)-sorted contribution list in both
+    // engines (the e15 convention), so the double accumulation order
+    // is identical and round(6) is presentation, not tolerance.
+    "e16_bm25_search" -> {
+      val vals = RetrievalOps.Bm25Queries
+        .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      s"""WITH q(query_id, qtext) AS (VALUES $vals),
+         qt AS (SELECT query_id::BIGINT AS query_id,
+                  unnest(list_distinct(list_filter(
+                    string_split(qtext, ' '), w -> w <> ''))) AS term
+                FROM q),
+         $bm25Postings,
+         ${bm25Scoring(exclSelf = false)}
+         SELECT query_id, rnk, doc_id, n_terms, round(score, 6) AS score
+         FROM rb WHERE rnk <= 10 ORDER BY query_id, rnk"""
+    },
+    // e17: the NB training is counts-based relational algebra, so the
+    // oracle re-derives the model exactly (the e3 pattern); per-doc
+    // log-odds folds over the sorted contribution list.
+    "e17_quality_classifier" ->
+      """WITH d AS (SELECT doc_id, source = 'src0' AS is_ref,
+               list_filter(string_split(text, ' '), w -> w <> '') AS toks
+             FROM documents WHERE text IS NOT NULL),
+         b AS (SELECT doc_id, is_ref, unnest(toks) AS term FROM d),
+         tc AS (SELECT term,
+                  sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS cpos,
+                  sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS cneg
+                FROM b GROUP BY 1),
+         tot AS (SELECT sum(cpos)::DOUBLE AS tpos, sum(cneg)::DOUBLE AS tneg,
+                        count(*)::DOUBLE AS v FROM tc),
+         pri AS (SELECT sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::DOUBLE AS npos,
+                        sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::DOUBLE AS nneg
+                 FROM d),
+         wt AS (SELECT term,
+                  ln((cpos + 1.0) / (tpos + v))
+                    - ln((cneg + 1.0) / (tneg + v)) AS lw
+                FROM tc CROSS JOIN tot),
+         dtf AS (SELECT doc_id, is_ref, term, count(*)::DOUBLE AS tf
+                 FROM b GROUP BY 1, 2, 3),
+         ct AS (SELECT doc_id, is_ref, term, tf, tf * lw AS s
+                FROM dtf JOIN wt USING (term)),
+         sc AS (SELECT doc_id, is_ref,
+                  list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+                    list_sort(list(struct_pack(term := term, s := s))),
+                    x -> x.s)),
+                    (acc, x) -> acc + x) AS score,
+                  CAST(sum(tf) AS BIGINT) AS n_tokens
+                FROM ct GROUP BY 1, 2)
+         SELECT doc_id, n_tokens, is_ref,
+           round((ln(npos) - ln(nneg)) + score, 6) AS log_odds,
+           round((ln(npos) - ln(nneg)) + score, 6) > 0 AS keep
+         FROM sc CROSS JOIN pri
+         ORDER BY doc_id""",
     // c12: the bloom gate only PRUNES (no false negatives; false
     // positives resolved by the exact verify), so the replay is a
     // plain join on the normalized word-set key

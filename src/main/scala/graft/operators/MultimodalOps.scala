@@ -226,7 +226,14 @@ object MultimodalOps {
     * real ingest table — binary column + partition-friendly id.
     */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    mediaFrom(Tables.documents(spark, dir))
+
+  /** [[mediaTable]]'s projection over a caller-supplied documents
+    * frame — pure per-row expressions, so it composes with the
+    * documents STREAM unchanged (the streaming image gate's source).
+    */
+  private[graft] def mediaFrom(docsDf: DataFrame): DataFrame =
+    docsDf.select(
       col("doc_id"),
       // md5-derived (was xxhash64) since round 7 so the modality
       // assignment replays in a DuckDB oracle
@@ -669,9 +676,21 @@ object MultimodalOps {
                                          maxHamming: Int = 3,
                                          newMod: Int = NearDupBatchMod)
       : DataFrame =
-    nearDupProbe(phashed(imageSlice(spark, dir, newMod, batch = true)),
+    phashProbeFrom(imageSlice(spark, dir, newMod, batch = true), maxHamming)
+
+  /** The landed-index probe over an arbitrary (doc_id, payload) image
+    * batch frame — shared by the dir-slice form above and the
+    * streaming gate (CorpusStream.phashGate hands each micro-batch
+    * here). Hashing is per-image, so verdicts are micro-batch-split-
+    * invariant against the standing catalog.
+    */
+  private[graft] def phashProbeFrom(batchImgs: DataFrame,
+                                    maxHamming: Int = 3): DataFrame = {
+    val spark = batchImgs.sparkSession
+    nearDupProbe(phashed(batchImgs),
                  spark.table("graft_phash_bands"),
                  spark.table("graft_phash_sigs"), maxHamming)
+  }
 
   /** f3: decoded metadata joined BACK to the document table — the
     * post-decode join every multimodal pipeline runs (pair pixels with

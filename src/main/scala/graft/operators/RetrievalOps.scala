@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Ranked retrieval over the documents corpus (SURVEY §2.E/§2.D
+  * round-12 additions): BM25 keyword search (e16) and hybrid
+  * keyword+vector retrieval with reciprocal-rank fusion (d17) — the
+  * retrieval surface the reference's LIKE filters (quickSearch
+  * app.service.ts:1274, searchTokens :1366) stop short of, and the
+  * RAG-shaped workload every LLM data pipeline runs against its own
+  * corpus.
+  *
+  * Scale shape (the inverted-index story): the posting table
+  * (term, doc_id, tf, dl) is ONE shuffle of the token stream — at
+  * warehouse scale it is landed once, term-bucketed (the text twin of
+  * the IVF posting lists). Every query-time stage is bounded by the
+  * QUERY side: the term set broadcasts into the posting scan, df/idf
+  * aggregate over the matched slice only (partial-aggregable), and the
+  * per-(query, doc) score fold + top-k ranking run on candidate rows
+  * ≈ Σ_t df(t) — never the corpus. No stage materializes a global
+  * sort; ranking is the WindowGroupLimit partial top-k everywhere.
+  *
+  * Cross-engine determinism: the per-document score is a SUM of
+  * per-term float contributions, and Spark aggregation order is
+  * nondeterministic — so the fold runs over the SORTED (term ASC)
+  * contribution list in BOTH engines (the e15 convention), making the
+  * accumulation order — and the hash — identical.
+  */
+object RetrievalOps {
+
+  /** BM25 parameters (Robertson/Spärck Jones; the k1/b defaults every
+    * public implementation ships).
+    */
+  val K1 = 1.2
+  val B = 0.75
+  /** Rank-fusion constant (Cormack & Clarke 2009's RRF k=60). */
+  val RrfK = 60
+
+  /** e16's fixed query workload — literal, like b7's keyword: user
+    * queries are inputs, not corpus derivations. Interpolated into the
+    * oracle from here so Scala and SQL can never drift.
+    */
+  val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "hash join",
+    2 -> "window agg sort",
+    3 -> "stream batch",
+    4 -> "vector scan",
+    5 -> "slow query filter",
+    6 -> "spark data table",
+    7 -> "merge sort order key",
+    8 -> "customer line part")
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  /** The posting table: (term, doc_id, tf, dl) — one explode + one
+    * groupBy shuffle on (term, doc_id); dl (doc length in tokens)
+    * rides along (functionally dependent on doc_id, grouped not
+    * joined, so no second corpus pass). Tokenization = whitespace
+    * split, empties dropped (the Bpe.tokenCount word convention).
+    */
+  private def postings(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Corpus stats as a 1-row broadcast (the b34 total pattern). */
+  private def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(size(filter(split(col("text"), " "), w => w =!= ""))
+                .cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n"),
+           avg(col("dl")).as("avgdl"))
+
+  /** One BM25 term contribution (all-double arithmetic, written with
+    * the exact parenthesization the oracle replays — Lucene's
+    * idf = ln((N − df + 0.5)/(df + 0.5) + 1), non-negative by
+    * construction).
+    */
+  private def bm25Term(tf: Column, df: Column, dl: Column,
+                       n: Column, avgdl: Column): Column =
+    log((n - df + lit(0.5d)) / (df + lit(0.5d)) + lit(1.0d)) *
+      (tf * lit(K1 + 1.0d) /
+        (tf + lit(K1) * (lit(1.0d - B) + lit(B) * dl / avgdl)))
+
+  /** The shared BM25 scoring tail: candidate postings restricted to
+    * the query terms (`qterms`: query_id, term — TINY, broadcast),
+    * df over the matched term slice, per-(query, doc) score as the
+    * SORTED-term fold, per-query top-k by (score DESC, doc_id).
+    * `exclSelf` drops doc_id == query_id candidates (d17's
+    * more-like-this contract; e16 query ids are not doc ids).
+    */
+  private def bm25Rank(spark: SparkSession, dir: String, qterms: DataFrame,
+                       k: Int, exclSelf: Boolean): DataFrame = {
+    val post = postings(spark, dir)
+    // df per query term: aggregate over the matched slice only — the
+    // distinct-term probe broadcasts, df output is ≤ |query terms| rows
+    val terms = qterms.select(col("term")).distinct()
+    val matched = post.join(broadcast(terms), "term")
+    val dfs = matched.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val cands0 = matched
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(corpusStats(spark, dir)))
+    val cands = if (exclSelf) cands0.filter(col("doc_id") =!= col("query_id"))
+                else cands0
+    val contrib = cands.select(
+      col("query_id"), col("doc_id"), col("term"),
+      bm25Term(col("tf").cast("double"), col("df"),
+               col("dl").cast("double"), col("n"), col("avgdl")).as("s"))
+    // deterministic accumulation: fold the (term ASC)-sorted
+    // contribution list — identical order in DuckDB's list_reduce
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(
+             transform(array_sort(collect_list(struct(col("term"), col("s")))),
+                       x => x.getField("s")),
+             lit(0.0d), (acc, x) => acc + x).as("score"),
+           count(lit(1)).cast("long").as("n_terms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("n_terms"),
+              round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** e16: BM25 top-k per query over the fixed literal workload. */
+  def bm25Search(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val qterms = Bm25Queries.toDF("query_id", "qtext")
+      .select(col("query_id").cast("long").as("query_id"),
+              explode(array_distinct(
+                filter(split(col("qtext"), " "), w => w =!= ""))).as("term"))
+    bm25Rank(spark, dir, qterms, k, exclSelf = false)
+  }
+
+  /** d17's text side: each query DOC's top-`nTerms` terms by
+    * (tf DESC, term ASC) — the more-like-this query formulation
+    * (bounded per query, so the broadcast stays |Q|·nTerms rows at any
+    * corpus size). The query ids are EXACTLY d13's md5-salted fixed
+    * batch over EMBEDDINGS vec_ids (not a parallel rank over doc_ids —
+    * documents ⊋ embeddings at sf0.1, so the two rankings would pick
+    * different ids); the batch joins to documents for its text.
+    */
+  private def queryDocTerms(spark: SparkSession, dir: String,
+                            nq: Int, nTerms: Int): DataFrame = {
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+    val qids = SimOps.fixedQueryBatch(emb, nq).select(col("query_id"))
+    val qdocs = docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .join(broadcast(qids), col("doc_id") === col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qtf").desc, col("term"))
+    qdocs
+      .select(col("query_id"), explode(toks).as("term"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("qtf"))
+      .withColumn("tr", row_number().over(w))
+      .filter(col("tr") <= nTerms)
+      .select(col("query_id"), col("term"))
+  }
+
+  /** d17: hybrid retrieval — BM25 more-like-this (top-8 terms of each
+    * query doc) fused with the d13 fixed-|Q| IVF vector ranking by
+    * reciprocal-rank fusion: rrf(d) = Σ_lists 1/(RrfK + rank_list(d)),
+    * missing list membership contributing 0. The two lists are
+    * computed independently (each already bounded and broadcast-
+    * probed), full-outer-joined on (query, doc) — k·|Q| rows a side —
+    * and re-ranked by (rrf DESC, doc_id). RRF is the standard
+    * score-scale-free fusion (Cormack & Clarke 2009): no score
+    * normalization to tune, and every arithmetic step here is a
+    * single division + fixed-order add, so the fused ranking is
+    * bit-reproducible and the oracle replays it exactly.
+    *
+    * Queries = the d13 md5-salted fixed batch ids; doc_id == vec_id
+    * by corpus construction. Both sides exclude the query doc itself.
+    */
+  def hybridRetrieval(spark: SparkSession, dir: String, k: Int = 10,
+                      nq: Int = SimOps.FixedQBatch, nTerms: Int = 8,
+                      listK: Int = 20): DataFrame = {
+    val text = bm25Rank(spark, dir, queryDocTerms(spark, dir, nq, nTerms),
+                        listK, exclSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("trnk"))
+    val vec = SimOps.annIvf(spark, dir, k = listK, nq = nq)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+              col("rnk").as("vrnk"))
+    val fused = text.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+              (coalesce(lit(1.0d) / (lit(RrfK.toDouble) + col("trnk")),
+                        lit(0.0d)) +
+               coalesce(lit(1.0d) / (lit(RrfK.toDouble) + col("vrnk")),
+                        lit(0.0d))).as("rrf"),
+              col("trnk"), col("vrnk"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+              round(col("rrf"), 6).as("rrf_score"),
+              col("trnk").as("text_rank"), col("vrnk").as("vec_rank"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+}

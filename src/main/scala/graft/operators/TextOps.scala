@@ -604,25 +604,47 @@ object TextOps {
     * mounts its real tokenizer. Per-row work is O(bytes · merges
     * applied); no shuffle — scan-bound like the rest of the family.
     *
-    * Oracle: rows-only at the driver (DuckDB cannot replay the
-    * iterative merge loop); the full-definition naive recompute — a
-    * doc-by-doc JVM re-encode — plus hand-computed merge-table truths
-    * live in TextOpsSpec.
+    * Oracle (hash-green since round 12): the ENCODE replays in DuckDB
+    * as a recursive CTE over the distinct-word set — each step merges
+    * all occurrences of the lowest-rank adjacent pair (bpeOracleSql),
+    * with the trained merge table interpolated as literals (the
+    * data-derived-constants convention; training itself is the
+    * bounded 64-doc build whose determinism TextOpsSpec pins with
+    * hand-computed merge tables, and the e3 precedent of re-deriving
+    * it relationally doesn't apply — BPE training is iterative-global
+    * argmax, not relational algebra). The full-definition naive
+    * recompute — a doc-by-doc JVM re-encode — also lives in
+    * TextOpsSpec.
     */
-  def bpeTokenStats(spark: SparkSession, dir: String,
-                    nMerges: Int = sys.env.get("SPARK_GRAFT_BPE_MERGES")
-                      .flatMap(s => scala.util.Try(s.toInt).toOption)
-                      .filter(_ >= 0).getOrElse(192),
-                    sampleDocs: Int = sys.env.get("SPARK_GRAFT_BPE_SAMPLE")
-                      .flatMap(s => scala.util.Try(s.toInt).toOption)
-                      .filter(_ >= 1).getOrElse(64)): DataFrame = {
+  /** e14's knob defaults, shared by the query and its oracle builder
+    * so the two can never train at different parameters.
+    */
+  private def bpeMergesDefault: Int = sys.env.get("SPARK_GRAFT_BPE_MERGES")
+    .flatMap(s => scala.util.Try(s.toInt).toOption)
+    .filter(_ >= 0).getOrElse(192)
+  private def bpeSampleDefault: Int = sys.env.get("SPARK_GRAFT_BPE_SAMPLE")
+    .flatMap(s => scala.util.Try(s.toInt).toOption)
+    .filter(_ >= 1).getOrElse(64)
+
+  /** The bounded driver-side merge training shared by e14 and its
+    * oracle: md5-rank top-`sampleDocs` documents → Bpe.train. ≤ 64
+    * docs at ANY SF (the PQ-codebook build-once pattern).
+    */
+  private def bpeMerges(spark: SparkSession, dir: String, nMerges: Int,
+                        sampleDocs: Int): Vector[Bpe.Pair] = {
     val sample = docs(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"),
               md5(col("doc_id").cast("string")).as("hk"))
       .orderBy(col("hk"), col("doc_id")).limit(sampleDocs)
       .select(col("text")).collect().map(_.getString(0)).toSeq
-    val rank = Bpe.train(sample, nMerges).zipWithIndex.toMap
+    Bpe.train(sample, nMerges)
+  }
+
+  def bpeTokenStats(spark: SparkSession, dir: String,
+                    nMerges: Int = bpeMergesDefault,
+                    sampleDocs: Int = bpeSampleDefault): DataFrame = {
+    val rank = bpeMerges(spark, dir, nMerges, sampleDocs).zipWithIndex.toMap
     val nBpe = TextFns.bpeTokenCount(rank)
     docs(spark, dir)
       .filter(col("text").isNotNull)
@@ -634,6 +656,87 @@ object TextOps {
         round(col("n_bpe_tokens").cast("double") /
               col("n_ws_tokens").cast("double"), 4))
       .orderBy(col("doc_id"))
+  }
+
+  /** e14's DuckDB oracle, built per data directory (the merge table is
+    * data-derived, so the SQL interpolates it as literals — Verify
+    * dumps this through SparkEntry.oracleSqlFor). The ENCODE is fully
+    * replayed: a recursive CTE iterates each distinct word, every step
+    * merging ALL occurrences (left-to-right, the fold below) of the
+    * lowest-rank adjacent pair present, until none applies — exactly
+    * Bpe.encode; per-doc totals then join back over the word stream.
+    *
+    * Byte-vs-char seam: Bpe symbols are UTF-8 BYTES, the SQL's are
+    * characters — identical only on ASCII corpora, so the builder
+    * scans for any char ≥ 0x80 and returns None (rows-only fallback,
+    * the pre-round-12 behavior) rather than dump an unsound oracle.
+    * None likewise when training yields zero merges (degenerate
+    * corpus) — a VALUES list needs at least one row.
+    */
+  private[graft] def bpeOracleSql(spark: SparkSession, dir: String,
+                                  nMerges: Int = bpeMergesDefault,
+                                  sampleDocs: Int = bpeSampleDefault)
+      : Option[String] = {
+    val nonAscii = docs(spark, dir)
+      .filter(col("text").isNotNull && col("text").rlike("[^\\x00-\\x7F]"))
+      .limit(1).count() > 0
+    if (nonAscii) return None
+    val merges = bpeMerges(spark, dir, nMerges, sampleDocs)
+    if (merges.isEmpty) return None
+    def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+    val vals = merges.zipWithIndex
+      .map { case ((a, b), r) => s"(${lit(a)}, ${lit(b)}, $r)" }
+      .mkString(", ")
+    Some(s"""WITH RECURSIVE
+      mg(ma, mb, r) AS (VALUES $vals),
+      mgl AS (SELECT list(struct_pack(a := ma, b := mb, r := r)
+                          ORDER BY r) AS ml FROM mg),
+      wd AS (SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
+                                                w -> w <> '')) AS word
+             FROM documents WHERE text IS NOT NULL),
+      enc AS (
+        SELECT word, list_transform(generate_series(1, length(word)),
+                                    i -> substr(word, i, 1)) AS syms
+        FROM wd
+        UNION ALL
+        SELECT word,
+          list_reduce(
+            list_prepend(CAST([] AS VARCHAR[]),
+                         list_transform(syms, s -> [s])),
+            (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = ml[br + 1].a
+                                  AND x[1] = ml[br + 1].b
+                        THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                                         ml[br + 1].a || ml[br + 1].b)
+                        ELSE list_append(acc, x[1]) END) AS syms
+        FROM (SELECT word, syms, ml,
+                list_min(list_transform(generate_series(1, len(syms) - 1),
+                  i -> list_min(list_transform(ml,
+                    m -> CASE WHEN m.a = syms[i] AND m.b = syms[i + 1]
+                              THEN m.r END)))) AS br
+              FROM enc, mgl) s
+        WHERE br IS NOT NULL),
+      done AS (
+        SELECT word, len(syms) AS ntok
+        FROM (SELECT word, syms,
+                list_min(list_transform(generate_series(1, len(syms) - 1),
+                  i -> list_min(list_transform(ml,
+                    m -> CASE WHEN m.a = syms[i] AND m.b = syms[i + 1]
+                              THEN m.r END)))) AS br
+              FROM enc, mgl) s
+        WHERE br IS NULL),
+      docw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                                 w -> w <> '')) AS word
+               FROM documents WHERE text IS NOT NULL),
+      agg AS (SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens
+              FROM docw JOIN done USING (word) GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_ws_tokens,
+        coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+        round(coalesce(agg.n_bpe_tokens, 0)::DOUBLE
+              / len(string_split(d.text, ' '))::DOUBLE, 4) AS bpe_per_ws
+      FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      WHERE d.text IS NOT NULL
+      ORDER BY d.doc_id""")
   }
 
   /** e14b: the DuckDB-replayable half of e14's accounting, registered
@@ -654,6 +757,81 @@ object TextOps {
                 .as("n_ws_tokens"),
               octet_length(col("text")).cast("long").as("n_bytes"))
       .orderBy(col("doc_id"))
+
+  /** e17: learned model-based quality filtering — the DCLM/FineWeb-
+    * class signal the rule-based e-family (e2 heuristics, e12 Gopher)
+    * lacks: a multinomial Naive Bayes classifier trained
+    * DISTRIBUTIVELY (reference docs = one trusted source slice,
+    * everything else = background), scoring every document with its
+    * reference-vs-background log-odds and a keep flag. The e3
+    * convention: training is counts-based relational algebra (one
+    * term-class aggregate + three 1-row totals), so the ORACLE
+    * re-derives the model exactly — nothing is fit iteratively.
+    *
+    * Model: log-odds(d) = [ln N⁺ − ln N⁻] +
+    *   Σ_t tf(t,d) · [ln((c⁺_t+1)/(T⁺+V)) − ln((c⁻_t+1)/(T⁻+V))]
+    * (Laplace-smoothed multinomial NB; V = corpus vocabulary size).
+    *
+    * 100 TB shape: class counts are ONE partial-aggregable shuffle on
+    * term; the scoring join shuffles doc terms against the term-weight
+    * table on term (both sides hash-partition; the weight table is
+    * vocabulary-sized — millions of rows at web scale, so it is NOT
+    * broadcast), then one groupBy(doc) fold. Per-doc accumulation
+    * runs over the (term ASC)-sorted contribution list in both
+    * engines (the e15/e16 determinism convention).
+    */
+  def qualityClassifier(spark: SparkSession, dir: String,
+                        refSource: String = "src0"): DataFrame =
+    qualityClassifierFrom(docs(spark, dir), refSource)
+
+  /** e17's body over a caller-supplied (doc_id, text, source) frame —
+    * exposed so the spec can plant a corpus with known separation.
+    */
+  private[graft] def qualityClassifierFrom(docsDf: DataFrame,
+                                           refSource: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    val base = docsDf
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), (col("source") === refSource).as("is_ref"),
+              explode(toks).as("term"))
+    // term-class counts: one shuffle, map-side combinable
+    val tc = base.groupBy(col("term"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cpos"),
+           sum(when(col("is_ref"), 0L).otherwise(1L)).as("cneg"))
+    // totals: class token masses + vocabulary size + doc counts —
+    // 1-row broadcast (the b34 pattern)
+    val totals = tc.agg(sum(col("cpos")).cast("double").as("tpos"),
+                        sum(col("cneg")).cast("double").as("tneg"),
+                        count(lit(1)).cast("double").as("v"))
+    val priors = docsDf
+      .filter(col("text").isNotNull)
+      .agg(sum(when(col("source") === refSource, 1L).otherwise(0L))
+             .cast("double").as("npos"),
+           sum(when(col("source") === refSource, 0L).otherwise(1L))
+             .cast("double").as("nneg"))
+    val weights = tc.crossJoin(broadcast(totals))
+      .select(col("term"),
+              (log((col("cpos") + lit(1.0d)) / (col("tpos") + col("v"))) -
+               log((col("cneg") + lit(1.0d)) / (col("tneg") + col("v"))))
+                .as("lw"))
+    val docTf = base.groupBy(col("doc_id"), col("is_ref"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val contrib = docTf.join(weights, "term")
+      .select(col("doc_id"), col("is_ref"), col("term"),
+              col("tf"), (col("tf") * col("lw")).as("s"))
+    contrib.groupBy(col("doc_id"), col("is_ref"))
+      .agg(aggregate(
+             transform(array_sort(collect_list(struct(col("term"), col("s")))),
+                       x => x.getField("s")),
+             lit(0.0d), (acc, x) => acc + x).as("score"),
+           sum(col("tf")).cast("long").as("n_tokens"))
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), col("n_tokens"), col("is_ref"),
+              round((log(col("npos")) - log(col("nneg"))) + col("score"), 6)
+                .as("log_odds"))
+      .withColumn("keep", col("log_odds") > 0)
+      .orderBy(col("doc_id"))
+  }
 
   /** e15: within-doc lexical diversity — word-distribution Shannon
     * entropy, type-token ratio and top-word share, the

@@ -173,4 +173,98 @@ object CorpusStream {
           .filter(pmod(col("doc_id"), lit(newMod)) === 0)),
         "append")
       .orderBy(col("doc_id"))
+
+  /** p11's landed fuzzy gate as a STREAMING stage — the fuzzy twin of
+    * [[bloomGate]], completing the gate family's streaming front doors
+    * (c12 exact text / p11 fuzzy text / f7 image). MinHash signatures
+    * need a per-doc aggregation, which as a raw stream transform would
+    * plan a STATEFUL operator — so the stage runs through foreachBatch
+    * (the VectorStream.maintainIvf pattern): each micro-batch is a
+    * bounded BATCH frame that computes its own signatures (per-doc
+    * computation, so batch-local ≡ union-corpus — the p11 exactness
+    * property that also makes verdicts micro-batch-split-invariant)
+    * and probes the PERSISTED band index (graft_minhash_bands/_sigs,
+    * Warehouse.buildMinhash) via a broadcast of the batch side.
+    * Statelessness is structural: the stream plan is source →
+    * foreachBatch sink — no state store exists to size, checkpoint or
+    * expire (the spec asserts zero stateOperators in the progress).
+    */
+  def minhashGate(docs: DataFrame, checkpoint: String, tau: Double = 0.5)
+                 (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink(graft.operators.DedupOps.minhashProbeFrom(b, tau), id)
+      }
+      .start()
+
+  /** f7's landed image gate as a STREAMING stage — same foreachBatch
+    * shape as [[minhashGate]]: each arriving micro-batch hashes only
+    * its own images (real-aHash/stub seam unchanged) and probes the
+    * persisted band index + signature store (graft_phash_bands/_sigs,
+    * Warehouse.buildPhash); the standing catalog is never re-read.
+    */
+  def phashGate(media: DataFrame, checkpoint: String, maxHamming: Int = 3)
+               (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink(graft.operators.MultimodalOps.phashProbeFrom(b, maxHamming), id)
+      }
+      .start()
+
+  /** Max state-operator count observed across the most recent
+    * [[runGate]] stream's progress — the statelessness evidence the
+    * gate specs assert (0 = no state store ever placed).
+    */
+  @volatile var lastGateStateOps: Int = -1
+
+  /** Drive a foreachBatch gate over an AvailableNow source, collecting
+    * every micro-batch's verdicts. Harness only — a deployment points
+    * the sink at its accept/reject flow.
+    */
+  private def runGate(spark: SparkSession,
+                      start: (String, (DataFrame, Long) => Unit) =>
+                        org.apache.spark.sql.streaming.StreamingQuery)
+      : DataFrame = {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_gate_ckpt").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    @volatile var schema: org.apache.spark.sql.types.StructType = null
+    val q = start(ckpt, (out, _) => {
+      val rows = out.collect()
+      buf.synchronized { buf ++= rows; schema = out.schema }
+    })
+    q.awaitTermination()
+    lastGateStateOps = q.recentProgress
+      .map(p => Option(p.stateOperators).map(_.length).getOrElse(0))
+      .foldLeft(0)(math.max)
+    require(schema != null, "gate stream produced no micro-batch")
+    spark.createDataFrame(spark.sparkContext.parallelize(buf.toSeq), schema)
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[minhashGate]] over the corpus directory's arriving slice. */
+  def streamMinhashGate(spark: SparkSession, dir: String, tau: Double = 0.5,
+                        newMod: Int = graft.operators.DedupOps.IncrementalNewMod)
+      : DataFrame =
+    runGate(spark, (ckpt, sink) =>
+      minhashGate(readDocuments(spark, dir)
+        .filter(pmod(col("doc_id"), lit(newMod)) === 0), ckpt, tau)(sink))
+
+  /** [[phashGate]] over the corpus directory's arriving image slice. */
+  def streamPhashGate(spark: SparkSession, dir: String, maxHamming: Int = 3,
+                      newMod: Int =
+                        graft.operators.MultimodalOps.NearDupBatchMod)
+      : DataFrame =
+    runGate(spark, (ckpt, sink) =>
+      phashGate(graft.operators.MultimodalOps
+          .mediaFrom(readDocuments(spark, dir))
+          .filter(col("media_type") === "image" &&
+                  pmod(col("doc_id"), lit(newMod)) === 0),
+        ckpt, maxHamming)(sink))
 }

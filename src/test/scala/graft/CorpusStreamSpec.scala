@@ -152,6 +152,30 @@ class CorpusStreamSpec extends SparkSpec {
       assert(!plan.contains(op), s"bloom gate planned stateful $op"))
   }
 
+  test("streaming minhash gate equals the landed batch probe and runs stateless") {
+    graft.sources.Warehouse.buildMinhash(spark, sf)
+    val streamed = CorpusStream.streamMinhashGate(spark, sf)
+      .collect().toSeq.map(_.toString)
+    val batch = graft.sources.Warehouse.incrementalMinhashIndexed(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(streamed == batch && streamed.nonEmpty,
+      "streaming minhash gate verdicts differ from the landed batch probe")
+    assert(CorpusStream.lastGateStateOps == 0,
+      "minhash gate stream placed a state store")
+  }
+
+  test("streaming phash gate equals the landed batch probe and runs stateless") {
+    graft.sources.Warehouse.buildPhash(spark, sf)
+    val streamed = CorpusStream.streamPhashGate(spark, sf)
+      .collect().toSeq.map(_.toString)
+    val batch = graft.sources.Warehouse.imageNearDupIndexed(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(streamed == batch && streamed.nonEmpty,
+      "streaming phash gate verdicts differ from the landed batch probe")
+    assert(CorpusStream.lastGateStateOps == 0,
+      "phash gate stream placed a state store")
+  }
+
   test("JSONL landing path emits row-for-row what the parquet path emits") {
     // crawlers drop newline-delimited JSON; the ingest flow must be
     // source-format-agnostic. Export the corpus as JSONL, stream it

@@ -35,6 +35,10 @@ class PlanAuditSpec extends SparkSpec {
     "d14_ann_ivfpq_fixedq",    // d10's probe with the fixed-|Q| batch
     "d15_ann_indexed_fixedq",  // d12's probe with the fixed-|Q| batch
     "d16_knn_classify",        // d4's scan vs the broadcast fixed-|Q| batch
+    "d16b_knn_indexed",        // broadcast PERSISTED-centroid probe (d15's landed twin)
+    "d17_hybrid_retrieval",    // d5 centroid probe + 1-row corpus-stats broadcast
+    "e16_bm25_search",         // 1-row (N, avgdl) corpus-stats broadcast
+    "e17_quality_classifier",  // 1-row totals/priors broadcasts
     "c9_semdedup",             // broadcast centroid routing (d5's sample)
     "c11_semdedup_hier",       // broadcast coarse+fine centroid routing
     "e3_lang_id",              // broadcast nLang-row profile cross

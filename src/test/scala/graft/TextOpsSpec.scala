@@ -460,6 +460,19 @@ class TextOpsSpec extends SparkSpec {
     assert(anyCompressed, "no doc compressed below byte count — merges dead")
   }
 
+  test("e14 oracle builder emits the recursive-CTE replay for the ASCII corpus") {
+    // the corpus is ASCII and trains >0 merges, so the dir-aware
+    // builder must yield SQL (rows-only fallback would silently
+    // downgrade the driver gate); the merge literals must be present
+    val sql = TextOps.bpeOracleSql(spark, sf)
+    assert(sql.isDefined, "bpeOracleSql returned None on the test corpus")
+    assert(sql.get.contains("WITH RECURSIVE"))
+    assert(sql.get.contains("VALUES ('"), "no interpolated merge literals")
+    // and the enriched map Verify dumps carries it under e14's name
+    val m = SparkEntry.oracleSqlFor(spark, sf)
+    assert(m.get("e14_bpe_token_stats").contains(sql.get))
+  }
+
   test("e15 word entropy: hand-computed truths and a doc-by-doc JVM recompute") {
     // hand-computed: "a a b" → counts over sorted uniq [a,b] = [2,1],
     // H = -(2/3·log2(2/3) + 1/3·log2(1/3)) ≈ 0.918296; uniform "a b c"
