@@ -74,6 +74,9 @@ object SparkEntry {
     // f7: the incremental form — arriving image batch vs the standing
     // catalog only (the crawler gate; landed twin in Warehouse)
     "f7_image_neardup_incr"     -> ((s: SparkSession, d: String) => MultimodalOps.imageNearDupIncremental(s, d)),
+    // f8 (round 12): audio near-dup — delta-sign fingerprints over the
+    // f4 window grid through the f6 band/cap/verify machinery
+    "f8_audio_neardup"          -> ((s: SparkSession, d: String) => MultimodalOps.audioNearDup(s, d)),
     // P. pipeline compositions
     "p1_corpus_prep"            -> ((s: SparkSession, d: String) => PipelineOps.corpusPrep(s, d)),
     "p2_decontaminate"          -> ((s: SparkSession, d: String) => PipelineOps.decontaminate(s, d)),
@@ -1795,6 +1798,62 @@ object SparkEntry {
                 any_value(pk.i)::INT AS peak_window
          FROM wr JOIN pk ON wr.doc_id = pk.doc_id AND pk.rn = 1
          GROUP BY wr.doc_id ORDER BY wr.doc_id""",
+    // f8: the stub arm is the whole story on the synthetic corpus —
+    // f4's window-field replay (same HUGEINT wrap-around multiply)
+    // compared pairwise into delta-sign bits, packed with the f6
+    // bit_or idiom, then f6's band/cap/verify SQL over the
+    // ≥33-window eligible slice. Ints compare where Spark compares
+    // field/65535 doubles — the division is strictly monotone.
+    "f8_audio_neardup" ->
+      s"""WITH $mediaMetaSql,
+         au AS (SELECT doc_id, u, greatest(duration_ms, 1000) AS dur
+                FROM meta WHERE media_type = 'audio'),
+         wn AS (SELECT doc_id, u,
+                least((dur - 1000) // 500 + 1, 65) AS n FROM au),
+         wx AS (SELECT doc_id, u, unnest(generate_series(0, n - 1)) AS i
+                FROM wn),
+         wv AS (SELECT doc_id, i,
+             xor(((u // 65536) % 65536)::BIGINT,
+                 (((i::HUGEINT * ${java.lang.Long
+                     .toUnsignedString(0xD6E8FEB86659FD93L)}::HUGEINT)
+                   % 18446744073709551616::HUGEINT // 65536) % 65536)::BIGINT)
+               AS w
+           FROM wx),
+         fb AS (SELECT a.doc_id, a.i AS bit,
+             CASE WHEN b.w > a.w THEN 1 ELSE 0 END AS bitv
+           FROM wv a JOIN wv b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+           WHERE a.i < 64),
+         bits AS (SELECT doc_id,
+             bit_or(CASE WHEN bitv = 1 THEN
+               CASE WHEN bit = 63 THEN (-9223372036854775808)::BIGINT
+                    ELSE 1::BIGINT << bit::INT END
+               ELSE 0 END) AS afp
+           FROM fb GROUP BY doc_id),
+         sg AS (SELECT wn.doc_id, coalesce(bits.afp, 0) AS afp,
+                       wn.n::INT AS n_windows
+                FROM wn LEFT JOIN bits USING (doc_id)),
+         el AS (SELECT doc_id, afp FROM sg WHERE n_windows >= 33),
+         e AS (SELECT doc_id, afp, band,
+                 (afp >> (band * 16)::INT) & 65535 AS bkey
+               FROM el CROSS JOIN
+                 (SELECT unnest(generate_series(0, 3)) AS band)),
+         cap AS (SELECT * FROM (
+             SELECT e.*, count(*) OVER (PARTITION BY band, bkey) AS cnt
+             FROM e)
+           WHERE cnt <= 64),
+         p AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM cap x JOIN cap y ON x.band = y.band AND x.bkey = y.bkey
+             AND x.doc_id < y.doc_id),
+         nd AS (SELECT a_id, b_id FROM p
+             JOIN el sa ON sa.doc_id = a_id
+             JOIN el sb ON sb.doc_id = b_id
+           WHERE bit_count(xor(sa.afp, sb.afp)) <= 3),
+         prt AS (SELECT doc_id, min(partner) AS dup_of FROM
+             (SELECT a_id AS doc_id, b_id AS partner FROM nd
+              UNION ALL SELECT b_id, a_id FROM nd) GROUP BY 1)
+         SELECT sg.doc_id, sg.afp, sg.n_windows, prt.dup_of,
+                prt.dup_of IS NOT NULL AS is_neardup
+         FROM sg LEFT JOIN prt USING (doc_id) ORDER BY doc_id""",
     "f5_resize_images" ->
       s"""WITH $mediaMetaSql,
          im AS (SELECT doc_id, width, height,

@@ -297,15 +297,22 @@ object MultimodalOps {
     * (a long stream never materializes all windows), and the
     * modality filter running BEFORE decode.
     */
+  /** The stub arm's per-window 16-bit energy field — shared by f4's
+    * rms (field / 65535) and f8's fingerprint deltas (the division is
+    * strictly monotone, so comparing fields ≡ comparing rms), kept in
+    * one place so the two stubs can never drift.
+    */
+  private def stubWinField(checksum: Long, i: Int): Int =
+    (((checksum ^ (i.toLong * 0xD6E8FEB86659FD93L)) >>> 16) & 0xFFFF).toInt
+
   private def audioWindowsStub(r: MediaRecord, winMs: Long, hopMs: Long,
                                maxWins: Int): Iterator[AudioWin] = {
     val meta = decode(r)
     val dur = math.max(meta.duration_ms, winMs)
     val n = math.min((dur - winMs) / hopMs + 1L, maxWins.toLong).toInt
     Iterator.tabulate(n) { i =>
-      val seed = meta.checksum ^ (i.toLong * 0xD6E8FEB86659FD93L)
       AudioWin(r.doc_id, i, i * hopMs,
-               ((seed >>> 16) & 0xFFFF).toDouble / 65535.0)
+               stubWinField(meta.checksum, i).toDouble / 65535.0)
     }
   }
 
@@ -330,6 +337,133 @@ object MultimodalOps {
            round(max(col("rms")), 6).as("peak_rms"),
            max_by(col("win_idx"), struct(col("rms"), col("win_idx")))
              .as("peak_window"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PCM16 sample access for f8's REAL audio arm: (channels,
+    * byteRate, dataOff, dataLen) of a RIFF/WAVE payload whose fmt is
+    * 16-bit integer PCM — the same chunk walk as [[decodeWav]], kept
+    * separate because the fingerprint needs the sample OFFSET, not
+    * just the metadata. None for anything else → stub arm.
+    */
+  private[graft] def wavPcm16(bytes: Array[Byte])
+      : Option[(Int, Long, Int, Long)] = {
+    def le16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def le32(o: Int) = (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+                       ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var off = 12
+      var fmt = -1; var dataOff = -1; var dataLen = -1L
+      while (off + 8 <= bytes.length && (fmt < 0 || dataOff < 0)) {
+        val id = tag(off); val len = le32(off + 4)
+        if (id == "fmt ") fmt = off + 8
+        else if (id == "data") { dataOff = off + 8; dataLen = len }
+        off += 8 + len.toInt + (len.toInt & 1)
+      }
+      if (fmt < 0 || dataOff < 0 || fmt + 16 > bytes.length) None
+      else {
+        val audioFormat = le16(fmt)
+        val channels = le16(fmt + 2)
+        val byteRate = le32(fmt + 8)
+        val bits = le16(fmt + 14)
+        if (audioFormat != 1 || bits != 16 || channels < 1 || byteRate <= 0)
+          None
+        else Some((channels, byteRate, dataOff,
+                   math.min(dataLen, (bytes.length - dataOff).toLong)))
+      }
+    }
+  }
+
+  /** Per-doc audio fingerprint row (f8). */
+  case class AudioFp(doc_id: Long, afp: Long, n_windows: Int)
+
+  /** 64-bit audio fingerprint: energy-delta SIGN bits over the f4
+    * window grid — bit i set when window i+1's energy exceeds window
+    * i's (the Haitsma–Kalker 2002 sign-of-delta shape reduced to one
+    * energy band). Sign-of-delta is what makes it a FINGERPRINT
+    * rather than a hash: amplitude scaling (volume change, re-encode
+    * gain) preserves every comparison, and localized noise flips only
+    * the bits whose windows it touches — a noised copy lands within a
+    * small hamming radius (spec-proven on constructed WAVs).
+    *
+    * Arms: REAL over 16-bit PCM WAV (per-window rms from the actual
+    * samples; [[wavPcm16]]); deterministic stub field otherwise —
+    * which keeps the registered query DuckDB-replayable on the
+    * synthetic corpus, the f1/f5/f6 seam contract.
+    */
+  private[graft] def audioFingerprint(r: MediaRecord, winMs: Long,
+                                      hopMs: Long, maxWins: Int): AudioFp = {
+    val fields: Array[Double] = wavPcm16(r.payload) match {
+      case Some((_, byteRate, dataOff, dataLen)) =>
+        val durMs = dataLen * 1000L / byteRate
+        val dur = math.max(durMs, winMs)
+        val n = math.min((dur - winMs) / hopMs + 1L, maxWins.toLong).toInt
+        Array.tabulate(n) { i =>
+          // sample byte range of window i, clamped to the data chunk;
+          // 16-bit frames → even offsets
+          val from = dataOff + ((i * hopMs * byteRate / 1000L) & ~1L).toInt
+          val until = math.min(
+            dataOff + (((i * hopMs + winMs) * byteRate / 1000L) & ~1L),
+            dataOff + dataLen).toInt
+          var sum = 0.0; var k = from; var m = 0
+          while (k + 1 < until) {
+            val s = ((r.payload(k) & 0xFF) | (r.payload(k + 1) << 8)).toShort
+            val v = s.toDouble / 32768.0
+            sum += v * v; m += 1; k += 2
+          }
+          if (m == 0) 0.0 else math.sqrt(sum / m)
+        }
+      case None =>
+        val meta = decode(r)
+        val dur = math.max(meta.duration_ms, winMs)
+        val n = math.min((dur - winMs) / hopMs + 1L, maxWins.toLong).toInt
+        Array.tabulate(n)(i => stubWinField(meta.checksum, i).toDouble)
+    }
+    var fp = 0L
+    var i = 0
+    while (i < math.min(fields.length - 1, 64)) {
+      if (fields(i + 1) > fields(i)) fp |= 1L << i
+      i += 1
+    }
+    AudioFp(r.doc_id, fp, fields.length)
+  }
+
+  /** f8: audio near-dup — completes per-modality content dedup (c12
+    * exact text, p11 fuzzy text, f6/f7 image, THIS audio): every audio
+    * payload fingerprints to 64 delta-sign bits over its window grid,
+    * then the EXACT f6 band/cap/verify machinery (4×16-bit blocking —
+    * recall guaranteed to hamming 3 — capped buckets, in-array pair
+    * expansion, hamming verify, bidirectional min partner) finds
+    * near-identical recordings. Docs with fewer than `minWins` windows
+    * carry too few delta bits to be evidence (a 1-window doc has
+    * fingerprint 0 — every such pair would "match" vacuously), so they
+    * are EXCLUDED from candidacy and report an unmatched verdict; the
+    * threshold is disclosed in the output via n_windows.
+    *
+    * 100 TB shape: fingerprinting is one mapPartitions scan of the
+    * audio slice (modality predicate reaches the scan); the pair work
+    * is band-bucketed and capped exactly like f6 — no all-pairs stage
+    * at any scale.
+    */
+  def audioNearDup(spark: SparkSession, dir: String, bucketCap: Int = 64,
+                   maxHamming: Int = 3, winMs: Long = 1000L,
+                   hopMs: Long = 500L, maxWins: Int = 65,
+                   minWins: Int = 33): DataFrame = {
+    import spark.implicits._
+    val hashed = mediaTable(spark, dir)
+      .filter(col("media_type") === "audio" && col("payload").isNotNull)
+      .as[MediaRecord]
+      .mapPartitions(_.map(audioFingerprint(_, winMs, hopMs, maxWins)))
+      .toDF()
+      .localCheckpoint(false)
+    val eligible = hashed.filter(col("n_windows") >= minWins)
+      .select(col("doc_id"), col("afp").as("phash"))
+    val partners = nearDup64Partners(eligible, bucketCap, maxHamming)
+    hashed.join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("afp"), col("n_windows"), col("dup_of"),
+              col("dup_of").isNotNull.as("is_neardup"))
       .orderBy(col("doc_id"))
   }
 
@@ -537,14 +671,27 @@ object MultimodalOps {
 
   private[graft] def imageNearDupFrom(imgs: DataFrame, bucketCap: Int,
                                       maxHamming: Int): DataFrame = {
-    import graft.functions.{CappedDistinctAgg, TextFns}
-    requireRadius(maxHamming)
     // three consumers (band explode + both pair sides + the verdict
     // base) — c3's localCheckpoint rationale
     val hashed = phashed(imgs).localCheckpoint(false)
-    val bandCols = phashBandCols
+    val partners = nearDup64Partners(hashed, bucketCap, maxHamming)
+    hashed.join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"), col("dup_of"),
+              col("dup_of").isNotNull.as("is_neardup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The one-shot 64-bit near-dup partner machinery (band/cap/verify
+    * over a (doc_id, phash) frame → per-doc min near-dup partner) —
+    * the f6 tail, extracted so f8's audio fingerprints run the exact
+    * same blocking/verify as image phashes.
+    */
+  private def nearDup64Partners(hashed: DataFrame, bucketCap: Int,
+                                maxHamming: Int): DataFrame = {
+    import graft.functions.{CappedDistinctAgg, TextFns}
+    requireRadius(maxHamming)
     val buckets = hashed
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), explode(array(phashBandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
       .groupBy(col("band"), col("bkey"))
       .agg(CappedDistinctAgg.fn(bucketCap)(col("doc_id")).as("ids"))
@@ -562,14 +709,10 @@ object MultimodalOps {
             "b_id")
       .filter(TextFns.hamming64(col("ph_a"), col("ph_b")) <= maxHamming)
       .select(col("a_id"), col("b_id"))
-    val partners = near
+    near
       .select(col("a_id").as("doc_id"), col("b_id").as("partner"))
       .union(near.select(col("b_id").as("doc_id"), col("a_id").as("partner")))
       .groupBy(col("doc_id")).agg(min(col("partner")).as("dup_of"))
-    hashed.join(partners, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("phash"), col("dup_of"),
-              col("dup_of").isNotNull.as("is_neardup"))
-      .orderBy(col("doc_id"))
   }
 
   def imageNearDup(spark: SparkSession, dir: String,

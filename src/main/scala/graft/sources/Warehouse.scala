@@ -245,11 +245,19 @@ object Warehouse {
     * oracle is DERIVED from d14's fixed-|Q| replay composed with d16's
     * vote SQL (one source of truth for the whole IVF-PQ pipeline).
     */
+  /** `kmeansIters`: the registered/oracled form builds at 0 (md5-rank
+    * sample routing — the d12/d15 convention that keeps the DuckDB
+    * replay exact); a production deployment builds refined centroids
+    * once (the ensureIvf default km=4 — recall 0.79 → 0.875 at equal
+    * probe cost per the IvfGrid sweeps) and RecallAtScaleSpec floors
+    * BOTH arms' label agreement against the exact d16.
+    */
   def knnClassifyIndexed(spark: SparkSession, dir: String, k: Int = 10,
-                         nq: Int = graft.operators.SimOps.FixedQBatch)
+                         nq: Int = graft.operators.SimOps.FixedQBatch,
+                         kmeansIters: Int = 0)
       : DataFrame = {
     import graft.operators.SimOps
-    ensureIvf(spark, dir, kmeansIters = 0)
+    ensureIvf(spark, dir, kmeansIters = kmeansIters)
     val top = annIvfPqIndexed(spark, dir, k, nq = nq)
       .select(col("query_id"), col("cand_id"))
     val emb = Tables.embeddings(spark, dir)

@@ -40,7 +40,15 @@ object ScaleBench {
     // banding machinery on pixels — should track c3's curve) and the
     // fixed-|Q| kNN vote (the d13 contract: flat query batch, one
     // corpus scan)
-    "f6_image_neardup", "d16_knn_classify", "f7_image_neardup_incr")
+    "f6_image_neardup", "d16_knn_classify", "f7_image_neardup_incr",
+    // round 12: BM25 ranked retrieval (fixed query workload — the
+    // curve is the posting aggregation, ~linear), hybrid RRF fusion
+    // (fixed batch both sides), the NB quality classifier (two
+    // term-keyed shuffles), audio near-dup (the f6 banding family on
+    // the delta-sign fingerprints), and the now-hash-green BPE
+    // accounting (scan-bound, per-row JVM encode)
+    "e16_bm25_search", "d17_hybrid_retrieval", "e17_quality_classifier",
+    "f8_audio_neardup", "e14_bpe_token_stats")
 
   /** Run `body` (a stream construction whose catch-up executes inside
     * it) with the session state-store provider pinned, restoring the
@@ -174,7 +182,15 @@ object ScaleBench {
         ("f7_image_probe", "base",
          () => graft.sources.Warehouse.imageNearDupIndexed(spark, base)),
         ("f7_image_probe", "scaled",
-         () => graft.sources.Warehouse.imageNearDupIndexed(spark, scaled)))
+         () => graft.sources.Warehouse.imageNearDupIndexed(spark, scaled)),
+        // d16b's landed form: the index builds untimed (ensureIvf in
+        // preps — the d15/ann_split amortization precedent), so this
+        // label is the recurring classify-batch cost: probe + vote.
+        // Its decade must sit well under d16's full-scan 6.2×.
+        ("d16b_knn_probe", "base",
+         () => graft.sources.Warehouse.knnClassifyIndexed(spark, base)),
+        ("d16b_knn_probe", "scaled",
+         () => graft.sources.Warehouse.knnClassifyIndexed(spark, scaled)))
     // untimed per-measurement preparation (index builds): runs before
     // the timer, so the label measures ONLY the recurring cost
     val preps: Map[(String, String), () => Unit] = Map(
@@ -189,7 +205,13 @@ object ScaleBench {
       ("f7_image_probe", "base") ->
         (() => graft.sources.Warehouse.buildPhash(spark, base)),
       ("f7_image_probe", "scaled") ->
-        (() => graft.sources.Warehouse.buildPhash(spark, scaled)))
+        (() => graft.sources.Warehouse.buildPhash(spark, scaled)),
+      ("d16b_knn_probe", "base") ->
+        (() => graft.sources.Warehouse.ensureIvf(spark, base,
+                 kmeansIters = 0)),
+      ("d16b_knn_probe", "scaled") ->
+        (() => graft.sources.Warehouse.ensureIvf(spark, scaled,
+                 kmeansIters = 0)))
     def items = allItems.filter(i => only.forall(_.contains(i._1)))
 
     // warmup: flagship-equivalent scan of both dirs

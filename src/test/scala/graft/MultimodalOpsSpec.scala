@@ -386,4 +386,78 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(rows(4L).getAs[Int]("out_w") == 256 &&
            rows(4L).getAs[Int]("out_h") == 192)
   }
+
+  test("f8 real arm: delta-sign fingerprint — noised copy within radius, different profile far") {
+    import graft.operators.MultimodalOps.{MediaRecord, audioFingerprint, wavPcm16}
+    // 1000 Hz mono 16-bit PCM, amplitude constant per 500 ms block
+    // (500 samples), alternating-sign samples so block rms == A/32768.
+    // Window i spans blocks (i, i+1); rms delta sign = sign of
+    // B(i+2)² − B(i)², so a known amp sequence pins known bits.
+    def toneWav(blockAmps: Array[Int], jitter: Int, seed: Long): Array[Byte] = {
+      val nSamples = blockAmps.length * 500
+      val dataLen = nSamples * 2
+      val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort).putShort(1.toShort)
+        .putInt(1000).putInt(2000).putShort(2.toShort).putShort(16.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var st = seed
+      blockAmps.foreach { a =>
+        (0 until 500).foreach { k =>
+          st = st * 6364136223846793005L + 1442695040888963407L
+          val j = if (jitter == 0) 0 else ((st >>> 33) % (2 * jitter + 1)).toInt - jitter
+          val amp = math.max(0, math.min(32767, a + j))
+          b.putShort((if (k % 2 == 0) amp else -amp).toShort)
+        }
+      }
+      b.array()
+    }
+    // 73 blocks → 36.5 s → the full 65-window grid; amps well-separated
+    // (≥500 apart) so ±100 jitter can never flip a delta sign
+    val rnd = new scala.util.Random(42)
+    val amps = rnd.shuffle((0 until 73).map(i => 2000 + i * 400).toVector).toArray
+    val base = toneWav(amps, 0, 1L)
+    val noisy = toneWav(amps, 100, 99L)
+    val other = toneWav(amps.reverse, 0, 1L)
+    assert(wavPcm16(base).isDefined, "real PCM16 arm must engage")
+    val fb = audioFingerprint(MediaRecord(1L, "audio", base), 1000L, 500L, 65)
+    val fn = audioFingerprint(MediaRecord(2L, "audio", noisy), 1000L, 500L, 65)
+    val fo = audioFingerprint(MediaRecord(3L, "audio", other), 1000L, 500L, 65)
+    assert(fb.n_windows == 65 && fn.n_windows == 65)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fb.afp, fn.afp) <= 3,
+      s"noised copy drifted to hamming ${ham(fb.afp, fn.afp)}")
+    assert(ham(fb.afp, fo.afp) > 3,
+      "a reversed energy profile must land outside the near-dup radius")
+    // amplitude scaling (volume change) preserves every delta sign —
+    // 1.05× keeps the loudest block under 16-bit full scale (clipping
+    // would saturate distinct blocks to equal amplitude and genuinely
+    // erase their delta, which is signal loss, not fingerprint error)
+    val loud = toneWav(amps.map(a => (a * 1.05).toInt), 0, 1L)
+    val fl = audioFingerprint(MediaRecord(4L, "audio", loud), 1000L, 500L, 65)
+    assert(ham(fb.afp, fl.afp) <= 3, "volume scaling broke the fingerprint")
+  }
+
+  test("f8 query invariants on the corpus: verdicts, eligibility gate, symmetry") {
+    import graft.operators.MultimodalOps
+    val out = MultimodalOps.audioNearDup(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("is_neardup") == !r.isNullAt(r.fieldIndex("dup_of")))
+      // short docs carry too few delta bits — never labeled near-dup
+      if (r.getAs[Int]("n_windows") < 33)
+        assert(!r.getAs[Boolean]("is_neardup"),
+          s"sub-threshold doc ${r.getAs[Long]("doc_id")} got a verdict")
+    }
+    // every dup_of partner is itself a near-dup row (bidirectional)
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out.filter(_.getAs[Boolean]("is_neardup")).foreach { r =>
+      val p = byId(r.getAs[Long]("dup_of"))
+      assert(p.getAs[Boolean]("is_neardup"),
+        s"partner ${p.getAs[Long]("doc_id")} not marked near-dup")
+    }
+  }
 }

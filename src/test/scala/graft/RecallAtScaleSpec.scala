@@ -308,6 +308,37 @@ class RecallAtScaleSpec extends SparkSpec {
     assert(rec >= 0.8, s"d10 recall $rec below floor on planted twins")
   }
 
+  test("d16b indexed classify agrees with the exact d16 vote at scale") {
+    // the landed-index classify rides d10's ~0.79+ neighbor recall,
+    // but the 10-neighbor MAJORITY vote is more robust than any single
+    // neighbor — most votes survive a few swapped neighbors. Floor the
+    // label agreement vs the exact full-scan d16 on the real corpus.
+    val exact = SimOps.knnClassify(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Any]("predicted_label")).toMap
+    val indexed = graft.sources.Warehouse.knnClassifyIndexed(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Any]("predicted_label")).toMap
+    assert(indexed.keySet == exact.keySet, "query batches differ")
+    val agree = exact.count { case (q, l) => indexed(q) == l }.toDouble /
+      exact.size
+    info(f"d16b-vs-d16 label agreement at $sfDir (km=0 oracled build): $agree%.2f")
+    assert(agree >= 0.6, s"d16b km=0 agreement $agree below floor")
+    // the production build refines centroids once (ensureIvf km=4,
+    // neighbor recall 0.79 → 0.875) — the agreement floor rises with it
+    val refined = graft.sources.Warehouse
+      .knnClassifyIndexed(spark, sfDir, kmeansIters = 4).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Any]("predicted_label")).toMap
+    val agreeR = exact.count { case (q, l) => refined(q) == l }.toDouble /
+      exact.size
+    info(f"d16b-vs-d16 label agreement at $sfDir (km=4 production build): $agreeR%.2f")
+    assert(agreeR >= 0.7, s"d16b km=4 agreement $agreeR below floor")
+    assert(agreeR >= agree - 0.05,
+      "refined routing must not degrade vote agreement")
+  }
+
   test("c5 embedding near-dup finds planted twins; 1030-vector hot bucket capped") {
     val got = DedupOps.dedupEmbedding(spark, s"$work/emb", limit = all).collect()
     val pairs = got.map(r =>
