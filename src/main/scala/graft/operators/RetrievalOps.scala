@@ -13,15 +13,17 @@ import graft.sources.Tables
   * RAG-shaped workload every LLM data pipeline runs against its own
   * corpus.
   *
-  * Scale shape (the inverted-index story): the posting table
-  * (term, doc_id, tf, dl) is ONE shuffle of the token stream — at
-  * warehouse scale it is landed once, term-bucketed (the text twin of
-  * the IVF posting lists). Every query-time stage is bounded by the
-  * QUERY side: the term set broadcasts into the posting scan, df/idf
-  * aggregate over the matched slice only (partial-aggregable), and the
+  * Scale shape (the inverted-index story): at warehouse scale the
+  * posting table (term, doc_id, tf, dl) is landed once, term-bucketed
+  * (the text twin of the IVF posting lists) and probed by key. The
+  * in-query form plays the probe WITHOUT materializing the index:
+  * the broadcast query-term filter runs against the raw occurrence
+  * stream inside the scan stage, so every post-scan stage is bounded
+  * by the QUERY side — tf/df aggregate over matched occurrences only
+  * (≈ Σ_t ctf(t) rows, never the corpus token stream), and the
   * per-(query, doc) score fold + top-k ranking run on candidate rows
-  * ≈ Σ_t df(t) — never the corpus. No stage materializes a global
-  * sort; ranking is the WindowGroupLimit partial top-k everywhere.
+  * ≈ Σ_t df(t). No stage materializes a global sort; ranking is the
+  * WindowGroupLimit partial top-k everywhere.
   *
   * Cross-engine determinism: the per-document score is a SUM of
   * per-term float contributions, and Spark aggregation order is
@@ -56,20 +58,22 @@ object RetrievalOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
 
-  /** The posting table: (term, doc_id, tf, dl) — one explode + one
-    * groupBy shuffle on (term, doc_id); dl (doc length in tokens)
-    * rides along (functionally dependent on doc_id, grouped not
-    * joined, so no second corpus pass). Tokenization = whitespace
-    * split, empties dropped (the Bpe.tokenCount word convention).
+  /** The token stream with dl riding along: (doc_id, dl, term) — one
+    * occurrence row per token. `toks` is materialized as its own
+    * projection so the non-cheap split+filter evaluates ONCE per doc
+    * (CollapseProject keeps a multiply-referenced expensive alias in
+    * its own Project; inlined, size() and explode() would each re-run
+    * the split — measured 2× scan cost at the ×1000 slice).
+    * Tokenization = whitespace split, empties dropped (the
+    * Bpe.tokenCount word convention).
     */
-  private def postings(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(col("text"), " "), w => w =!= "")
+  private def tokenStream(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-  }
+      .select(col("doc_id"),
+              filter(split(col("text"), " "), w => w =!= "").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+              explode(col("toks")).as("term"))
 
   /** Corpus stats as a 1-row broadcast (the b34 total pattern). */
   private def corpusStats(spark: SparkSession, dir: String): DataFrame =
@@ -100,11 +104,18 @@ object RetrievalOps {
     */
   private def bm25Rank(spark: SparkSession, dir: String, qterms: DataFrame,
                        k: Int, exclSelf: Boolean): DataFrame = {
-    val post = postings(spark, dir)
-    // df per query term: aggregate over the matched slice only — the
-    // distinct-term probe broadcasts, df output is ≤ |query terms| rows
+    // the inverted-index PROBE shape: the broadcast term filter runs
+    // against the raw occurrence stream INSIDE the scan stage, so the
+    // only rows that ever reach a shuffle are occurrences of query
+    // terms (≈ Σ_t ctf(t)) — the corpus-wide (term, doc) tf aggregation
+    // this replaces shuffled the WHOLE token stream (~270M occurrence
+    // rows at the ×1000 slice) to serve a 24-term query. tf then
+    // aggregates the survivors; df counts (term, doc) rows AFTER that
+    // aggregation (one row per matched doc — same count as before).
     val terms = qterms.select(col("term")).distinct()
-    val matched = post.join(broadcast(terms), "term")
+    val matched = tokenStream(spark, dir).join(broadcast(terms), "term")
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
     val dfs = matched.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     val cands0 = matched
