@@ -211,14 +211,19 @@ object SimOps {
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
               col("nrm").as("cnrm"))
     for (_ <- 1 to kmeansIters) {
+      // same slim-window discipline as nearestCells: rank cells on
+      // (vec_id, cent_id, csim) rows only, then re-join the vector —
+      // the array must not ride the |emb|×nlist window shuffle
       val scored = emb.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
+        .select(col("vec_id"), col("cent_id"),
                 (graft.functions.FloatVecDot(col("embedding"), col("ce")) /
                  (col("nrm") * col("cnrm"))).as("csim"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("csim").desc, col("cent_id"))
       val assigned = scored.withColumn("crnk", row_number().over(w))
         .filter(col("crnk") === 1)
+        .select(col("vec_id"), col("cent_id"))
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
         .select(col("cent_id"), col("embedding"))
       cents = assigned
         .select(col("cent_id"), posexplode(col("embedding")))
@@ -242,14 +247,25 @@ object SimOps {
   private[graft] def nearestCells(cents: DataFrame)(
       side: DataFrame, idCol: String, vecCol: String,
       nrmCol: String, n: Int): DataFrame = {
+    // The ranking runs on SLIM (id, cent_id, csim) rows — the vector
+    // array must not ride through the window shuffle: with it along,
+    // the |side|×nlist scored stream serialized ~40 GB of shuffle at
+    // the ×1000 slice (2M vectors × 64 cells × ~300 B) and filled the
+    // disk; slim, InferWindowGroupLimit's map-side partial top-n cuts
+    // the same shuffle to ≤n rows/vector of a few dozen bytes (all
+    // nlist rows of a vector share the map partition — the crossJoin
+    // side is broadcast). Survivors then re-join `side` by id to pick
+    // the vector back up (AQE broadcasts whichever side is tiny).
     val scored = side.crossJoin(broadcast(cents))
-      .select(col(idCol), col(vecCol), col(nrmCol), col("cent_id"),
+      .select(col(idCol), col("cent_id"),
               (graft.functions.FloatVecDot(col(vecCol), col("ce")) /
                (col(nrmCol) * col("cnrm"))).as("csim"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("csim").desc, col("cent_id"))
-    scored.withColumn("crnk", row_number().over(w))
+    val picked = scored.withColumn("crnk", row_number().over(w))
       .filter(col("crnk") <= n)
+      .select(col(idCol), col("cent_id"))
+    picked.join(side.select(col(idCol), col(vecCol), col(nrmCol)), idCol)
       .select(col(idCol), col(vecCol), col(nrmCol), col("cent_id"))
   }
 
