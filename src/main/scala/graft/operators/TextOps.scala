@@ -645,13 +645,38 @@ object TextOps {
                     nMerges: Int = bpeMergesDefault,
                     sampleDocs: Int = bpeSampleDefault): DataFrame = {
     val rank = bpeMerges(spark, dir, nMerges, sampleDocs).zipWithIndex.toMap
-    val nBpe = TextFns.bpeTokenCount(rank)
+    // The encode is WORD-independent, so it runs once per DISTINCT
+    // word and joins back by word — the oracle's own docw ⋈ done
+    // shape. The first cut ran the UDF per DOCUMENT (every word
+    // occurrence re-encoded): 545 s at the ×1000 slice, ~40× more
+    // kernel work than the vocabulary demands. Word-distinct, the UDF
+    // runs |vocab| times (the synthetic vocab ≈ 31·SF words), the
+    // encoded table broadcasts, and the query is scan-bound: explode →
+    // broadcast-join → per-doc partial-agg sum. At web scale the vocab
+    // is millions of rows — still a broadcast-or-bucketed dim versus
+    // re-encoding every occurrence.
+    val nBpeWord = udf((w: String) => Bpe.encode(w, rank).length)
+    val words = docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+    val enc = words.select(col("word"), nBpeWord(col("word")).as("ntok"))
+    val agg = docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(enc), "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ntok")).cast("long").as("n_bpe_tokens"))
     docs(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
               size(TextFns.tokens(col("text"))).cast("long")
-                .as("n_ws_tokens"),
-              nBpe(col("text")).cast("long").as("n_bpe_tokens"))
+                .as("n_ws_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ws_tokens"),
+              coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
       .withColumn("bpe_per_ws",
         round(col("n_bpe_tokens").cast("double") /
               col("n_ws_tokens").cast("double"), 4))

@@ -567,13 +567,30 @@ object Warehouse {
         Seq("vec_id"), m, subDim)
       .select(col("vec_id").as("query_id"), col("sub_j"),
               col("sub").as("qsub"))
-    // probe ⋈ partition column: DPP prunes unprobed cent_id directories
-    val hits = ivfLists(spark)
+    // probe ⋈ partition column: DPP prunes unprobed cent_id
+    // directories. A vector indexed in two probed cells carries
+    // identical codes in both, so the ADC must read it from exactly
+    // ONE cell or it double-counts — but the dedup has to happen on
+    // SLIM rows: the first cut dropDuplicates'd the full code stream
+    // (query, vec, sub_j, 8-float ce), a first()-on-arrays
+    // SORT-aggregate that spilled ~50 GB at the ×1000 slice. Now the
+    // candidate set dedups on (query_id, vec_id) alone — one posting
+    // row per (cell, vec) via the sub_j = 0 scan predicate, min
+    // cent_id as the deterministic cell choice, plain HashAggregate —
+    // and that one cell's 8 code rows re-join by (cent_id, vec_id).
+    val cand = ivfLists(spark)
+      .filter(col("sub_j") === 0)
+      .select(col("cent_id"), col("vec_id"))
       .join(broadcast(probes), "cent_id")
       .filter(col("vec_id") =!= col("query_id"))
-      // a vector indexed in two probed cells carries identical codes
-      // in both — collapse before the ADC sum or it double-counts
-      .dropDuplicates("query_id", "vec_id", "sub_j")
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(min(col("cent_id")).as("cent_id"))
+    // the code re-join's scan stays DPP-pruned through the broadcast
+    // cell filter (the big cand side alone wouldn't trigger DPP)
+    val probedLists = ivfLists(spark)
+      .join(broadcast(probes.select(col("cent_id")).dropDuplicates("cent_id")),
+            "cent_id")
+    val hits = cand.join(probedLists, Seq("cent_id", "vec_id"))
     val adc = hits
       .join(broadcast(qsubs), Seq("query_id", "sub_j"))
       .groupBy(col("query_id"), col("vec_id"))
