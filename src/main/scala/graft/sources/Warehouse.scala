@@ -252,12 +252,21 @@ object Warehouse {
     * probe cost per the IvfGrid sweeps) and RecallAtScaleSpec floors
     * BOTH arms' label agreement against the exact d16.
     */
+  /** `nlist` (default 64 — the registered/oracled config): at a fixed
+    * nlist the probe's pruning factor is nProbe·nAssign/nlist, so the
+    * ×1000 slice reads HALF the posting rows per query and ADC's
+    * m 8-dots equal one 64-dot — measured ~even with d16's codegen'd
+    * full scan there. The sustainable deployment scales nlist ∝ √N
+    * exactly like c9/c11's scaled-nlist arm (the ScaleBench
+    * `d16b_knn_scalednlist` label measures it); the registered query
+    * keeps nlist=64 because the oracle replays that routing.
+    */
   def knnClassifyIndexed(spark: SparkSession, dir: String, k: Int = 10,
                          nq: Int = graft.operators.SimOps.FixedQBatch,
-                         kmeansIters: Int = 0)
+                         kmeansIters: Int = 0, nlist: Int = 64)
       : DataFrame = {
     import graft.operators.SimOps
-    ensureIvf(spark, dir, kmeansIters = kmeansIters)
+    ensureIvf(spark, dir, nlist = nlist, kmeansIters = kmeansIters)
     val top = annIvfPqIndexed(spark, dir, k, nq = nq)
       .select(col("query_id"), col("cand_id"))
     val emb = Tables.embeddings(spark, dir)
@@ -569,34 +578,30 @@ object Warehouse {
               col("sub").as("qsub"))
     // probe ⋈ partition column: DPP prunes unprobed cent_id
     // directories. A vector indexed in two probed cells carries
-    // identical codes in both, so the ADC must read it from exactly
-    // ONE cell or it double-counts — but the dedup has to happen on
-    // SLIM rows: the first cut dropDuplicates'd the full code stream
-    // (query, vec, sub_j, 8-float ce), a first()-on-arrays
-    // SORT-aggregate that spilled ~50 GB at the ×1000 slice. Now the
-    // candidate set dedups on (query_id, vec_id) alone — one posting
-    // row per (cell, vec) via the sub_j = 0 scan predicate, min
-    // cent_id as the deterministic cell choice, plain HashAggregate —
-    // and that one cell's 8 code rows re-join by (cent_id, vec_id).
-    val cand = ivfLists(spark)
-      .filter(col("sub_j") === 0)
-      .select(col("cent_id"), col("vec_id"))
+    // IDENTICAL codes in both, so the ADC must count it once — and the
+    // collapse has to stay SLIM and SHUFFLE-CHEAP: the first cut
+    // dropDuplicates'd the full code stream (query, vec, sub_j,
+    // 8-float ce), a first()-on-arrays SORT-aggregate that spilled
+    // ~50 GB at the ×1000 slice; a second cut deduped (query, vec)
+    // keys first but paid a candidates×postings sort-merge join to get
+    // the codes back (268 s at ×1000). The landed shape is the
+    // ivfScoreTopK trick lifted to ADC: score per (query, vec, CELL) —
+    // one broadcast-probe scan of the posting lists, partial-aggable
+    // sum over the 8 scan-adjacent sub_j rows — then collapse
+    // duplicates AFTER scoring with max (per-cell sums are over the
+    // same 8 code values, so max ≡ the value). Two slim HashAggregate
+    // shuffles, no wide rows, no SMJ.
+    val hits = ivfLists(spark)
       .join(broadcast(probes), "cent_id")
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(min(col("cent_id")).as("cent_id"))
-    // the code re-join's scan stays DPP-pruned through the broadcast
-    // cell filter (the big cand side alone wouldn't trigger DPP)
-    val probedLists = ivfLists(spark)
-      .join(broadcast(probes.select(col("cent_id")).dropDuplicates("cent_id")),
-            "cent_id")
-    val hits = cand.join(probedLists, Seq("cent_id", "vec_id"))
     val adc = hits
       .join(broadcast(qsubs), Seq("query_id", "sub_j"))
-      .groupBy(col("query_id"), col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"), col("cent_id"))
       .agg(sum(graft.functions.FloatVecDot(col("qsub"), col("ce")))
              .as("adot"),
            sum(col("cn")).as("rn2"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("adot")).as("adot"), max(col("rn2")).as("rn2"))
       .join(broadcast(queries.select(col("query_id"), col("qnrm"))),
             "query_id")
       .filter(col("rn2") > 0)

@@ -190,7 +190,18 @@ object ScaleBench {
         ("d16b_knn_probe", "base",
          () => graft.sources.Warehouse.knnClassifyIndexed(spark, base)),
         ("d16b_knn_probe", "scaled",
-         () => graft.sources.Warehouse.knnClassifyIndexed(spark, scaled)))
+         () => graft.sources.Warehouse.knnClassifyIndexed(spark, scaled)),
+        // the sustainable-config arm (the c9/c11 precedent): nlist ∝
+        // √N holds the pruning factor nProbe·nAssign/nlist — at fixed
+        // nlist=64 the ×1000 probe reads HALF the posting rows per
+        // query and ADC flops equal the exact scan's, so the fixed
+        // arm's curve converges to brute force BY DESIGN; this is the
+        // config a deployment actually grows
+        ("d16b_knn_scalednlist", "base",
+         () => graft.sources.Warehouse.knnClassifyIndexed(spark, base)),
+        ("d16b_knn_scalednlist", "scaled",
+         () => graft.sources.Warehouse.knnClassifyIndexed(spark, scaled,
+                 nlist = (64 * math.sqrt(factor)).round.toInt)))
     // untimed per-measurement preparation (index builds): runs before
     // the timer, so the label measures ONLY the recurring cost
     val preps: Map[(String, String), () => Unit] = Map(
@@ -211,6 +222,13 @@ object ScaleBench {
                  kmeansIters = 0)),
       ("d16b_knn_probe", "scaled") ->
         (() => graft.sources.Warehouse.ensureIvf(spark, scaled,
+                 kmeansIters = 0)),
+      ("d16b_knn_scalednlist", "base") ->
+        (() => graft.sources.Warehouse.ensureIvf(spark, base,
+                 kmeansIters = 0)),
+      ("d16b_knn_scalednlist", "scaled") ->
+        (() => graft.sources.Warehouse.ensureIvf(spark, scaled,
+                 nlist = (64 * math.sqrt(factor)).round.toInt,
                  kmeansIters = 0)))
     def items = allItems.filter(i => only.forall(_.contains(i._1)))
 
