@@ -328,11 +328,16 @@ object SparkEntry {
            qids AS (SELECT vec_id AS query_id FROM embeddings
                     ORDER BY md5(vec_id::VARCHAR || 'q'), vec_id
                     LIMIT ${operators.SimOps.FixedQBatch}),
+           qdf AS (SELECT term, count(*)::DOUBLE AS qdf FROM post
+                   GROUP BY 1),
            qt AS (SELECT query_id, term FROM (
                     SELECT p.doc_id AS query_id, p.term,
                       row_number() OVER (PARTITION BY p.doc_id
-                        ORDER BY p.tf DESC, p.term) AS tr
-                    FROM post p JOIN qids ON p.doc_id = qids.query_id)
+                        ORDER BY p.tf * ln((st.n + 1.0::DOUBLE)
+                                           / (qdf.qdf + 1.0::DOUBLE)) DESC,
+                                 p.term) AS tr
+                    FROM post p JOIN qids ON p.doc_id = qids.query_id
+                      JOIN qdf ON p.term = qdf.term CROSS JOIN st)
                   WHERE tr <= 8),
            ${bm25Scoring(exclSelf = true)},
            txt AS (SELECT query_id, doc_id, rnk FROM rb WHERE rnk <= 20),

@@ -156,9 +156,24 @@ object RetrievalOps {
   }
 
   /** d17's text side: each query DOC's top-`nTerms` terms by
-    * (tf DESC, term ASC) — the more-like-this query formulation
+    * (tf·idf DESC, term ASC) — the Lucene-MoreLikeThis term selection
     * (bounded per query, so the broadcast stays |Q|·nTerms rows at any
-    * corpus size). The query ids are EXACTLY d13's md5-salted fixed
+    * corpus size). The idf factor is what makes more-like-this survive
+    * a REAL corpus: under a Zipf vocabulary a document's top-tf words
+    * are the corpus's stopwords (df ≈ N), so raw-tf selection
+    * degenerates the candidate set to |Q|·corpus — idf-weighted
+    * selection keeps candidates at Σ_t df(t). Disclosed honestly: on
+    * THIS synthetic corpus the change measures neutral (df is
+    * near-uniform at ~0.8% of N — ×100: min 250 / median 3862 / max
+    * 3923 over 3100 terms — so no selection can matter and d17's cost
+    * is its three corpus passes: the posting scan, this df pass, and
+    * the d13 vector side). The df table is vocab-sized: per-doc
+    * DISTINCT terms explode (array_distinct in the row), then a
+    * term-keyed count whose map-side partial compacts to ≤vocab rows
+    * per task — the shuffle is vocabulary-sized, never the corpus
+    * token stream.
+    *
+    * The query ids are EXACTLY d13's md5-salted fixed
     * batch over EMBEDDINGS vec_ids (not a parallel rank over doc_ids —
     * documents ⊋ embeddings at sf0.1, so the two rankings would pick
     * different ids); the batch joins to documents for its text.
@@ -173,12 +188,24 @@ object RetrievalOps {
     val qdocs = docs(spark, dir)
       .filter(col("text").isNotNull)
       .join(broadcast(qids), col("doc_id") === col("query_id"))
+    val dfs = docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(array_distinct(toks)).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("qdf"))
+    val nDocs = docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .agg(count(lit(1)).cast("double").as("n"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qtf").desc, col("term"))
+      .orderBy(col("tsc").desc, col("term"))
     qdocs
       .select(col("query_id"), explode(toks).as("term"))
       .groupBy(col("query_id"), col("term"))
       .agg(count(lit(1)).as("qtf"))
+      .join(dfs, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tsc", col("qtf").cast("double") *
+        log((col("n") + lit(1.0d)) / (col("qdf") + lit(1.0d))))
       .withColumn("tr", row_number().over(w))
       .filter(col("tr") <= nTerms)
       .select(col("query_id"), col("term"))
