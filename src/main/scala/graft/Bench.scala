@@ -315,8 +315,13 @@ object Bench {
     // the per-query map past ~130 queries — so ALSO persist the full
     // JSON to a stable file in the repo, committed with the round.
     // Overwritten per run; the committed copy is the last full run.
+    // SPARK_GRAFT_BENCH_OUT overrides the path so concurrent or
+    // dev-narrowed invocations can't clobber the committed artifact
+    // (the known bench/warehouse isolation constraint).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+                                    "BENCH_last_full.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_last_full.json"), line + "\n")
+      java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-JSON file write FAILED: ${e.getMessage}")
     }

@@ -284,9 +284,19 @@ object SparkEntry {
     * static map (e14 rows-only) when the corpus defeats the replay
     * (non-ASCII text or zero trained merges — see TextOps.bpeOracleSql).
     */
-  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
-    oracleSql ++
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val base = oracleSql ++
       TextOps.bpeOracleSql(spark, sfDir).map("e14_bpe_token_stats" -> _)
+    // f8-family seam guard (the bpeOracleSql convention applied to
+    // audio): the registered oracles replay only the STUB fingerprint
+    // arm, so if any corpus payload parses as real PCM16 WAV the Spark
+    // query and the DuckDB replay would legitimately diverge — detect
+    // that at dump time and fall back to the rows-only check instead
+    // of failing the driver gate opaquely.
+    if (operators.MultimodalOps.hasRealWav(spark, sfDir))
+      base - "f8_audio_neardup" - "f8b_audio_neardup_incr"
+    else base
+  }
 
   // d12 probes the LANDED index built at the registered d10
   // parameters, so the SAME replay hash-gates both paths — sharing the
@@ -322,8 +332,13 @@ object SparkEntry {
       // arithmetic (DuckDB decimal division would otherwise diverge
       // from Spark's double division)
       ("d17_hybrid_retrieval" -> {
-        val vecSql = fixedqOracle(baseOracleSql("d5_ann_ivf"))
-          .replace("WHERE rnk <= 10", "WHERE rnk <= 20")
+        val parent = fixedqOracle(baseOracleSql("d5_ann_ivf"))
+        val vecSql = parent.replace("WHERE rnk <= 10", "WHERE rnk <= 20")
+        // fail LOUD here, not as an opaque verify-time hash mismatch:
+        // if the parent replay is ever reworded the substitution above
+        // silently no-ops and d17's list depth drifts from listK=20
+        require(vecSql != parent,
+          "d17 listK rewrite missed: d5 replay no longer ends 'WHERE rnk <= 10'")
         s"""WITH $bm25Postings,
            qids AS (SELECT vec_id AS query_id FROM embeddings
                     ORDER BY md5(vec_id::VARCHAR || 'q'), vec_id

@@ -60,16 +60,27 @@ object MultimodalOps {
     def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
     if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
     else {
-      // walk the chunk list for fmt + data (other chunks tolerated)
+      // walk the chunk list for fmt + data (other chunks tolerated).
+      // The 32-bit chunk length is UNTRUSTED: a corrupt/adversarial
+      // value (e.g. 0xFFFFFFF8 → len.toInt = -8) would stall or
+      // reverse the walk — an infinite executor loop or a negative
+      // offset into tag(). Bail to None (the stub arm handles the
+      // record) on any length that is negative, larger than the
+      // payload, or that fails to advance the offset strictly.
       var off = 12
       var fmt = -1; var dataLen = -1L
-      while (off + 8 <= bytes.length && (fmt < 0 || dataLen < 0)) {
+      var corrupt = false
+      while (!corrupt && off + 8 <= bytes.length && (fmt < 0 || dataLen < 0)) {
         val id = tag(off); val len = le32(off + 4)
-        if (id == "fmt ") fmt = off + 8
-        else if (id == "data") dataLen = len
-        off += 8 + len.toInt + (len.toInt & 1)   // chunks are 2-aligned
+        if (len < 0 || len > bytes.length) corrupt = true
+        else {
+          if (id == "fmt ") fmt = off + 8
+          else if (id == "data") dataLen = len
+          val next = off + 8 + len.toInt + (len.toInt & 1) // 2-aligned
+          if (next <= off) corrupt = true else off = next
+        }
       }
-      if (fmt < 0 || dataLen < 0 || fmt + 16 > bytes.length) None
+      if (corrupt || fmt < 0 || dataLen < 0 || fmt + 16 > bytes.length) None
       else {
         val channels = le16(fmt + 2)
         val byteRate = le32(fmt + 8)
@@ -354,15 +365,23 @@ object MultimodalOps {
     def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
     if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
     else {
+      // same untrusted-length guards as decodeWav: a corrupt 32-bit
+      // chunk length must route the record to the stub arm, never hang
+      // the executor or throw out of the walk
       var off = 12
       var fmt = -1; var dataOff = -1; var dataLen = -1L
-      while (off + 8 <= bytes.length && (fmt < 0 || dataOff < 0)) {
+      var corrupt = false
+      while (!corrupt && off + 8 <= bytes.length && (fmt < 0 || dataOff < 0)) {
         val id = tag(off); val len = le32(off + 4)
-        if (id == "fmt ") fmt = off + 8
-        else if (id == "data") { dataOff = off + 8; dataLen = len }
-        off += 8 + len.toInt + (len.toInt & 1)
+        if (len < 0 || len > bytes.length) corrupt = true
+        else {
+          if (id == "fmt ") fmt = off + 8
+          else if (id == "data") { dataOff = off + 8; dataLen = len }
+          val next = off + 8 + len.toInt + (len.toInt & 1)
+          if (next <= off) corrupt = true else off = next
+        }
       }
-      if (fmt < 0 || dataOff < 0 || fmt + 16 > bytes.length) None
+      if (corrupt || fmt < 0 || dataOff < 0 || fmt + 16 > bytes.length) None
       else {
         val audioFormat = le16(fmt)
         val channels = le16(fmt + 2)
@@ -374,6 +393,23 @@ object MultimodalOps {
                    math.min(dataLen, (bytes.length - dataOff).toLong)))
       }
     }
+  }
+
+  /** True when any audio payload in the corpus parses as real PCM16
+    * WAV — i.e. f8's REAL fingerprint arm ([[wavPcm16]]) would engage
+    * on at least one row. The f8 oracle replays only the stub arm, so
+    * a corpus where this is true must drop f8's SQL to a rows-only
+    * check at oracle-dump time (the bpeOracleSql seam convention;
+    * SparkEntry.oracleSqlFor consults this). One pruned scan with an
+    * early-out per partition; only verify-time pays it.
+    */
+  def hasRealWav(spark: SparkSession, dir: String): Boolean = {
+    import spark.implicits._
+    !mediaTable(spark, dir)
+      .filter(col("media_type") === "audio" && col("payload").isNotNull)
+      .as[MediaRecord]
+      .mapPartitions(_.filter(r => wavPcm16(r.payload).isDefined).take(1))
+      .isEmpty
   }
 
   /** Per-doc audio fingerprint row (f8). */

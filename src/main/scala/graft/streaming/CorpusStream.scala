@@ -224,10 +224,17 @@ object CorpusStream {
   @volatile var lastGateStateOps: Int = -1
 
   /** Drive a foreachBatch gate over an AvailableNow source, collecting
-    * every micro-batch's verdicts. Harness only — a deployment points
-    * the sink at its accept/reject flow.
+    * every micro-batch's verdicts. Harness only — the driver-side
+    * collect is this test/verify harness's sink, NOT the deployment
+    * shape (a deployment points the sink at its accept/reject flow and
+    * never funnels verdicts through the driver). An arriving slice
+    * that produces NO micro-batch yields an EMPTY verdict frame with
+    * the probe's schema (`emptySchema` — each gate derives it from its
+    * probe applied to an empty batch), matching the batch probes'
+    * empty-input behavior instead of throwing.
     */
   private def runGate(spark: SparkSession,
+                      emptySchema: => org.apache.spark.sql.types.StructType,
                       start: (String, (DataFrame, Long) => Unit) =>
                         org.apache.spark.sql.streaming.StreamingQuery)
       : DataFrame = {
@@ -243,28 +250,45 @@ object CorpusStream {
     lastGateStateOps = q.recentProgress
       .map(p => Option(p.stateOperators).map(_.length).getOrElse(0))
       .foldLeft(0)(math.max)
-    require(schema != null, "gate stream produced no micro-batch")
-    spark.createDataFrame(spark.sparkContext.parallelize(buf.toSeq), schema)
+    val sch = if (schema != null) schema else emptySchema
+    spark.createDataFrame(spark.sparkContext.parallelize(buf.toSeq), sch)
       .orderBy(col("doc_id"))
+  }
+
+  /** An empty batch frame with the documents-table schema — the input
+    * the gates feed their probes to derive a no-micro-batch verdict
+    * schema without touching the stream.
+    */
+  private def emptyDocs(spark: SparkSession, dir: String): DataFrame = {
+    val (_, schema) = StreamFiles.dirAndSchema(spark, dir, "documents.parquet")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                          schema)
   }
 
   /** [[minhashGate]] over the corpus directory's arriving slice. */
   def streamMinhashGate(spark: SparkSession, dir: String, tau: Double = 0.5,
                         newMod: Int = graft.operators.DedupOps.IncrementalNewMod)
       : DataFrame =
-    runGate(spark, (ckpt, sink) =>
-      minhashGate(readDocuments(spark, dir)
-        .filter(pmod(col("doc_id"), lit(newMod)) === 0), ckpt, tau)(sink))
+    runGate(spark,
+      graft.operators.DedupOps.minhashProbeFrom(emptyDocs(spark, dir), tau)
+        .schema,
+      (ckpt, sink) =>
+        minhashGate(readDocuments(spark, dir)
+          .filter(pmod(col("doc_id"), lit(newMod)) === 0), ckpt, tau)(sink))
 
   /** [[phashGate]] over the corpus directory's arriving image slice. */
   def streamPhashGate(spark: SparkSession, dir: String, maxHamming: Int = 3,
                       newMod: Int =
                         graft.operators.MultimodalOps.NearDupBatchMod)
       : DataFrame =
-    runGate(spark, (ckpt, sink) =>
-      phashGate(graft.operators.MultimodalOps
-          .mediaFrom(readDocuments(spark, dir))
-          .filter(col("media_type") === "image" &&
-                  pmod(col("doc_id"), lit(newMod)) === 0),
-        ckpt, maxHamming)(sink))
+    runGate(spark,
+      graft.operators.MultimodalOps.phashProbeFrom(
+        graft.operators.MultimodalOps.mediaFrom(emptyDocs(spark, dir)),
+        maxHamming).schema,
+      (ckpt, sink) =>
+        phashGate(graft.operators.MultimodalOps
+            .mediaFrom(readDocuments(spark, dir))
+            .filter(col("media_type") === "image" &&
+                    pmod(col("doc_id"), lit(newMod)) === 0),
+          ckpt, maxHamming)(sink))
 }

@@ -170,6 +170,37 @@ class MultimodalOpsSpec extends SparkSpec {
     // duration floor is 1000) without throwing
     assert(decode(MediaRecord(6L, "audio", garbled)).checksum != 0L)
 
+    // UNTRUSTED chunk lengths (round-12 advice): a corrupt 32-bit
+    // length must route to None — not stall the walk (0xFFFFFFF8 →
+    // len.toInt = -8 kept `off` from advancing: infinite executor
+    // loop pre-fix) and not throw out of tag() on a negative offset
+    import graft.operators.MultimodalOps.wavPcm16
+    def corrupt(len: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(56)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("junk".getBytes("US-ASCII")).putInt(len)
+      b.array()
+    }
+    for (len <- Seq(0xFFFFFFF8, -1, Int.MinValue, Int.MaxValue, 1 << 20)) {
+      assert(decodeWav(7L, corrupt(len)).isEmpty, s"decodeWav len=$len")
+      assert(wavPcm16(corrupt(len)).isEmpty, s"wavPcm16 len=$len")
+    }
+    // a zero-length foreign chunk still advances past (walk continues
+    // to the real fmt/data) — the guard must not over-reject
+    val padded = {
+      val real = wavBytes(8000, 1, 16, 100)
+      val b = java.nio.ByteBuffer.allocate(real.length + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(real, 0, 12)                                  // RIFF..WAVE
+        .put("pad ".getBytes("US-ASCII")).putInt(0)       // empty chunk
+        .put(real, 12, real.length - 12)
+      b.array()
+    }
+    assert(decodeWav(8L, padded).exists(_.duration_ms > 0))
+    assert(wavPcm16(padded).isDefined)
+
     // BMP arm: exact dimensions, top-down (negative height) normalized,
     // malformed rejected
     import graft.operators.MultimodalOps.decodeBmp
