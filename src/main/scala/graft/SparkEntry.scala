@@ -119,6 +119,10 @@ object SparkEntry {
     // e16 (round 12): BM25 ranked retrieval — the inverted-index
     // keyword search b7/b25's LIKE filters stop short of
     "e16_bm25_search"           -> ((s: SparkSession, d: String) => RetrievalOps.bm25Search(s, d)),
+    // e16b (round 13): the same search through the LANDED term-bucketed
+    // posting index (Warehouse.buildPostings) — probe-only per run, the
+    // d10→d12 amortization applied to text retrieval
+    "e16b_bm25_indexed"         -> ((s: SparkSession, d: String) => graft.sources.Warehouse.bm25Indexed(s, d)),
     // e17 (round 12): learned NB quality classifier (counts-based
     // training replayed relationally in the oracle, the e3 pattern)
     "e17_quality_classifier"    -> ((s: SparkSession, d: String) => TextOps.qualityClassifier(s, d)),
@@ -304,6 +308,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     baseOracleSql +
       ("d12_ann_indexed" -> baseOracleSql("d10_ann_ivfpq")) +
+      // e16b probes the LANDED posting index built from the same corpus
+      // at the same tokenization, so the SAME replay hash-gates both —
+      // sharing the string (not copying it) makes drift impossible
+      ("e16b_bm25_indexed" -> baseOracleSql("e16_bm25_search")) +
       // a19 is a18 through the streaming rollup — one replay gates both
       ("a19_stream_anomaly" -> baseOracleSql("a18_hourly_anomaly")) +
       // b55 (ending-soonest under fixed-duration listings) IS mode 2's

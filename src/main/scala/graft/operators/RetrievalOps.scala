@@ -95,33 +95,25 @@ object RetrievalOps {
       (tf * lit(K1 + 1.0d) /
         (tf + lit(K1) * (lit(1.0d - B) + lit(B) * dl / avgdl)))
 
-  /** The shared BM25 scoring tail: candidate postings restricted to
-    * the query terms (`qterms`: query_id, term — TINY, broadcast),
-    * df over the matched term slice, per-(query, doc) score as the
-    * SORTED-term fold, per-query top-k by (score DESC, doc_id).
-    * `exclSelf` drops doc_id == query_id candidates (d17's
+  /** The shared BM25 scoring tail over an already-matched posting
+    * slice (`matched`: term, doc_id, dl, tf — ONLY query-term
+    * occurrences, whether filtered in-scan by the one-shot or read
+    * from the landed index's pruned partitions) and a 1-row `stats`
+    * frame (n, avgdl): df over the matched term slice, per-(query,
+    * doc) score as the SORTED-term fold, per-query top-k by
+    * (score DESC, doc_id). `qterms` (query_id, term) is TINY and
+    * broadcast. `exclSelf` drops doc_id == query_id candidates (d17's
     * more-like-this contract; e16 query ids are not doc ids).
     */
-  private def bm25Rank(spark: SparkSession, dir: String, qterms: DataFrame,
-                       k: Int, exclSelf: Boolean): DataFrame = {
-    // the inverted-index PROBE shape: the broadcast term filter runs
-    // against the raw occurrence stream INSIDE the scan stage, so the
-    // only rows that ever reach a shuffle are occurrences of query
-    // terms (≈ Σ_t ctf(t)) — the corpus-wide (term, doc) tf aggregation
-    // this replaces shuffled the WHOLE token stream (~270M occurrence
-    // rows at the ×1000 slice) to serve a 24-term query. tf then
-    // aggregates the survivors; df counts (term, doc) rows AFTER that
-    // aggregation (one row per matched doc — same count as before).
-    val terms = qterms.select(col("term")).distinct()
-    val matched = tokenStream(spark, dir).join(broadcast(terms), "term")
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+  private def bm25ScoreTail(matched: DataFrame, stats: DataFrame,
+                            qterms: DataFrame, k: Int,
+                            exclSelf: Boolean): DataFrame = {
     val dfs = matched.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     val cands0 = matched
       .join(broadcast(qterms), "term")
       .join(broadcast(dfs), "term")
-      .crossJoin(broadcast(corpusStats(spark, dir)))
+      .crossJoin(broadcast(stats))
     val cands = if (exclSelf) cands0.filter(col("doc_id") =!= col("query_id"))
                 else cands0
     val contrib = cands.select(
@@ -145,15 +137,153 @@ object RetrievalOps {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** e16: BM25 top-k per query over the fixed literal workload. */
-  def bm25Search(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  /** The one-shot BM25 rank: the inverted-index PROBE shape WITHOUT a
+    * materialized index — the broadcast term filter runs against the
+    * raw occurrence stream INSIDE the scan stage, so the only rows
+    * that ever reach a shuffle are occurrences of query terms
+    * (≈ Σ_t ctf(t)); the corpus-wide (term, doc) tf aggregation this
+    * replaces shuffled the WHOLE token stream (~270M occurrence rows
+    * at the ×1000 slice) to serve a 24-term query. tf then aggregates
+    * the survivors; df counts (term, doc) rows AFTER that aggregation.
+    */
+  private def bm25Rank(spark: SparkSession, dir: String, qterms: DataFrame,
+                       k: Int, exclSelf: Boolean): DataFrame = {
+    val terms = qterms.select(col("term")).distinct()
+    val matched = tokenStream(spark, dir).join(broadcast(terms), "term")
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    bm25ScoreTail(matched, corpusStats(spark, dir), qterms, k, exclSelf)
+  }
+
+  // ---------- landed posting index (e16b/d17b; Warehouse.buildPostings) ----
+
+  /** Term-bucket partition count for the landed posting table. The
+    * index is PARTITIONED by pmod(xxhash64(term), TermBuckets), so a
+    * probe's broadcast term join prunes to the buckets its terms hash
+    * into (dynamic partition pruning — the d12 cent_id mechanism
+    * applied to text). 64 buckets keeps directories coarse enough for
+    * healthy file sizes at any SF while still pruning ~7/8ths of the
+    * index for a typical 8-term query.
+    */
+  val TermBuckets = 64
+
+  /** The index's bucket routing — shared by build and probe so they
+    * can never disagree (xxhash64 is Spark-stable across versions of
+    * this library; the bucket count is baked into the metadata key).
+    */
+  private[graft] def termBucket(term: Column): Column =
+    pmod(xxhash64(term), lit(TermBuckets.toLong))
+
+  /** The landed index's two parts over a caller-supplied document
+    * frame: the posting rows (term, doc_id, dl, tf, tb) and the 1-row
+    * corpus-stats frame (n_docs, sum_dl) — counts, not averages, so
+    * incremental batches land their OWN stats row and the probe-side
+    * avgdl = Σ sum_dl / Σ n_docs stays exact under upserts. (dl is
+    * integral, so double partial sums are exact below 2^53 total
+    * tokens ≈ 36 PB of text — avg(dl double) and Σdl/Σn are therefore
+    * bit-identical, the identity WarehouseSpec pins.)
+    */
+  private[graft] def postingPartsFrom(docsDf: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val withToks = docsDf
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+              filter(split(col("text"), " "), w => w =!= "").as("toks"))
+    val lists = withToks
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+              explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", termBucket(col("term")))
+    val stats = withToks
+      .agg(count(lit(1)).as("n_docs"),
+           coalesce(sum(size(col("toks")).cast("long")), lit(0L))
+             .as("sum_dl"))
+    (lists, stats)
+  }
+
+  /** Build-time parts over a corpus dir; `excludeMod > 0` builds the
+    * STANDING index of the incremental story (docs with doc_id %
+    * excludeMod == 0 are the yet-to-arrive batch, upserted later).
+    */
+  private[graft] def postingParts(spark: SparkSession, dir: String,
+                                  excludeMod: Int): (DataFrame, DataFrame) = {
+    val base = docs(spark, dir)
+    postingPartsFrom(
+      if (excludeMod <= 0) base
+      else base.filter(pmod(col("doc_id"), lit(excludeMod)) =!= 0))
+  }
+
+  /** Corpus stats reconstructed from the landed per-batch stats rows:
+    * n = Σ n_docs, avgdl = Σ sum_dl / Σ n_docs (exact — see
+    * postingPartsFrom). Bounded: one row per landed batch.
+    */
+  private[graft] def landedStats(spark: SparkSession): DataFrame =
+    spark.table("graft_post_stats")
+      .agg(sum(col("n_docs")).cast("double").as("n"),
+           (sum(col("sum_dl")).cast("double") /
+             sum(col("n_docs")).cast("double")).as("avgdl"))
+
+  /** BM25 rank over the LANDED posting index: the probe joins the
+    * broadcast query terms against the term-bucket PARTITION column,
+    * so dynamic partition pruning opens only the buckets the query
+    * terms hash into — zero corpus scans per run; every post-scan
+    * stage is bounded by the query side exactly as in the one-shot.
+    * Must run after Warehouse.ensurePostings at matching parameters;
+    * result-identical to [[bm25Rank]] (WarehouseSpec proves it, and
+    * the registered e16b shares e16's DuckDB replay verbatim).
+    */
+  private[graft] def bm25RankIndexed(spark: SparkSession, qterms: DataFrame,
+                                     k: Int, exclSelf: Boolean): DataFrame = {
+    // the trailing =!= "" filter is semantically a no-op (qterms are
+    // split-and-dropped-empties by construction) but it is what makes
+    // the terms side DPP-ELIGIBLE: Spark's PartitionPruning rule only
+    // inserts the pruning subquery when the filtering side carries a
+    // selective plan Filter (PredicateHelper.isLikelySelective), and a
+    // literal workload's explode/distinct chain has none — without it
+    // the probe degrades to a full-index scan. WarehouseSpec asserts
+    // the dynamicpruning expression is present.
+    val terms = qterms.select(col("term")).distinct()
+      .filter(col("term") =!= "")
+      .withColumn("tb", termBucket(col("term")))
+    val matched = spark.table("graft_post_lists")
+      .join(broadcast(terms), Seq("tb", "term"))
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+    bm25ScoreTail(matched, landedStats(spark), qterms, k, exclSelf)
+  }
+
+  /** e16's literal query workload as (query_id, term) rows. */
+  private def bm25QueryTerms(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val qterms = Bm25Queries.toDF("query_id", "qtext")
+    Bm25Queries.toDF("query_id", "qtext")
       .select(col("query_id").cast("long").as("query_id"),
               explode(array_distinct(
                 filter(split(col("qtext"), " "), w => w =!= ""))).as("term"))
-    bm25Rank(spark, dir, qterms, k, exclSelf = false)
   }
+
+  /** e16: BM25 top-k per query over the fixed literal workload. */
+  def bm25Search(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bm25Rank(spark, dir, bm25QueryTerms(spark), k, exclSelf = false)
+
+  /** e16b: the same search through the landed posting index — the
+    * production retrieval posture (the d10→d12 amortization applied
+    * to text): first touch in a JVM lands the index, every subsequent
+    * run is probe-cost only and never re-reads the corpus.
+    */
+  def bm25SearchIndexed(spark: SparkSession, dir: String,
+                        k: Int = 10): DataFrame = {
+    graft.sources.Warehouse.ensurePostings(spark, dir)
+    bm25RankIndexed(spark, bm25QueryTerms(spark), k, exclSelf = false)
+  }
+
+  /** The e16b probe WITHOUT the freshness gate — for callers that just
+    * maintained the landed index themselves (upsert specs, streaming
+    * maintenance) and must probe the standing+upserted state rather
+    * than trigger a metadata-mismatch rebuild.
+    */
+  private[graft] def bm25SearchIndexedUnchecked(spark: SparkSession,
+                                                k: Int = 10): DataFrame =
+    bm25RankIndexed(spark, bm25QueryTerms(spark), k, exclSelf = false)
 
   /** d17's text side: each query DOC's top-`nTerms` terms by
     * (tf·idf DESC, term ASC) — the Lucene-MoreLikeThis term selection

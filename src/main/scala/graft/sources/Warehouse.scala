@@ -627,4 +627,116 @@ object Warehouse {
               round(col("cos"), 6).as("cosine"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  // ---------- landed BM25 posting index (the text twin of the IVF lists) ----
+
+  /** One-time posting-index landing for e16b/d17b: the term-bucketed
+    * inverted index (term, doc_id, dl, tf) written PARTITIONED BY
+    * (batch_id, tb) — tb = pmod(xxhash64(term), TermBuckets), so a
+    * probe's broadcast query-term join prunes to the buckets its terms
+    * hash into exactly as d12's cent_id probes prune cells — plus the
+    * per-batch corpus-stats table (n_docs, sum_dl; base build =
+    * batch_id -1) the probe folds into (N, avgdl), and a metadata
+    * table gating freshness (the ensureIvf convention). At 100 TB this
+    * is the search-engine posting store: built once, term-pruned per
+    * query, appended per crawl batch — the corpus token stream is
+    * never re-scanned to serve a query.
+    */
+  def buildPostings(spark: SparkSession, dir: String,
+                    excludeMod: Int = 0): Unit = {
+    import graft.operators.RetrievalOps
+    dropManaged(spark, Seq("graft_post_lists", "graft_post_stats",
+                           "graft_post_meta"))
+    val (lists, stats) = RetrievalOps.postingParts(spark, dir, excludeMod)
+    // repartition by bucket so each task writes whole tb directories
+    // (64 files total, not tasks×64 small ones)
+    lists
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"),
+              lit(-1L).as("batch_id"), col("tb"))
+      .repartition(col("tb"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("batch_id", "tb")
+      .format("parquet")
+      .saveAsTable("graft_post_lists")
+    stats
+      .select(col("n_docs"), col("sum_dl"), lit(-1L).as("batch_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("batch_id")
+      .format("parquet")
+      .saveAsTable("graft_post_stats")
+    import spark.implicits._
+    Seq(postingsBuildKey(dir, excludeMod)).toDF("build_key")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable("graft_post_meta")
+  }
+
+  private def postingsBuildKey(dir: String, excludeMod: Int): String =
+    s"$dir|tb=${graft.operators.RetrievalOps.TermBuckets}|excl=$excludeMod"
+
+  /** Build the posting index only if the landed one doesn't match
+    * these parameters — first touch in a JVM pays the build, every
+    * subsequent probe is probe-cost only (the ensureIvf gate).
+    */
+  def ensurePostings(spark: SparkSession, dir: String,
+                     excludeMod: Int = 0): Unit = {
+    val key = postingsBuildKey(dir, excludeMod)
+    val fresh = spark.catalog.tableExists("graft_post_meta") &&
+      spark.catalog.tableExists("graft_post_lists") &&
+      spark.catalog.tableExists("graft_post_stats") && {
+        val r = spark.table("graft_post_meta").collect()
+        r.length == 1 && r(0).getString(0) == key
+      }
+    if (!fresh) buildPostings(spark, dir, excludeMod)
+  }
+
+  def postLists(spark: SparkSession): DataFrame =
+    spark.table("graft_post_lists")
+  def postStats(spark: SparkSession): DataFrame =
+    spark.table("graft_post_stats")
+
+  /** Incremental posting maintenance — the text twin of [[upsertIvf]]:
+    * the arriving batch (`doc_id % batchMod == 0`) tokenizes itself,
+    * lands its posting rows under its own batch_id partitions, and
+    * adds ONE stats row — the standing postings are never read,
+    * rewritten, or re-sharded, and probe-side (N, avgdl) stays exact
+    * because stats are summable counts (see
+    * RetrievalOps.postingPartsFrom).
+    */
+  def upsertPostings(spark: SparkSession, dir: String, batchMod: Int,
+                     batchKey: Long = 0L): Unit =
+    upsertPostingsFrom(Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(batchMod)) === 0), batchKey)
+
+  /** The upsert body over a caller-supplied document batch frame —
+    * shared by the dir-based form above and the streaming maintenance
+    * flow (`CorpusStream.maintainPostings`). Exactly-once under
+    * replay: both writes are DYNAMIC partition overwrites of this
+    * batch's own `batch_id=batchKey` partitions (the upsertIvfFrom
+    * contract) — a replayed micro-batch replaces its own files and
+    * never double-appends, and standing partitions are never touched.
+    */
+  def upsertPostingsFrom(batchDocs: DataFrame, batchKey: Long = 0L): Unit = {
+    import graft.operators.RetrievalOps
+    val spark = batchDocs.sparkSession
+    val (lists, stats) = RetrievalOps.postingPartsFrom(batchDocs)
+    val owKey = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.get(owKey)
+    spark.conf.set(owKey, "dynamic")
+    try {
+      lists
+        .select(col("term"), col("doc_id"), col("dl"), col("tf"),
+                lit(batchKey).as("batch_id"), col("tb"))
+        .repartition(col("tb"))
+        .write.mode(SaveMode.Overwrite).insertInto("graft_post_lists")
+      stats
+        .select(col("n_docs"), col("sum_dl"), lit(batchKey).as("batch_id"))
+        .write.mode(SaveMode.Overwrite).insertInto("graft_post_stats")
+    } finally spark.conf.set(owKey, prior)
+  }
+
+  /** e16b: BM25 over the landed posting index — delegate kept next to
+    * the other landed probes; see RetrievalOps.bm25SearchIndexed.
+    */
+  def bm25Indexed(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RetrievalOps.bm25SearchIndexed(spark, dir)
 }

@@ -237,6 +237,82 @@ class WarehouseSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  private def tableDataFiles(table: String): Map[String, (Long, String)] = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(wh, table))
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        f.getPath -> (f.length(), md.digest(bytes).map("%02x".format(_)).mkString)
+      }.toMap
+  }
+
+  test("e16b landed postings: bucket-pruned probe, identical to one-shot e16") {
+    Warehouse.buildPostings(spark, sf)
+    val indexed = Warehouse.bm25Indexed(spark, sf)
+    // the probe's broadcast term join hits the tb PARTITION column —
+    // dynamic partition pruning must open only the buckets the query
+    // terms hash into, never the whole index
+    val plan = indexed.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning"),
+      "posting probe did not produce a dynamic partition pruning filter")
+    val fromIndex = indexed.collect().toSeq.map(_.toString)
+    val oneShot = graft.operators.RetrievalOps.bm25Search(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(fromIndex == oneShot && fromIndex.nonEmpty)
+    // freshness gate: matching params reuse, changed params rebuild
+    val built = tableDataFiles("graft_post_lists").keySet
+    Warehouse.ensurePostings(spark, sf)
+    assert(tableDataFiles("graft_post_lists").keySet == built,
+      "matching-params ensurePostings rebuilt the index")
+    Warehouse.ensurePostings(spark, sf, excludeMod = 10)
+    assert(tableDataFiles("graft_post_lists").keySet != built,
+      "changed-params ensurePostings did not rebuild")
+    Warehouse.buildPostings(spark, sf) // restore the full index
+  }
+
+  test("posting upsert: append-only batch maintenance, probe equals full one-shot") {
+    // standing index: everything except the arriving batch (doc_id % 10)
+    Warehouse.buildPostings(spark, sf, excludeMod = 10)
+    val before = tableDataFiles("graft_post_lists")
+    val statsBefore = tableDataFiles("graft_post_stats")
+    Warehouse.upsertPostings(spark, sf, batchMod = 10, batchKey = 7L)
+    spark.catalog.refreshTable("graft_post_lists")
+    spark.catalog.refreshTable("graft_post_stats")
+    // append-only: every standing data file survives BIT-IDENTICAL
+    val after = tableDataFiles("graft_post_lists")
+    assert(before.keySet.subsetOf(after.keySet))
+    before.foreach { case (p, sig) => assert(after(p) == sig, p) }
+    assert(after.size > before.size, "upsert appended no posting files")
+    val statsAfter = tableDataFiles("graft_post_stats")
+    statsBefore.foreach { case (p, sig) => assert(statsAfter(p) == sig, p) }
+    assert(statsAfter.size > statsBefore.size, "upsert added no stats row")
+    // probe-after-upsert ≡ the one-shot over the FULL corpus (N, avgdl
+    // fold across the two stats rows exactly; postings disjoint union)
+    val fromIndex = graft.operators.RetrievalOps
+      .bm25SearchIndexedUnchecked(spark)
+      .collect().toSeq.map(_.toString)
+    val oneShot = graft.operators.RetrievalOps.bm25Search(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(fromIndex == oneShot && fromIndex.nonEmpty)
+    // a REPLAY of the same batchKey must be a no-op in content
+    // (dynamic overwrite of its own partitions — exactly-once)
+    val rowsAfter = spark.table("graft_post_lists").count()
+    Warehouse.upsertPostings(spark, sf, batchMod = 10, batchKey = 7L)
+    spark.catalog.refreshTable("graft_post_lists")
+    assert(spark.table("graft_post_lists").count() == rowsAfter,
+      "replayed upsert changed posting row count")
+    val replayProbe = graft.operators.RetrievalOps
+      .bm25SearchIndexedUnchecked(spark)
+      .collect().toSeq.map(_.toString)
+    assert(replayProbe == oneShot)
+    Warehouse.buildPostings(spark, sf) // restore the full index
+  }
+
   test("ensureIvf freshness gate + d12 identity with the one-shot d10") {
     def dataFiles(): Set[String] = {
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
