@@ -217,6 +217,30 @@ object CorpusStream {
       }
       .start()
 
+  /** Streaming maintenance of the landed posting index — the text
+    * twin of VectorStream.maintainIvf: a crawler drops document
+    * batches into a landing directory; each micro-batch tokenizes
+    * ITSELF and appends its posting rows + one stats row under its own
+    * batch_id partitions (`Warehouse.upsertPostingsFrom`) — the
+    * standing postings are never read or re-sharded, and probe-side
+    * (N, avgdl) stays exact because stats are summable counts.
+    * Exactly-once in content under foreachBatch's at-least-once
+    * replay: the upsert DYNAMIC-overwrites its own batch_id
+    * partitions, so a replayed micro-batch replaces what the
+    * interrupted attempt wrote (the upsertIvfFrom contract;
+    * CorpusStreamSpec pins drain-equivalence and restart-no-op).
+    */
+  def maintainPostings(docs: DataFrame, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        graft.sources.Warehouse.upsertPostingsFrom(
+          b.select(col("doc_id"), col("text")), batchKey = batchId)
+      }
+      .start()
+
   /** Max state-operator count observed across the most recent
     * [[runGate]] stream's progress — the statelessness evidence the
     * gate specs assert (0 = no state store ever placed).

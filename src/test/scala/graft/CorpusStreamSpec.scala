@@ -176,6 +176,62 @@ class CorpusStreamSpec extends SparkSpec {
       "phash gate stream placed a state store")
   }
 
+  test("streamed posting upserts equal the full one-shot e16; restart appends nothing") {
+    import graft.sources.Warehouse
+    // standing index: everything but the arriving slice (doc_id % 10)
+    Warehouse.buildPostings(spark, sf, excludeMod = 10)
+
+    // land the batch as TWO parquet files (doc_id parity split);
+    // maxFilesPerTrigger is the file stream's own option — use two
+    // files in one landing dir so AvailableNow drains two micro-batch
+    // upserts (the VectorStreamSpec shape)
+    val landing = java.nio.file.Files.createTempDirectory("graft-post-landing")
+    val batch = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+    assert(batch.count() > 0)
+    Seq(0, 1).foreach { par =>
+      val part = java.nio.file.Files.createTempDirectory(s"graft-post-p$par")
+      batch.filter(pmod(col("doc_id"), lit(2)) === par)
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val src = java.nio.file.Files.list(part)
+      val f = try src.filter(_.toString.endsWith(".parquet")).findFirst().get()
+              finally src.close()
+      java.nio.file.Files.copy(f, landing.resolve(s"b$par.parquet"))
+    }
+
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-post-ckpt").toString
+    def drain(): Unit = {
+      val src = spark.readStream
+        .schema(Tables.documents(spark, sf).schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      CorpusStream.maintainPostings(src, ckpt).awaitTermination()
+    }
+    drain()
+    spark.catalog.refreshTable("graft_post_lists")
+    spark.catalog.refreshTable("graft_post_stats")
+    val rowsAfter = spark.table("graft_post_lists").count()
+    // two micro-batches → two new stats rows beside the base build's
+    assert(spark.table("graft_post_stats").count() == 3L)
+
+    // probes over the maintained index answer exactly the one-shot e16
+    // over the FULL corpus (union of standing + both micro-batches)
+    val fromIndex = graft.operators.RetrievalOps
+      .bm25SearchIndexedUnchecked(spark).collect().toSeq.map(_.toString)
+    val oneShot = graft.operators.RetrievalOps.bm25Search(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(fromIndex == oneShot && fromIndex.nonEmpty)
+
+    // restart over the same checkpoint: both files committed — the
+    // drain processes nothing and the index is unchanged
+    drain()
+    spark.catalog.refreshTable("graft_post_lists")
+    assert(spark.table("graft_post_lists").count() == rowsAfter)
+
+    // leave a full default index for any test that runs after
+    Warehouse.buildPostings(spark, sf)
+  }
+
   test("JSONL landing path emits row-for-row what the parquet path emits") {
     // crawlers drop newline-delimited JSON; the ingest flow must be
     // source-format-agnostic. Export the corpus as JSONL, stream it
