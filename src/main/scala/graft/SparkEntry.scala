@@ -129,6 +129,10 @@ object SparkEntry {
     // d17 (round 12): hybrid keyword+vector retrieval, RRF-fused over
     // e16's BM25 machinery and d13's fixed-|Q| IVF ranking
     "d17_hybrid_retrieval"      -> ((s: SparkSession, d: String) => RetrievalOps.hybridRetrieval(s, d)),
+    // d17b (round 13): the same fusion with BOTH lists probing landed
+    // indexes (posting table + IVF lists) — kills d17's three per-run
+    // corpus passes; d17 stays registered as the oracled one-shot foil
+    "d17b_hybrid_indexed"       -> ((s: SparkSession, d: String) => RetrievalOps.hybridRetrievalIndexed(s, d)),
     "d9_pq_quantize"            -> ((s: SparkSession, d: String) => SimOps.pqQuantize(s, d)),
     "d10_ann_ivfpq"             -> ((s: SparkSession, d: String) => SimOps.annIvfPq(s, d)),
     "d11_ann_incremental"       -> ((s: SparkSession, d: String) => SimOps.annIvfIncremental(s, d)),
@@ -339,7 +343,13 @@ object SparkEntry {
       // re-cut to the 20-deep list, RRF-fused with explicit ::DOUBLE
       // arithmetic (DuckDB decimal division would otherwise diverge
       // from Spark's double division)
-      ("d17_hybrid_retrieval" -> {
+      ("d17_hybrid_retrieval" -> d17OracleSql) +
+      // d17b probes the LANDED posting + IVF indexes built from the
+      // same corpus at the same tokenization/routing, so the SAME
+      // replay hash-gates both (the d12/e16b sharing convention)
+      ("d17b_hybrid_indexed" -> d17OracleSql)
+
+  private lazy val d17OracleSql: String = {
         val parent = fixedqOracle(baseOracleSql("d5_ann_ivf"))
         val vecSql = parent.replace("WHERE rnk <= 10", "WHERE rnk <= 20")
         // fail LOUD here, not as an opaque verify-time hash mismatch:
@@ -378,7 +388,7 @@ object SparkEntry {
            SELECT query_id, rnk, doc_id, round(rrf, 6) AS rrf_score,
                   text_rank, vec_rank
            FROM fr WHERE rnk <= 10 ORDER BY query_id, rnk"""
-      })
+      }
 
   /** Wrap a d-family top-k replay (query_id, cand_id, rnk, cosine) in
     * d16's vote/report SQL: majority vote over the neighbor labels

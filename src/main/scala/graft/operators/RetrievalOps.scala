@@ -341,30 +341,61 @@ object RetrievalOps {
       .select(col("query_id"), col("term"))
   }
 
-  /** d17: hybrid retrieval — BM25 more-like-this (top-8 terms of each
-    * query doc) fused with the d13 fixed-|Q| IVF vector ranking by
-    * reciprocal-rank fusion: rrf(d) = Σ_lists 1/(RrfK + rank_list(d)),
-    * missing list membership contributing 0. The two lists are
-    * computed independently (each already bounded and broadcast-
-    * probed), full-outer-joined on (query, doc) — k·|Q| rows a side —
-    * and re-ranked by (rrf DESC, doc_id). RRF is the standard
-    * score-scale-free fusion (Cormack & Clarke 2009): no score
-    * normalization to tune, and every arithmetic step here is a
-    * single division + fixed-order add, so the fused ranking is
-    * bit-reproducible and the oracle replays it exactly.
-    *
-    * Queries = the d13 md5-salted fixed batch ids; doc_id == vec_id
-    * by corpus construction. Both sides exclude the query doc itself.
+  /** The more-like-this term selection against the LANDED posting
+    * index: identical selection to [[queryDocTerms]] — same tsc
+    * expression, same (tsc DESC, term) window — with every corpus
+    * pass replaced by an index read: qdf(t) = that term's landed
+    * posting-row count (≡ the per-doc-distinct df the one-shot
+    * derives, because posting rows are (term, doc) unique), n from the
+    * landed stats, and only the |Q| query docs themselves are
+    * tokenized (their rows survive the broadcast id join; the scan is
+    * the only corpus touch and it feeds no shuffle). The qdf probe
+    * joins broadcast terms against the tb partition column — DPP, the
+    * bm25RankIndexed shape.
     */
-  def hybridRetrieval(spark: SparkSession, dir: String, k: Int = 10,
-                      nq: Int = SimOps.FixedQBatch, nTerms: Int = 8,
-                      listK: Int = 20): DataFrame = {
-    val text = bm25Rank(spark, dir, queryDocTerms(spark, dir, nq, nTerms),
-                        listK, exclSelf = true)
-      .select(col("query_id"), col("doc_id"), col("rnk").as("trnk"))
-    val vec = SimOps.annIvf(spark, dir, k = listK, nq = nq)
-      .select(col("query_id"), col("cand_id").as("doc_id"),
-              col("rnk").as("vrnk"))
+  private def queryDocTermsIndexed(spark: SparkSession, dir: String,
+                                   nq: Int, nTerms: Int): DataFrame = {
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+    val qids = SimOps.fixedQueryBatch(emb, nq).select(col("query_id"))
+    val qtf = docs(spark, dir)
+      .filter(col("text").isNotNull)
+      .join(broadcast(qids), col("doc_id") === col("query_id"))
+      .select(col("query_id"), explode(toks).as("term"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("qtf"))
+    val qdfTerms = qtf.select(col("term")).distinct()
+      .filter(col("term") =!= "")  // DPP eligibility (see bm25RankIndexed)
+      .withColumn("tb", termBucket(col("term")))
+    val dfs = spark.table("graft_post_lists")
+      .join(broadcast(qdfTerms), Seq("tb", "term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("qdf"))
+    val nDocs = landedStats(spark).select(col("n"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("tsc").desc, col("term"))
+    qtf
+      .join(dfs, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tsc", col("qtf").cast("double") *
+        log((col("n") + lit(1.0d)) / (col("qdf") + lit(1.0d))))
+      .withColumn("tr", row_number().over(w))
+      .filter(col("tr") <= nTerms)
+      .select(col("query_id"), col("term"))
+  }
+
+  /** The RRF fusion tail shared by d17 and d17b: rrf(d) = Σ_lists
+    * 1/(RrfK + rank_list(d)), missing list membership contributing 0.
+    * The two lists are full-outer-joined on (query, doc) — k·|Q| rows
+    * a side — and re-ranked by (rrf DESC, doc_id). RRF is the standard
+    * score-scale-free fusion (Cormack & Clarke 2009): no score
+    * normalization to tune, and every arithmetic step is a single
+    * division + fixed-order add, so the fused ranking is
+    * bit-reproducible and the oracle replays it exactly.
+    */
+  private def rrfFuse(text: DataFrame, vec: DataFrame, k: Int): DataFrame = {
     val fused = text.join(vec, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
               (coalesce(lit(1.0d) / (lit(RrfK.toDouble) + col("trnk")),
@@ -380,5 +411,51 @@ object RetrievalOps {
               round(col("rrf"), 6).as("rrf_score"),
               col("trnk").as("text_rank"), col("vrnk").as("vec_rank"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** d17: hybrid retrieval — BM25 more-like-this (top-8 terms of each
+    * query doc) fused with the d13 fixed-|Q| IVF vector ranking by
+    * reciprocal-rank fusion ([[rrfFuse]]).
+    *
+    * Queries = the d13 md5-salted fixed batch ids; doc_id == vec_id
+    * by corpus construction. Both sides exclude the query doc itself.
+    */
+  def hybridRetrieval(spark: SparkSession, dir: String, k: Int = 10,
+                      nq: Int = SimOps.FixedQBatch, nTerms: Int = 8,
+                      listK: Int = 20): DataFrame = {
+    val text = bm25Rank(spark, dir, queryDocTerms(spark, dir, nq, nTerms),
+                        listK, exclSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("trnk"))
+    val vec = SimOps.annIvf(spark, dir, k = listK, nq = nq)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+              col("rnk").as("vrnk"))
+    rrfFuse(text, vec, k)
+  }
+
+  /** d17b: the same hybrid retrieval with BOTH lists served from
+    * landed indexes — the production posture that kills d17's three
+    * per-run corpus passes: the text list probes the term-bucketed
+    * posting index (build amortized by ensurePostings), the vector
+    * list probes the persisted IVF lists through the frozen md5-rank
+    * routing (ensureIvf at kmeansIters=0, the d12 convention — the
+    * config d17's oracle replays), and only the |Q| query docs are
+    * tokenized per run. Result-identical to [[hybridRetrieval]]
+    * (RetrievalOpsSpec proves it; the registered query shares d17's
+    * DuckDB replay verbatim).
+    */
+  def hybridRetrievalIndexed(spark: SparkSession, dir: String, k: Int = 10,
+                             nq: Int = SimOps.FixedQBatch, nTerms: Int = 8,
+                             listK: Int = 20): DataFrame = {
+    graft.sources.Warehouse.ensurePostings(spark, dir)
+    graft.sources.Warehouse.ensureIvf(spark, dir, kmeansIters = 0)
+    val text = bm25RankIndexed(spark,
+                               queryDocTermsIndexed(spark, dir, nq, nTerms),
+                               listK, exclSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("trnk"))
+    val vec = graft.sources.Warehouse
+      .annIvfFlatIndexed(spark, dir, k = listK, nq = nq)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+              col("rnk").as("vrnk"))
+    rrfFuse(text, vec, k)
   }
 }

@@ -506,15 +506,17 @@ object Warehouse {
     * build amortized out.
     */
   def annIvfFlatIndexed(spark: SparkSession, dir: String, k: Int = 10,
-                        qmod: Int = 50, nProbe: Int = 8): DataFrame = {
+                        qmod: Int = 50, nProbe: Int = 8,
+                        nq: Int = 0): DataFrame = {
     import graft.operators.SimOps
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
-    val queries = emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-              col("nrm").as("qnrm"))
+    val queries = if (nq > 0) SimOps.fixedQueryBatch(emb, nq)
+      else emb.filter(pmod(col("vec_id"), lit(qmod)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+                col("nrm").as("qnrm"))
     // probe routing against the PERSISTED centroid set — the index's
     // own routing table (≤nlist rows, broadcast), never re-derived
     val probes = SimOps.nearestCells(ivfCents(spark))(

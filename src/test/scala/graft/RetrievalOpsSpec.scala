@@ -88,6 +88,22 @@ class RetrievalOpsSpec extends SparkSpec {
     }
   }
 
+  test("d17b over landed indexes is row-identical to the one-shot d17") {
+    // both index families land (or reuse) inside the query via their
+    // metadata gates; the fused output must be the EXACT d17 rows —
+    // same text list (posting probe ≡ in-scan filter, MLT selection ≡
+    // corpus-derived), same vector list (persisted md5-rank routing ≡
+    // in-query), same RRF tail (shared code)
+    val indexed = RetrievalOps.hybridRetrievalIndexed(spark, sf)
+    val plan = indexed.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning"),
+      "d17b text probe did not partition-prune the posting index")
+    val fromIndex = indexed.collect().toSeq.map(_.toString)
+    val oneShot = RetrievalOps.hybridRetrieval(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(fromIndex == oneShot && fromIndex.nonEmpty)
+  }
+
   test("e17 separates a planted corpus and scores the real one sanely") {
     import spark.implicits._
     // planted: ref docs speak vocabulary A, background speaks B, one
