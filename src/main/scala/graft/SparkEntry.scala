@@ -126,6 +126,10 @@ object SparkEntry {
     // e17 (round 12): learned NB quality classifier (counts-based
     // training replayed relationally in the oracle, the e3 pattern)
     "e17_quality_classifier"    -> ((s: SparkSession, d: String) => TextOps.qualityClassifier(s, d)),
+    // e17b (round 13): scoring through the LANDED weight table
+    // (Warehouse.buildNbModel) — no retraining pass per run; e17 stays
+    // registered as the oracled one-shot foil
+    "e17b_quality_indexed"      -> ((s: SparkSession, d: String) => TextOps.qualityClassifierIndexed(s, d)),
     // d17 (round 12): hybrid keyword+vector retrieval, RRF-fused over
     // e16's BM25 machinery and d13's fixed-|Q| IVF ranking
     "d17_hybrid_retrieval"      -> ((s: SparkSession, d: String) => RetrievalOps.hybridRetrieval(s, d)),
@@ -316,6 +320,10 @@ object SparkEntry {
       // at the same tokenization, so the SAME replay hash-gates both —
       // sharing the string (not copying it) makes drift impossible
       ("e16b_bm25_indexed" -> baseOracleSql("e16_bm25_search")) +
+      // e17b scores through the LANDED weight table trained on the
+      // same corpus (parquet roundtrips doubles bit-exactly), so the
+      // SAME replay hash-gates both
+      ("e17b_quality_indexed" -> baseOracleSql("e17_quality_classifier")) +
       // a19 is a18 through the streaming rollup — one replay gates both
       ("a19_stream_anomaly" -> baseOracleSql("a18_hourly_anomaly")) +
       // b55 (ending-soonest under fixed-duration listings) IS mode 2's

@@ -814,13 +814,20 @@ object TextOps {
     */
   private[graft] def qualityClassifierFrom(docsDf: DataFrame,
                                            refSource: String): DataFrame = {
-    // occurrence-explode form, MEASURED against the e15-style
-    // run-length rewrite at the ×100 slice: the run-length form's
-    // per-row interpreted HOF work (array_sort + two lambda passes)
-    // cost 3× more than the two occurrence-stream shuffles it
-    // eliminated (33.5 s vs 11.6 s) — the token stream here is
-    // term-keyed small rows with map-side combine, which local AND
-    // cluster shuffles move cheaply. Keep the explode.
+    val (weights, priors) = nbModelFrom(docsDf, refSource)
+    nbScoreFrom(docsDf, refSource, weights, priors)
+  }
+
+  /** The NB model over a caller-supplied frame: the term-weight table
+    * (term, lw — vocabulary-sized, NOT broadcast at scale) and the
+    * 1-row priors (npos, nneg). Training is counts-based relational
+    * algebra — one map-side-combinable term-class shuffle + three
+    * 1-row totals — so the DuckDB oracle re-derives it exactly AND the
+    * landed form (Warehouse.buildNbModel) is value-identical to the
+    * in-query one: parquet roundtrips doubles bit-exactly.
+    */
+  private[graft] def nbModelFrom(docsDf: DataFrame,
+                                 refSource: String): (DataFrame, DataFrame) = {
     val toks = filter(split(col("text"), " "), w => w =!= "")
     val base = docsDf
       .filter(col("text").isNotNull)
@@ -846,7 +853,32 @@ object TextOps {
               (log((col("cpos") + lit(1.0d)) / (col("tpos") + col("v"))) -
                log((col("cneg") + lit(1.0d)) / (col("tneg") + col("v"))))
                 .as("lw"))
-    val docTf = base.groupBy(col("doc_id"), col("is_ref"), col("term"))
+    (weights, priors)
+  }
+
+  /** The scoring-only pass: per-doc tf against a given weight table +
+    * priors — shared by the one-shot e17 (in-query model), the landed
+    * e17b (persisted model) and the streaming quality gate (each
+    * micro-batch scores itself against the landed weights). The
+    * occurrence-explode form is MEASURED against the e15-style
+    * run-length rewrite at the ×100 slice: the run-length form's
+    * per-row interpreted HOF work (array_sort + two lambda passes)
+    * cost 3× more than the two occurrence-stream shuffles it
+    * eliminated (33.5 s vs 11.6 s) — the token stream here is
+    * term-keyed small rows with map-side combine, which local AND
+    * cluster shuffles move cheaply. Keep the explode. Per-doc
+    * accumulation folds the (term ASC)-sorted contribution list (the
+    * e15/e16 cross-engine determinism convention).
+    */
+  private[graft] def nbScoreFrom(docsDf: DataFrame, refSource: String,
+                                 weights: DataFrame,
+                                 priors: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    val docTf = docsDf
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), (col("source") === refSource).as("is_ref"),
+              explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("is_ref"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val contrib = docTf.join(weights, "term")
       .select(col("doc_id"), col("is_ref"), col("term"),
@@ -863,6 +895,33 @@ object TextOps {
                 .as("log_odds"))
       .withColumn("keep", col("log_odds") > 0)
       .orderBy(col("doc_id"))
+  }
+
+  /** e17b: scoring through the LANDED model (Warehouse.buildNbModel —
+    * the d10→d12 amortization applied to the quality classifier): at
+    * 100 TB the weight table is trained once on the curated slice and
+    * every scoring run joins it, no retraining pass. Result-identical
+    * to e17 (TextOpsSpec proves it; the registered query shares e17's
+    * DuckDB replay verbatim).
+    */
+  def qualityClassifierIndexed(spark: SparkSession, dir: String,
+                               refSource: String = "src0"): DataFrame = {
+    graft.sources.Warehouse.ensureNbModel(spark, dir, refSource)
+    nbScoreProbeFrom(docs(spark, dir), refSource)
+  }
+
+  /** The landed-model scoring probe over an arbitrary (doc_id, text,
+    * source) batch frame — shared by e17b's full-corpus form and the
+    * streaming quality gate (CorpusStream.nbGate hands each
+    * micro-batch here). Scoring is per-doc against a FIXED model, so
+    * verdicts are micro-batch-split-invariant.
+    */
+  private[graft] def nbScoreProbeFrom(batch: DataFrame,
+                                      refSource: String = "src0"): DataFrame = {
+    val spark = batch.sparkSession
+    nbScoreFrom(batch, refSource,
+                spark.table("graft_nb_weights"),
+                spark.table("graft_nb_priors"))
   }
 
   /** e15: within-doc lexical diversity — word-distribution Shannon

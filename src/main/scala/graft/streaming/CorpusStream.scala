@@ -217,6 +217,30 @@ object CorpusStream {
       }
       .start()
 
+  /** e17b's landed quality model as a STREAMING stage — the learned
+    * front door that completes the gate family (exact bloomGate /
+    * fuzzy minhashGate / image phashGate / audio audioGate / THIS):
+    * each arriving micro-batch scores ITSELF against the PERSISTED
+    * NB weight table + priors (graft_nb_weights/_priors,
+    * Warehouse.buildNbModel) — scoring is per-doc against a fixed
+    * model, so verdicts are micro-batch-split-invariant and identical
+    * to the batch probe (spec-proven). Same foreachBatch shape as
+    * [[minhashGate]]: stateless by construction — the model lives in
+    * the landed tables, not in stream state; zero stateOperators
+    * asserted.
+    */
+  def nbGate(docs: DataFrame, checkpoint: String,
+             refSource: String = "src0")
+            (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink(graft.operators.TextOps.nbScoreProbeFrom(b, refSource), id)
+      }
+      .start()
+
   /** Streaming maintenance of the landed posting index — the text
     * twin of VectorStream.maintainIvf: a crawler drops document
     * batches into a landing directory; each micro-batch tokenizes
@@ -299,6 +323,19 @@ object CorpusStream {
       (ckpt, sink) =>
         minhashGate(readDocuments(spark, dir)
           .filter(pmod(col("doc_id"), lit(newMod)) === 0), ckpt, tau)(sink))
+
+  /** [[nbGate]] over the corpus directory's arriving slice. */
+  def streamNbGate(spark: SparkSession, dir: String,
+                   refSource: String = "src0",
+                   newMod: Int = graft.operators.DedupOps.IncrementalNewMod)
+      : DataFrame =
+    runGate(spark,
+      graft.operators.TextOps.nbScoreProbeFrom(emptyDocs(spark, dir),
+                                               refSource).schema,
+      (ckpt, sink) =>
+        nbGate(readDocuments(spark, dir)
+          .filter(pmod(col("doc_id"), lit(newMod)) === 0), ckpt,
+          refSource)(sink))
 
   /** [[phashGate]] over the corpus directory's arriving image slice. */
   def streamPhashGate(spark: SparkSession, dir: String, maxHamming: Int = 3,

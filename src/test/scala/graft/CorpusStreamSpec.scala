@@ -176,6 +176,29 @@ class CorpusStreamSpec extends SparkSpec {
       "phash gate stream placed a state store")
   }
 
+  test("streaming nb quality gate equals the landed batch probe and runs stateless") {
+    graft.sources.Warehouse.buildNbModel(spark, sf)
+    val streamed = CorpusStream.streamNbGate(spark, sf)
+      .collect().toSeq.map(_.toString)
+    // batch probe over the SAME arriving slice against the landed model
+    val batch = graft.operators.TextOps.nbScoreProbeFrom(
+        Tables.documents(spark, sf)
+          .filter(pmod(col("doc_id"),
+                       lit(graft.operators.DedupOps.IncrementalNewMod)) === 0))
+      .collect().toSeq.map(_.toString)
+    assert(streamed == batch && streamed.nonEmpty,
+      "streaming nb gate verdicts differ from the landed batch probe")
+    assert(CorpusStream.lastGateStateOps == 0,
+      "nb gate stream placed a state store")
+    // and the gate's verdict for a doc equals the full e17b row for it
+    // (per-doc scoring against a fixed model — split-invariant)
+    val full = graft.operators.TextOps.qualityClassifierIndexed(spark, sf)
+      .filter(pmod(col("doc_id"),
+                   lit(graft.operators.DedupOps.IncrementalNewMod)) === 0)
+      .collect().toSeq.map(_.toString)
+    assert(streamed == full)
+  }
+
   test("streamed posting upserts equal the full one-shot e16; restart appends nothing") {
     import graft.sources.Warehouse
     // standing index: everything but the arriving slice (doc_id % 10)

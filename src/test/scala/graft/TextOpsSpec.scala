@@ -518,4 +518,30 @@ class TextOpsSpec extends SparkSpec {
       assert(ne >= 0.0 && ne <= 1.0 + 1e-9, s"norm_entropy $ne out of range")
     }
   }
+
+  test("e17b landed model: scoring-only probe identical to one-shot e17") {
+    import graft.sources.Warehouse
+    Warehouse.buildNbModel(spark, sf)
+    val fromIndex = graft.operators.TextOps.qualityClassifierIndexed(spark, sf)
+      .collect().toSeq.map(_.toString)
+    val oneShot = graft.operators.TextOps.qualityClassifier(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(fromIndex == oneShot && fromIndex.nonEmpty)
+    // freshness gate: matching params reuse the landed model, a
+    // different reference slice forces a retrain
+    def weightFiles(): Set[String] = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(wh, "graft_nb_weights"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    val built = weightFiles()
+    Warehouse.ensureNbModel(spark, sf)
+    assert(weightFiles() == built, "matching-params ensureNbModel retrained")
+    Warehouse.ensureNbModel(spark, sf, refSource = "src1")
+    assert(weightFiles() != built, "changed-ref ensureNbModel did not retrain")
+    Warehouse.buildNbModel(spark, sf) // restore the default model
+  }
 }
