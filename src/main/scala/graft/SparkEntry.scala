@@ -77,6 +77,11 @@ object SparkEntry {
     // f8 (round 12): audio near-dup — delta-sign fingerprints over the
     // f4 window grid through the f6 band/cap/verify machinery
     "f8_audio_neardup"          -> ((s: SparkSession, d: String) => MultimodalOps.audioNearDup(s, d)),
+    // f8b (round 13): incremental audio near-dup — arriving batch
+    // labeled against the standing catalog only (the f7 split on f8's
+    // fingerprints); landed/streaming forms in Warehouse.buildAudio +
+    // CorpusStream.audioGate
+    "f8b_audio_neardup_incr"    -> ((s: SparkSession, d: String) => MultimodalOps.audioNearDupIncremental(s, d)),
     // P. pipeline compositions
     "p1_corpus_prep"            -> ((s: SparkSession, d: String) => PipelineOps.corpusPrep(s, d)),
     "p2_decontaminate"          -> ((s: SparkSession, d: String) => PipelineOps.decontaminate(s, d)),
@@ -287,6 +292,42 @@ object SparkEntry {
                     ELSE (1000 + ((u // 16777216) % 7200000))::BIGINT
              END AS duration_ms
          FROM sx)"""
+
+  /** f8's stub-fingerprint replay through `sg` (doc_id, afp,
+    * n_windows) — a WITH-clause fragment shared by f8's one-shot and
+    * f8b's incremental split so the fingerprint SQL has one source of
+    * truth (the bm25Postings convention). f4's window-field derivation
+    * (same HUGEINT wrap-around multiply), pairwise delta-sign bits,
+    * packed with the f6 bit_or idiom.
+    */
+  private def audioFpSql: String =
+    s"""$mediaMetaSql,
+       au AS (SELECT doc_id, u, greatest(duration_ms, 1000) AS dur
+              FROM meta WHERE media_type = 'audio'),
+       wn AS (SELECT doc_id, u,
+              least((dur - 1000) // 500 + 1, 65) AS n FROM au),
+       wx AS (SELECT doc_id, u, unnest(generate_series(0, n - 1)) AS i
+              FROM wn),
+       wv AS (SELECT doc_id, i,
+           xor(((u // 65536) % 65536)::BIGINT,
+               (((i::HUGEINT * ${java.lang.Long
+                   .toUnsignedString(0xD6E8FEB86659FD93L)}::HUGEINT)
+                 % 18446744073709551616::HUGEINT // 65536) % 65536)::BIGINT)
+             AS w
+         FROM wx),
+       fb AS (SELECT a.doc_id, a.i AS bit,
+           CASE WHEN b.w > a.w THEN 1 ELSE 0 END AS bitv
+         FROM wv a JOIN wv b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         WHERE a.i < 64),
+       bits AS (SELECT doc_id,
+           bit_or(CASE WHEN bitv = 1 THEN
+             CASE WHEN bit = 63 THEN (-9223372036854775808)::BIGINT
+                  ELSE 1::BIGINT << bit::INT END
+             ELSE 0 END) AS afp
+         FROM fb GROUP BY doc_id),
+       sg AS (SELECT wn.doc_id, coalesce(bits.afp, 0) AS afp,
+                     wn.n::INT AS n_windows
+              FROM wn LEFT JOIN bits USING (doc_id))"""
 
   /** The dir-aware oracle map Verify/VerifyOne actually dump: the
     * static `oracleSql` plus entries whose SQL interpolates
@@ -1850,34 +1891,10 @@ object SparkEntry {
     // bit_or idiom, then f6's band/cap/verify SQL over the
     // ≥33-window eligible slice. Ints compare where Spark compares
     // field/65535 doubles — the division is strictly monotone.
+    // Fingerprint prelude (through sg) shared with f8b via audioFpSql
+    // — one source of truth for the replay, the bm25Postings pattern.
     "f8_audio_neardup" ->
-      s"""WITH $mediaMetaSql,
-         au AS (SELECT doc_id, u, greatest(duration_ms, 1000) AS dur
-                FROM meta WHERE media_type = 'audio'),
-         wn AS (SELECT doc_id, u,
-                least((dur - 1000) // 500 + 1, 65) AS n FROM au),
-         wx AS (SELECT doc_id, u, unnest(generate_series(0, n - 1)) AS i
-                FROM wn),
-         wv AS (SELECT doc_id, i,
-             xor(((u // 65536) % 65536)::BIGINT,
-                 (((i::HUGEINT * ${java.lang.Long
-                     .toUnsignedString(0xD6E8FEB86659FD93L)}::HUGEINT)
-                   % 18446744073709551616::HUGEINT // 65536) % 65536)::BIGINT)
-               AS w
-           FROM wx),
-         fb AS (SELECT a.doc_id, a.i AS bit,
-             CASE WHEN b.w > a.w THEN 1 ELSE 0 END AS bitv
-           FROM wv a JOIN wv b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-           WHERE a.i < 64),
-         bits AS (SELECT doc_id,
-             bit_or(CASE WHEN bitv = 1 THEN
-               CASE WHEN bit = 63 THEN (-9223372036854775808)::BIGINT
-                    ELSE 1::BIGINT << bit::INT END
-               ELSE 0 END) AS afp
-           FROM fb GROUP BY doc_id),
-         sg AS (SELECT wn.doc_id, coalesce(bits.afp, 0) AS afp,
-                       wn.n::INT AS n_windows
-                FROM wn LEFT JOIN bits USING (doc_id)),
+      s"""WITH $audioFpSql,
          el AS (SELECT doc_id, afp FROM sg WHERE n_windows >= 33),
          e AS (SELECT doc_id, afp, band,
                  (afp >> (band * 16)::INT) & 65535 AS bkey
@@ -1900,6 +1917,41 @@ object SparkEntry {
          SELECT sg.doc_id, sg.afp, sg.n_windows, prt.dup_of,
                 prt.dup_of IS NOT NULL AS is_neardup
          FROM sg LEFT JOIN prt USING (doc_id) ORDER BY doc_id""",
+    // f8b: the shared fingerprint replay with the corpus split into a
+    // standing catalog (doc_id % mod <> 0, ELIGIBLE rows only — the
+    // index excludes sub-threshold fingerprints exactly as one-shot
+    // candidacy does) and an arriving batch (= 0, ALL rows output);
+    // the standing band index is capped at build time, candidates are
+    // batch×standing only — the f7 split applied to f8's fingerprints.
+    "f8b_audio_neardup_incr" ->
+      s"""WITH $audioFpSql,
+         st AS (SELECT doc_id, afp FROM sg
+           WHERE n_windows >= 33
+             AND doc_id % ${operators.MultimodalOps.NearDupBatchMod} <> 0),
+         nb AS (SELECT doc_id, afp, n_windows FROM sg
+           WHERE doc_id % ${operators.MultimodalOps.NearDupBatchMod} = 0),
+         nbel AS (SELECT doc_id, afp FROM nb WHERE n_windows >= 33),
+         eb0 AS (SELECT doc_id, afp, band,
+             (afp >> (band * 16)::INT) & 65535 AS bkey
+           FROM st CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+         eb AS (SELECT * FROM (
+             SELECT eb0.*, count(*) OVER (PARTITION BY band, bkey) AS cnt
+             FROM eb0)
+           WHERE cnt <= 64),
+         qb AS (SELECT doc_id, afp, band,
+             (afp >> (band * 16)::INT) & 65535 AS bkey
+           FROM nbel CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+         cand AS (SELECT DISTINCT q.doc_id AS b_id, e.doc_id AS s_id
+           FROM qb q JOIN eb e ON q.band = e.band AND q.bkey = e.bkey),
+         nd AS (SELECT b_id, s_id FROM cand
+             JOIN sg sa ON sa.doc_id = b_id
+             JOIN sg sb ON sb.doc_id = s_id
+           WHERE bit_count(xor(sa.afp, sb.afp)) <= 3),
+         prt AS (SELECT b_id AS doc_id, min(s_id) AS dup_of
+           FROM nd GROUP BY 1)
+         SELECT nb.doc_id, nb.afp, nb.n_windows, prt.dup_of,
+                prt.dup_of IS NOT NULL AS is_neardup
+         FROM nb LEFT JOIN prt USING (doc_id) ORDER BY doc_id""",
     "f5_resize_images" ->
       s"""WITH $mediaMetaSql,
          im AS (SELECT doc_id, width, height,

@@ -483,16 +483,28 @@ object MultimodalOps {
     * is band-bucketed and capped exactly like f6 — no all-pairs stage
     * at any scale.
     */
-  def audioNearDup(spark: SparkSession, dir: String, bucketCap: Int = 64,
-                   maxHamming: Int = 3, winMs: Long = 1000L,
-                   hopMs: Long = 500L, maxWins: Int = 65,
-                   minWins: Int = 33): DataFrame = {
+  /** The (doc_id, afp, n_windows) fingerprint stage over a media frame
+    * — shared by f8's one-shot, f8b's batch/standing split, the landed
+    * index build and the streaming audio gate. Callers that consume it
+    * more than once checkpoint.
+    */
+  private[graft] def audioFped(media: DataFrame, winMs: Long = 1000L,
+                               hopMs: Long = 500L,
+                               maxWins: Int = 65): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    val hashed = mediaTable(spark, dir)
+    media
       .filter(col("media_type") === "audio" && col("payload").isNotNull)
       .as[MediaRecord]
       .mapPartitions(_.map(audioFingerprint(_, winMs, hopMs, maxWins)))
       .toDF()
+  }
+
+  def audioNearDup(spark: SparkSession, dir: String, bucketCap: Int = 64,
+                   maxHamming: Int = 3, winMs: Long = 1000L,
+                   hopMs: Long = 500L, maxWins: Int = 65,
+                   minWins: Int = 33): DataFrame = {
+    val hashed = audioFped(mediaTable(spark, dir), winMs, hopMs, maxWins)
       .localCheckpoint(false)
     val eligible = hashed.filter(col("n_windows") >= minWins)
       .select(col("doc_id"), col("afp").as("phash"))
@@ -777,14 +789,14 @@ object MultimodalOps {
     * (boilerplate by definition at 16-bit keys), same contract as the
     * one-shot's.
     */
-  private[graft] def phashIndexParts(spark: SparkSession, dir: String,
-                                     bucketCap: Int = 64,
-                                     newMod: Int = NearDupBatchMod)
-      : (DataFrame, DataFrame) = {
-    // two consumers (band index + signature store)
-    val standing = phashed(imageSlice(spark, dir, newMod, batch = false))
-      .localCheckpoint(false)
-    val bands = standing
+  /** The bucket-capped (doc_id, band, bkey) band index over a
+    * (doc_id, phash) signature frame — shared by the image (f7) and
+    * audio (f8b) standing-index builds. Build-time cap: an over-cap
+    * band bucket is dropped whole (boilerplate by definition at 16-bit
+    * keys), same contract as the one-shot's.
+    */
+  private def cappedBandIndex(sigs: DataFrame, bucketCap: Int): DataFrame =
+    sigs
       .select(col("doc_id"), explode(array(phashBandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
       .groupBy(col("band"), col("bkey"))
@@ -792,7 +804,15 @@ object MultimodalOps {
              .as("ids"))
       .filter(size(col("ids")) <= bucketCap)
       .select(explode(col("ids")).as("doc_id"), col("band"), col("bkey"))
-    (bands, standing)
+
+  private[graft] def phashIndexParts(spark: SparkSession, dir: String,
+                                     bucketCap: Int = 64,
+                                     newMod: Int = NearDupBatchMod)
+      : (DataFrame, DataFrame) = {
+    // two consumers (band index + signature store)
+    val standing = phashed(imageSlice(spark, dir, newMod, batch = false))
+      .localCheckpoint(false)
+    (cappedBandIndex(standing, bucketCap), standing)
   }
 
   /** Probe + label stage shared by f7's one-shot and landed forms: the
@@ -869,6 +889,105 @@ object MultimodalOps {
     nearDupProbe(phashed(batchImgs),
                  spark.table("graft_phash_bands"),
                  spark.table("graft_phash_sigs"), maxHamming)
+  }
+
+  private def audioSlice(spark: SparkSession, dir: String,
+                         newMod: Int, batch: Boolean): DataFrame =
+    mediaTable(spark, dir).filter(col("media_type") === "audio" &&
+      (if (batch) pmod(col("doc_id"), lit(newMod)) === 0
+       else pmod(col("doc_id"), lit(newMod)) =!= 0))
+
+  /** f8b's standing-catalog index parts: the bucket-capped band index
+    * and the (doc_id, phash=afp) signature store over the standing
+    * ELIGIBLE audio fingerprints (docs under `minWins` windows carry
+    * too few delta bits to be evidence — f8's eligibility contract —
+    * so they are excluded from the index, exactly as they are excluded
+    * from one-shot candidacy).
+    */
+  private[graft] def audioIndexParts(spark: SparkSession, dir: String,
+                                     bucketCap: Int = 64,
+                                     newMod: Int = NearDupBatchMod,
+                                     winMs: Long = 1000L, hopMs: Long = 500L,
+                                     maxWins: Int = 65, minWins: Int = 33)
+      : (DataFrame, DataFrame) = {
+    val standing = audioFped(audioSlice(spark, dir, newMod, batch = false),
+                             winMs, hopMs, maxWins)
+      .filter(col("n_windows") >= minWins)
+      .select(col("doc_id"), col("afp").as("phash"))
+      .localCheckpoint(false)
+    (cappedBandIndex(standing, bucketCap), standing)
+  }
+
+  /** The f8b verdict stage over a fingerprinted batch frame: eligible
+    * batch rows probe the standing band index + signature store
+    * (nearDupProbe — the f7 broadcast-probe contract), ineligible rows
+    * skip candidacy and report unmatched; every batch row gets a
+    * verdict carrying its n_windows (the disclosed eligibility
+    * threshold).
+    */
+  private def audioVerdict(fps: DataFrame, exBands: DataFrame,
+                           exSigs: DataFrame, maxHamming: Int,
+                           minWins: Int): DataFrame = {
+    val f = fps.localCheckpoint(false)
+    val eligible = f.filter(col("n_windows") >= minWins)
+      .select(col("doc_id"), col("afp").as("phash"))
+    val prt = nearDupProbe(eligible, exBands, exSigs, maxHamming)
+      .select(col("doc_id"), col("dup_of"))
+    f.join(prt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("afp"), col("n_windows"), col("dup_of"),
+              col("dup_of").isNotNull.as("is_neardup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** f8b: incremental audio near-dup — the crawler production shape
+    * that completes the per-modality incremental family (c12 exact
+    * text, p11 fuzzy text, f7 image, THIS audio): an arriving batch of
+    * recordings is fingerprinted and labeled against the STANDING
+    * catalog only, never against itself — a re-encoded or re-gained
+    * recording is caught before it enters the corpus. Same
+    * fingerprint (real PCM16 arm + stub seam) and same 4×16-bit
+    * blocking as f8; only batch rows are output, each with its min
+    * standing partner.
+    */
+  def audioNearDupIncremental(spark: SparkSession, dir: String,
+                              bucketCap: Int = 64, maxHamming: Int = 3,
+                              winMs: Long = 1000L, hopMs: Long = 500L,
+                              maxWins: Int = 65, minWins: Int = 33,
+                              newMod: Int = NearDupBatchMod): DataFrame = {
+    val (bands, sigs) = audioIndexParts(spark, dir, bucketCap, newMod,
+                                        winMs, hopMs, maxWins, minWins)
+    audioVerdict(audioFped(audioSlice(spark, dir, newMod, batch = true),
+                           winMs, hopMs, maxWins),
+                 bands, sigs, maxHamming, minWins)
+  }
+
+  /** f8b over the LANDED standing index (graft_audio_bands /
+    * graft_audio_sigs, Warehouse.buildAudio): only the arriving batch
+    * is fingerprinted — the standing catalog's recordings are never
+    * re-read, and the persisted tables reach the plan only through
+    * broadcast joins.
+    */
+  private[graft] def audioNearDupIndexed(spark: SparkSession, dir: String,
+                                         maxHamming: Int = 3,
+                                         newMod: Int = NearDupBatchMod)
+      : DataFrame =
+    audioProbeFrom(audioSlice(spark, dir, newMod, batch = true), maxHamming)
+
+  /** The landed-index probe over an arbitrary media batch frame —
+    * shared by the dir-slice form above and the streaming gate
+    * (CorpusStream.audioGate hands each micro-batch here).
+    * Fingerprinting is per-recording, so verdicts are
+    * micro-batch-split-invariant against the standing catalog.
+    */
+  private[graft] def audioProbeFrom(batchMedia: DataFrame,
+                                    maxHamming: Int = 3,
+                                    winMs: Long = 1000L, hopMs: Long = 500L,
+                                    maxWins: Int = 65,
+                                    minWins: Int = 33): DataFrame = {
+    val spark = batchMedia.sparkSession
+    audioVerdict(audioFped(batchMedia, winMs, hopMs, maxWins),
+                 spark.table("graft_audio_bands"),
+                 spark.table("graft_audio_sigs"), maxHamming, minWins)
   }
 
   /** f3: decoded metadata joined BACK to the document table — the

@@ -475,6 +475,37 @@ object Warehouse {
     graft.operators.MultimodalOps.imageNearDupIndexed(spark, dir, maxHamming,
                                                       newMod)
 
+  /** Land f8b's standing audio-catalog index: the bucket-capped band
+    * table and the (doc_id, phash=afp) signature store over the
+    * standing ELIGIBLE fingerprints (the buildPhash shape on audio).
+    * The probe (MultimodalOps.audioNearDupIndexed / the streaming
+    * audioGate) then fingerprints only the arriving batch — the
+    * catalog's recordings are never re-read.
+    */
+  def buildAudio(spark: SparkSession, dir: String, bucketCap: Int = 64,
+                 newMod: Int = graft.operators.MultimodalOps.NearDupBatchMod)
+      : Unit = {
+    dropManaged(spark, Seq("graft_audio_bands", "graft_audio_sigs"))
+    val (bands, sigs) = graft.operators.MultimodalOps
+      .audioIndexParts(spark, dir, bucketCap, newMod)
+    bands.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable("graft_audio_bands")
+    sigs.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable("graft_audio_sigs")
+  }
+
+  /** See [[buildAudio]]; delegate kept next to the other landed probes.
+    * `newMod` threads through to the batch slice (the buildPhash
+    * advice-fix convention).
+    */
+  def audioNearDupIndexed(spark: SparkSession, dir: String,
+                          maxHamming: Int = 3,
+                          newMod: Int =
+                            graft.operators.MultimodalOps.NearDupBatchMod)
+      : DataFrame =
+    graft.operators.MultimodalOps.audioNearDupIndexed(spark, dir, maxHamming,
+                                                      newMod)
+
   def buildMinhash(spark: SparkSession, dir: String, bucketCap: Int = 64,
                    newMod: Int = graft.operators.DedupOps.IncrementalNewMod): Unit = {
     dropManaged(spark, Seq("graft_minhash_bands", "graft_minhash_sigs"))

@@ -217,6 +217,24 @@ object CorpusStream {
       }
       .start()
 
+  /** f8b's landed audio gate as a STREAMING stage — same foreachBatch
+    * shape as [[phashGate]]: each arriving micro-batch fingerprints
+    * only its own recordings (real-PCM16/stub seam unchanged) and
+    * probes the persisted band index + signature store
+    * (graft_audio_bands/_sigs, Warehouse.buildAudio); the standing
+    * catalog is never re-read.
+    */
+  def audioGate(media: DataFrame, checkpoint: String, maxHamming: Int = 3)
+               (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink(graft.operators.MultimodalOps.audioProbeFrom(b, maxHamming), id)
+      }
+      .start()
+
   /** e17b's landed quality model as a STREAMING stage — the learned
     * front door that completes the gate family (exact bloomGate /
     * fuzzy minhashGate / image phashGate / audio audioGate / THIS):
@@ -323,6 +341,22 @@ object CorpusStream {
       (ckpt, sink) =>
         minhashGate(readDocuments(spark, dir)
           .filter(pmod(col("doc_id"), lit(newMod)) === 0), ckpt, tau)(sink))
+
+  /** [[audioGate]] over the corpus directory's arriving audio slice. */
+  def streamAudioGate(spark: SparkSession, dir: String, maxHamming: Int = 3,
+                      newMod: Int =
+                        graft.operators.MultimodalOps.NearDupBatchMod)
+      : DataFrame =
+    runGate(spark,
+      graft.operators.MultimodalOps.audioProbeFrom(
+        graft.operators.MultimodalOps.mediaFrom(emptyDocs(spark, dir)),
+        maxHamming).schema,
+      (ckpt, sink) =>
+        audioGate(graft.operators.MultimodalOps
+            .mediaFrom(readDocuments(spark, dir))
+            .filter(col("media_type") === "audio" &&
+                    pmod(col("doc_id"), lit(newMod)) === 0),
+          ckpt, maxHamming)(sink))
 
   /** [[nbGate]] over the corpus directory's arriving slice. */
   def streamNbGate(spark: SparkSession, dir: String,

@@ -176,6 +176,18 @@ class CorpusStreamSpec extends SparkSpec {
       "phash gate stream placed a state store")
   }
 
+  test("streaming audio gate equals the landed batch probe and runs stateless") {
+    graft.sources.Warehouse.buildAudio(spark, sf)
+    val streamed = CorpusStream.streamAudioGate(spark, sf)
+      .collect().toSeq.map(_.toString)
+    val batch = graft.sources.Warehouse.audioNearDupIndexed(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(streamed == batch && streamed.nonEmpty,
+      "streaming audio gate verdicts differ from the landed batch probe")
+    assert(CorpusStream.lastGateStateOps == 0,
+      "audio gate stream placed a state store")
+  }
+
   test("streaming nb quality gate equals the landed batch probe and runs stateless") {
     graft.sources.Warehouse.buildNbModel(spark, sf)
     val streamed = CorpusStream.streamNbGate(spark, sf)

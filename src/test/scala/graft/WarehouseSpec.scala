@@ -215,6 +215,27 @@ class WarehouseSpec extends SparkSpec {
       s"landed phash store re-sharded:\n${offending.map(_.nodeName).mkString("\n")}")
   }
 
+  test("f8b landed audio index: probe never re-reads the catalog, identical to one-shot") {
+    Warehouse.buildAudio(spark, sf)
+    val indexed = Warehouse.audioNearDupIndexed(spark, sf)
+    val got = nodes(indexed)
+    val result = indexed.collect().toSeq.map(_.toString)
+    val oneShot = graft.operators.MultimodalOps
+      .audioNearDupIncremental(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(result == oneShot && result.nonEmpty)
+    // the landed band index and signature store may reach a shuffle
+    // only through broadcast joins (the c12/f7 probe contract)
+    def reshards(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      if (p.nodeName.contains("BroadcastHashJoin")) false
+      else if (p.children.isEmpty && p.toString.contains("graft_audio")) true
+      else org.apache.spark.sql.graftbridge.planChildren(p).exists(reshards)
+    val offending = got.filter(p => p.isInstanceOf[ShuffleExchangeLike] &&
+      org.apache.spark.sql.graftbridge.planChildren(p).exists(reshards))
+    assert(offending.isEmpty,
+      s"landed audio store re-sharded:\n${offending.map(_.nodeName).mkString("\n")}")
+  }
+
   test("bucketed d7 semi join is exchange-free and result-identical to plain d7") {
     Warehouse.buildAnn(spark, sf)
     val bucketed = Warehouse.annFilteredBucketed(spark)
