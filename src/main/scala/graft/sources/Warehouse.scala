@@ -118,10 +118,38 @@ object Warehouse {
     * vector in two cells has its codes duplicated in both, exactly
     * like a real IVF posting list.
     */
+  /** Resolve a coarse-quantizer sizing rule against the corpus'
+    * vector count: "fixed:<k>" pins nlist = k (the registered/oracled
+    * configs); "sqrt:<base>@<n0>" grows nlist = max(base,
+    * round(base·√(n/n0))) — the measured sustainable curve (c9/c11/
+    * d16b scaled arms: nlist ∝ √N keeps both routing and per-cell work
+    * O(N^1.5)). Persisting the RULE with the index (graft_ivf_meta)
+    * means a deployment's rebuild at 10× the data sizes itself — no
+    * hand-carried constant.
+    */
+  def resolveNlist(rule: String, n: Long): Int = rule.split("[:@]") match {
+    case Array("fixed", k) => k.toInt
+    case Array("sqrt", base, n0) =>
+      math.max(base.toInt,
+        math.round(base.toInt * math.sqrt(n.toDouble / n0.toLong)).toInt)
+    case _ => throw new IllegalArgumentException(s"bad nlist rule: $rule")
+  }
+
+  /** The landed index's sizing rule (graft_ivf_meta.nlist_rule). */
+  def landedNlistRule(spark: SparkSession): String =
+    spark.table("graft_ivf_meta").collect()(0).getString(1)
+
+  /** `nlistRule`: "fixed" keeps the passed `nlist` (every registered/
+    * oracled path); any other value is a [[resolveNlist]] rule string
+    * resolved against the build slice's vector count, overriding
+    * `nlist`. The applied rule rides in graft_ivf_meta next to the
+    * build key, so freshness gating distinguishes a ruled build from a
+    * fixed one even at the same resolved nlist.
+    */
   def buildIvf(spark: SparkSession, dir: String, nlist: Int = 64,
                nAssign: Int = 4, ks: Int = 256, m: Int = 8,
                subDim: Int = 8, kmeansIters: Int = 4,
-               excludeMod: Int = 0): Unit = {
+               excludeMod: Int = 0, nlistRule: String = "fixed"): Unit = {
     import graft.operators.SimOps
     dropManaged(spark, Seq("graft_ivf_lists", "graft_ivf_cents",
                            "graft_ivf_book", "graft_ivf_meta"))
@@ -131,8 +159,13 @@ object Warehouse {
     val embAll = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
-    val emb = if (excludeMod <= 0) embAll
+    val emb0 = if (excludeMod <= 0) embAll
       else embAll.filter(pmod(col("vec_id"), lit(excludeMod)) =!= 0)
+    val (resolvedNlist, ruleTag) =
+      if (nlistRule == "fixed") (nlist, s"fixed:$nlist")
+      else (resolveNlist(nlistRule, emb0.count()), nlistRule)
+    val nlistR = resolvedNlist
+    val emb = emb0
     // The build-once path defaults to Lloyd-REFINED coarse centroids
     // (kmeansIters=4): the refinement is a build-time cost amortized
     // across every probe, and the measured sweeps (IvfGrid/KmSweep,
@@ -140,7 +173,7 @@ object Warehouse {
     // adds only +0.0025 more — past the knee). The centroid set is
     // PERSISTED with the index — a real IVF index ships its centroids;
     // probes read the ≤nlist-row table instead of re-deriving routing.
-    val cents = SimOps.ivfCentroids(emb, nlist, kmeansIters)
+    val cents = SimOps.ivfCentroids(emb, nlistR, kmeansIters)
     cents.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable("graft_ivf_cents")
     val landedCents = spark.table("graft_ivf_cents")
@@ -176,31 +209,43 @@ object Warehouse {
     // different params (specs, grids) can never be mistaken for the
     // standing index.
     import spark.implicits._
-    Seq(ivfBuildKey(dir, nlist, nAssign, ks, m, subDim, kmeansIters,
-                    excludeMod))
-      .toDF("build_key")
+    Seq((ivfBuildKey(dir, nlistR, nAssign, ks, m, subDim, kmeansIters,
+                     excludeMod, ruleTag), ruleTag))
+      .toDF("build_key", "nlist_rule")
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable("graft_ivf_meta")
   }
 
   private def ivfBuildKey(dir: String, nlist: Int, nAssign: Int, ks: Int,
                           m: Int, subDim: Int, kmeansIters: Int,
-                          excludeMod: Int): String =
+                          excludeMod: Int, ruleTag: String): String =
     s"$dir|nlist=$nlist|nAssign=$nAssign|ks=$ks|m=$m|subDim=$subDim|" +
-      s"km=$kmeansIters|excl=$excludeMod"
+      s"km=$kmeansIters|excl=$excludeMod|rule=$ruleTag"
 
   /** Build the IVF-PQ index only if the landed one (per its own
     * metadata table) doesn't already match these parameters — the
     * query-side freshness gate: first touch in a JVM pays the build,
     * every subsequent probe is probe-cost only, exactly the
-    * amortization a production index exists for.
+    * amortization a production index exists for. A ruled ensure
+    * (nlistRule != "fixed") resolves the rule against the build
+    * slice's current count, so growing data forces the resize rebuild
+    * a √N deployment wants.
     */
   def ensureIvf(spark: SparkSession, dir: String, nlist: Int = 64,
                 nAssign: Int = 4, ks: Int = 256, m: Int = 8,
                 subDim: Int = 8, kmeansIters: Int = 4,
-                excludeMod: Int = 0): Unit = {
-    val key = ivfBuildKey(dir, nlist, nAssign, ks, m, subDim,
-                          kmeansIters, excludeMod)
+                excludeMod: Int = 0, nlistRule: String = "fixed"): Unit = {
+    val (resolved, ruleTag) =
+      if (nlistRule == "fixed") (nlist, s"fixed:$nlist")
+      else {
+        val embAll = Tables.embeddings(spark, dir)
+        val n = (if (excludeMod <= 0) embAll
+                 else embAll.filter(pmod(col("vec_id"),
+                                         lit(excludeMod)) =!= 0)).count()
+        (resolveNlist(nlistRule, n), nlistRule)
+      }
+    val key = ivfBuildKey(dir, resolved, nAssign, ks, m, subDim,
+                          kmeansIters, excludeMod, ruleTag)
     val fresh = spark.catalog.tableExists("graft_ivf_meta") &&
       spark.catalog.tableExists("graft_ivf_lists") && {
         val r = spark.table("graft_ivf_meta").collect()
@@ -208,7 +253,7 @@ object Warehouse {
       }
     if (!fresh)
       buildIvf(spark, dir, nlist, nAssign, ks, m, subDim, kmeansIters,
-               excludeMod)
+               excludeMod, nlistRule)
   }
 
   /** d12: the landed-index ANN probe as a driver-checked query — the
@@ -263,10 +308,12 @@ object Warehouse {
     */
   def knnClassifyIndexed(spark: SparkSession, dir: String, k: Int = 10,
                          nq: Int = graft.operators.SimOps.FixedQBatch,
-                         kmeansIters: Int = 0, nlist: Int = 64)
+                         kmeansIters: Int = 0, nlist: Int = 64,
+                         nlistRule: String = "fixed")
       : DataFrame = {
     import graft.operators.SimOps
-    ensureIvf(spark, dir, nlist = nlist, kmeansIters = kmeansIters)
+    ensureIvf(spark, dir, nlist = nlist, kmeansIters = kmeansIters,
+              nlistRule = nlistRule)
     val top = annIvfPqIndexed(spark, dir, k, nq = nq)
       .select(col("query_id"), col("cand_id"))
     val emb = Tables.embeddings(spark, dir)

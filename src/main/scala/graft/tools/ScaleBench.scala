@@ -196,12 +196,15 @@ object ScaleBench {
         // nlist=64 the ×1000 probe reads HALF the posting rows per
         // query and ADC flops equal the exact scan's, so the fixed
         // arm's curve converges to brute force BY DESIGN; this is the
-        // config a deployment actually grows
+        // config a deployment actually grows. The scaled arm carries
+        // the √N rule IN THE INDEX METADATA (round-13): the prep lands
+        // the index under a "sqrt:64@<baseN>" rule and the probe reads
+        // the landed rule back — no hand-carried ×factor constant.
         ("d16b_knn_scalednlist", "base",
          () => graft.sources.Warehouse.knnClassifyIndexed(spark, base)),
         ("d16b_knn_scalednlist", "scaled",
          () => graft.sources.Warehouse.knnClassifyIndexed(spark, scaled,
-                 nlist = (64 * math.sqrt(factor)).round.toInt)))
+                 nlistRule = graft.sources.Warehouse.landedNlistRule(spark))))
     // untimed per-measurement preparation (index builds): runs before
     // the timer, so the label measures ONLY the recurring cost
     val preps: Map[(String, String), () => Unit] = Map(
@@ -227,9 +230,13 @@ object ScaleBench {
         (() => graft.sources.Warehouse.ensureIvf(spark, base,
                  kmeansIters = 0)),
       ("d16b_knn_scalednlist", "scaled") ->
-        (() => graft.sources.Warehouse.ensureIvf(spark, scaled,
-                 nlist = (64 * math.sqrt(factor)).round.toInt,
-                 kmeansIters = 0)))
+        (() => {
+          // rule calibrated at the base dir's measured count — at the
+          // scaled dir it resolves to 64·√factor with nothing typed in
+          val n0 = spark.read.parquet(s"$base/embeddings.parquet").count()
+          graft.sources.Warehouse.ensureIvf(spark, scaled,
+            kmeansIters = 0, nlistRule = s"sqrt:64@$n0")
+        }))
     def items = allItems.filter(i => only.forall(_.contains(i._1)))
 
     // warmup: flagship-equivalent scan of both dirs

@@ -359,5 +359,26 @@ class WarehouseSpec extends SparkSpec {
     // changed params: the metadata mismatch must force a rebuild
     Warehouse.ensureIvf(spark, sf, kmeansIters = 1)
     assert(dataFiles() != built, "changed-params ensureIvf did not rebuild")
+
+    // ---- the persisted nlist RULE (round 13) ----
+    // rule arithmetic first
+    assert(Warehouse.resolveNlist("fixed:64", 1000000L) == 64)
+    assert(Warehouse.resolveNlist("sqrt:64@2000", 2000L) == 64)
+    assert(Warehouse.resolveNlist("sqrt:64@2000", 200000L) == 640)
+    assert(Warehouse.resolveNlist("sqrt:64@2000", 500L) == 64, "floor at base")
+    intercept[IllegalArgumentException](Warehouse.resolveNlist("bogus", 1L))
+    // a ruled build lands its rule in the metadata and gates on it:
+    // same rule → reuse; fixed at the same resolved nlist → REBUILD
+    // (a ruled index and a pinned one are different deployment states)
+    val n = sources.Tables.embeddings(spark, sf).count()
+    val rule = s"sqrt:64@$n" // resolves to 64 at this SF — same size
+    Warehouse.ensureIvf(spark, sf, kmeansIters = 0, nlistRule = rule)
+    assert(Warehouse.landedNlistRule(spark) == rule)
+    val ruled = dataFiles()
+    Warehouse.ensureIvf(spark, sf, kmeansIters = 0, nlistRule = rule)
+    assert(dataFiles() == ruled, "same-rule ensureIvf rebuilt the index")
+    Warehouse.ensureIvf(spark, sf, kmeansIters = 0)
+    assert(dataFiles() != ruled, "rule mismatch did not force a rebuild")
+    assert(Warehouse.landedNlistRule(spark) == "fixed:64")
   }
 }
