@@ -37,8 +37,11 @@ class PlanAuditSpec extends SparkSpec {
     "d16_knn_classify",        // d4's scan vs the broadcast fixed-|Q| batch
     "d16b_knn_indexed",        // broadcast PERSISTED-centroid probe (d15's landed twin)
     "d17_hybrid_retrieval",    // d5 centroid probe + 1-row corpus-stats broadcast
+    "d17b_hybrid_indexed",     // PERSISTED-centroid probe + 1-row landed stats
     "e16_bm25_search",         // 1-row (N, avgdl) corpus-stats broadcast
+    "e16b_bm25_indexed",       // 1-row LANDED (N, avgdl) stats broadcast
     "e17_quality_classifier",  // 1-row totals/priors broadcasts
+    "e17b_quality_indexed",    // 1-row LANDED priors broadcast
     "c9_semdedup",             // broadcast centroid routing (d5's sample)
     "c11_semdedup_hier",       // broadcast coarse+fine centroid routing
     "e3_lang_id",              // broadcast nLang-row profile cross
