@@ -96,6 +96,9 @@ object SparkEntry {
     // incremental (cross-batch) fuzzy dedup: arriving docs labeled
     // against the standing corpus' LSH band index
     "p11_incremental_dedup"     -> ((s: SparkSession, d: String) => DedupOps.incrementalMinhash(s, d)),
+    // b56 (round 13): the reference's OrderAndTokenCountCheck cron
+    // (data-check.service.ts:24) as a reconciliation query
+    "b56_consistency_audit"     -> ((s: SparkSession, d: String) => MarketOps.consistencyAudit(s, d)),
     // source-level (domain) filtering: per-source volume/dup/quality
     // verdicts against a self-calibrating median cut
     "p12_source_filter"         -> PipelineOps.sourceFilter _,
@@ -2339,6 +2342,32 @@ object SparkEntry {
          round(min(l_extendedprice), 2) AS floor_price
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY volume DESC, p_brand LIMIT 10""",
+    // b56: each check row = two independently-derived counts that must
+    // agree on a consistent store (the data-check cron's DB-vs-chain
+    // reconciliation shape re-expressed over the tables themselves)
+    "b56_consistency_audit" ->
+      """WITH checks AS (
+         SELECT 'lineitem_order_refs' AS check_name,
+           (SELECT count(DISTINCT l_orderkey) FROM lineitem)::BIGINT AS lhs_n,
+           (SELECT count(DISTINCT l_orderkey) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders))::BIGINT AS rhs_n
+         UNION ALL
+         SELECT 'orders_customer_refs',
+           (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT,
+           (SELECT count(DISTINCT o_custkey) FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer))::BIGINT
+         UNION ALL
+         SELECT 'lineitem_part_refs',
+           (SELECT count(DISTINCT l_partkey) FROM lineitem)::BIGINT,
+           (SELECT count(DISTINCT l_partkey) FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part))::BIGINT
+         UNION ALL
+         SELECT 'lineitem_supplier_refs',
+           (SELECT count(DISTINCT l_suppkey) FROM lineitem)::BIGINT,
+           (SELECT count(DISTINCT l_suppkey) FROM lineitem
+            WHERE l_suppkey IN (SELECT s_suppkey FROM supplier))::BIGINT)
+         SELECT check_name, lhs_n, rhs_n, lhs_n = rhs_n AS consistent
+         FROM checks ORDER BY check_name""",
     "b23_platform_counts" ->
       """SELECT (SELECT count(*) FROM orders) AS n_orders,
          (SELECT count(*) FROM lineitem) AS n_lineitems,

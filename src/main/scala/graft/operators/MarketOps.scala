@@ -1265,4 +1265,51 @@ object MarketOps {
     */
   val TransactionKinds: Seq[String] =
     Seq("order", "ship", "purchase", "click")
+
+  /** b56: sync-consistency audit — the reference's
+    * `OrderAndTokenCountCheck` cron (data-check.service.ts:24) as a
+    * distributed reconciliation query: the reference compares its
+    * indexed DB counts against the chain's authoritative counts and
+    * mails on mismatch; here each check row compares two
+    * independently-derived counts that MUST agree on a consistent
+    * store — referential coverage of every foreign key a query path
+    * joins on (lineitem→orders, orders→customer, lineitem→part/
+    * supplier): referenced-key cardinality vs the covered subset
+    * (semi join), equal exactly when no reference dangles. A deployment
+    * alerts on any `consistent = false` row. 100 TB shape: each side
+    * is one distinct-count (partial-aggregable) or one semi-join +
+    * distinct-count keyed on the fact's own join key; the 1-row
+    * results cross-join (documented BNLJ, the b23 dashboard pattern).
+    */
+  def consistencyAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    def distinctN(df: DataFrame, key: String): DataFrame =
+      df.select(col(key)).distinct().agg(count(lit(1)).as("n"))
+    def coveredN(fact: DataFrame, key: String, dim: DataFrame,
+                 dimKey: String): DataFrame =
+      fact.select(col(key)).distinct()
+        .join(dim.select(col(dimKey).as(key)), Seq(key), "left_semi")
+        .agg(count(lit(1)).as("n"))
+    def check(name: String, lhs: DataFrame, rhs: DataFrame): DataFrame =
+      lhs.select(col("n").as("lhs_n"))
+        .crossJoin(rhs.select(col("n").as("rhs_n")))
+        .select(lit(name).as("check_name"), col("lhs_n"), col("rhs_n"))
+    Seq(
+      check("lineitem_order_refs",
+            distinctN(lineitem, "l_orderkey"),
+            coveredN(lineitem, "l_orderkey", orders, "o_orderkey")),
+      check("orders_customer_refs",
+            distinctN(orders, "o_custkey"),
+            coveredN(orders, "o_custkey", Tables.customer(spark, dir), "c_custkey")),
+      check("lineitem_part_refs",
+            distinctN(lineitem, "l_partkey"),
+            coveredN(lineitem, "l_partkey", Tables.part(spark, dir), "p_partkey")),
+      check("lineitem_supplier_refs",
+            distinctN(lineitem, "l_suppkey"),
+            coveredN(lineitem, "l_suppkey", Tables.supplier(spark, dir), "s_suppkey")))
+      .reduce(_.unionAll(_))
+      .withColumn("consistent", col("lhs_n") === col("rhs_n"))
+      .orderBy(col("check_name"))
+  }
 }

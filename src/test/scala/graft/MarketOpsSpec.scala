@@ -462,4 +462,24 @@ class MarketOpsSpec extends SparkSpec {
                            r.getAs[Int]("l_linenumber")))
     assert(p1.toSeq == expect.toSeq)
   }
+
+  test("b56 consistency audit: counts match naive recomputes, all checks consistent") {
+    val got = MarketOps.consistencyAudit(spark, sf).collect()
+    assert(got.map(_.getAs[String]("check_name")).toSeq ==
+      Seq("lineitem_order_refs", "lineitem_part_refs",
+          "lineitem_supplier_refs", "orders_customer_refs"))
+    // the generated corpus is referentially consistent — every check
+    // must agree, and consistent must equal the count comparison
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("consistent") ==
+        (r.getAs[Long]("lhs_n") == r.getAs[Long]("rhs_n")))
+      assert(r.getAs[Boolean]("consistent"), r.getAs[String]("check_name"))
+    }
+    // spot-check one pair against a naive recompute
+    val byName = got.map(r => r.getAs[String]("check_name") ->
+      (r.getAs[Long]("lhs_n"), r.getAs[Long]("rhs_n"))).toMap
+    val nLiOrders = Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count()
+    assert(byName("lineitem_order_refs") == (nLiOrders, nLiOrders))
+  }
 }
