@@ -1284,11 +1284,18 @@ object MarketOps {
   def consistencyAudit(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
     val lineitem = Tables.lineitem(spark, dir)
+    // NULL foreign keys are NOT dangling references (count(DISTINCT x)
+    // ignores NULLs in both engines' SQL semantics, and the DuckDB
+    // replay uses exactly that) — filter them out of the lhs explicitly
+    // so a nullable-FK corpus can't raise a false inconsistency alarm
+    // (round-13 advice fix; the rhs is already null-free via semi join).
     def distinctN(df: DataFrame, key: String): DataFrame =
-      df.select(col(key)).distinct().agg(count(lit(1)).as("n"))
+      df.filter(col(key).isNotNull)
+        .select(col(key)).distinct().agg(count(lit(1)).as("n"))
     def coveredN(fact: DataFrame, key: String, dim: DataFrame,
                  dimKey: String): DataFrame =
-      fact.select(col(key)).distinct()
+      fact.filter(col(key).isNotNull)
+        .select(col(key)).distinct()
         .join(dim.select(col(dimKey).as(key)), Seq(key), "left_semi")
         .agg(count(lit(1)).as("n"))
     def check(name: String, lhs: DataFrame, rhs: DataFrame): DataFrame =

@@ -875,7 +875,8 @@ object MultimodalOps {
                                          maxHamming: Int = 3,
                                          newMod: Int = NearDupBatchMod)
       : DataFrame =
-    phashProbeFrom(imageSlice(spark, dir, newMod, batch = true), maxHamming)
+    phashProbeFrom(imageSlice(spark, dir, newMod, batch = true), dir,
+                   maxHamming)
 
   /** The landed-index probe over an arbitrary (doc_id, payload) image
     * batch frame — shared by the dir-slice form above and the
@@ -883,12 +884,13 @@ object MultimodalOps {
     * here). Hashing is per-image, so verdicts are micro-batch-split-
     * invariant against the standing catalog.
     */
-  private[graft] def phashProbeFrom(batchImgs: DataFrame,
+  private[graft] def phashProbeFrom(batchImgs: DataFrame, dir: String,
                                     maxHamming: Int = 3): DataFrame = {
+    import graft.sources.Warehouse.tbl
     val spark = batchImgs.sparkSession
     nearDupProbe(phashed(batchImgs),
-                 spark.table("graft_phash_bands"),
-                 spark.table("graft_phash_sigs"), maxHamming)
+                 spark.table(tbl(dir, "graft_phash_bands")),
+                 spark.table(tbl(dir, "graft_phash_sigs")), maxHamming)
   }
 
   private def audioSlice(spark: SparkSession, dir: String,
@@ -971,7 +973,8 @@ object MultimodalOps {
                                          maxHamming: Int = 3,
                                          newMod: Int = NearDupBatchMod)
       : DataFrame =
-    audioProbeFrom(audioSlice(spark, dir, newMod, batch = true), maxHamming)
+    audioProbeFrom(audioSlice(spark, dir, newMod, batch = true), dir,
+                   maxHamming)
 
   /** The landed-index probe over an arbitrary media batch frame —
     * shared by the dir-slice form above and the streaming gate
@@ -979,15 +982,16 @@ object MultimodalOps {
     * Fingerprinting is per-recording, so verdicts are
     * micro-batch-split-invariant against the standing catalog.
     */
-  private[graft] def audioProbeFrom(batchMedia: DataFrame,
+  private[graft] def audioProbeFrom(batchMedia: DataFrame, dir: String,
                                     maxHamming: Int = 3,
                                     winMs: Long = 1000L, hopMs: Long = 500L,
                                     maxWins: Int = 65,
                                     minWins: Int = 33): DataFrame = {
+    import graft.sources.Warehouse.tbl
     val spark = batchMedia.sparkSession
     audioVerdict(audioFped(batchMedia, winMs, hopMs, maxWins),
-                 spark.table("graft_audio_bands"),
-                 spark.table("graft_audio_sigs"), maxHamming, minWins)
+                 spark.table(tbl(dir, "graft_audio_bands")),
+                 spark.table(tbl(dir, "graft_audio_sigs")), maxHamming, minWins)
   }
 
   /** f3: decoded metadata joined BACK to the document table — the

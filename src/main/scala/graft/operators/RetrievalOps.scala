@@ -218,8 +218,8 @@ object RetrievalOps {
     * n = Σ n_docs, avgdl = Σ sum_dl / Σ n_docs (exact — see
     * postingPartsFrom). Bounded: one row per landed batch.
     */
-  private[graft] def landedStats(spark: SparkSession): DataFrame =
-    spark.table("graft_post_stats")
+  private[graft] def landedStats(spark: SparkSession, dir: String): DataFrame =
+    spark.table(graft.sources.Warehouse.tbl(dir, "graft_post_stats"))
       .agg(sum(col("n_docs")).cast("double").as("n"),
            (sum(col("sum_dl")).cast("double") /
              sum(col("n_docs")).cast("double")).as("avgdl"))
@@ -233,7 +233,8 @@ object RetrievalOps {
     * result-identical to [[bm25Rank]] (WarehouseSpec proves it, and
     * the registered e16b shares e16's DuckDB replay verbatim).
     */
-  private[graft] def bm25RankIndexed(spark: SparkSession, qterms: DataFrame,
+  private[graft] def bm25RankIndexed(spark: SparkSession, dir: String,
+                                     qterms: DataFrame,
                                      k: Int, exclSelf: Boolean): DataFrame = {
     // the trailing =!= "" filter is semantically a no-op (qterms are
     // split-and-dropped-empties by construction) but it is what makes
@@ -246,10 +247,10 @@ object RetrievalOps {
     val terms = qterms.select(col("term")).distinct()
       .filter(col("term") =!= "")
       .withColumn("tb", termBucket(col("term")))
-    val matched = spark.table("graft_post_lists")
+    val matched = spark.table(graft.sources.Warehouse.tbl(dir, "graft_post_lists"))
       .join(broadcast(terms), Seq("tb", "term"))
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
-    bm25ScoreTail(matched, landedStats(spark), qterms, k, exclSelf)
+    bm25ScoreTail(matched, landedStats(spark, dir), qterms, k, exclSelf)
   }
 
   /** e16's literal query workload as (query_id, term) rows. */
@@ -273,7 +274,7 @@ object RetrievalOps {
   def bm25SearchIndexed(spark: SparkSession, dir: String,
                         k: Int = 10): DataFrame = {
     graft.sources.Warehouse.ensurePostings(spark, dir)
-    bm25RankIndexed(spark, bm25QueryTerms(spark), k, exclSelf = false)
+    bm25RankIndexed(spark, dir, bm25QueryTerms(spark), k, exclSelf = false)
   }
 
   /** The e16b probe WITHOUT the freshness gate — for callers that just
@@ -282,8 +283,9 @@ object RetrievalOps {
     * than trigger a metadata-mismatch rebuild.
     */
   private[graft] def bm25SearchIndexedUnchecked(spark: SparkSession,
+                                                dir: String,
                                                 k: Int = 10): DataFrame =
-    bm25RankIndexed(spark, bm25QueryTerms(spark), k, exclSelf = false)
+    bm25RankIndexed(spark, dir, bm25QueryTerms(spark), k, exclSelf = false)
 
   /** d17's text side: each query DOC's top-`nTerms` terms by
     * (tf·idf DESC, term ASC) — the Lucene-MoreLikeThis term selection
@@ -369,11 +371,11 @@ object RetrievalOps {
     val qdfTerms = qtf.select(col("term")).distinct()
       .filter(col("term") =!= "")  // DPP eligibility (see bm25RankIndexed)
       .withColumn("tb", termBucket(col("term")))
-    val dfs = spark.table("graft_post_lists")
+    val dfs = spark.table(graft.sources.Warehouse.tbl(dir, "graft_post_lists"))
       .join(broadcast(qdfTerms), Seq("tb", "term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("qdf"))
-    val nDocs = landedStats(spark).select(col("n"))
+    val nDocs = landedStats(spark, dir).select(col("n"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("tsc").desc, col("term"))
     qtf
@@ -448,7 +450,7 @@ object RetrievalOps {
                              listK: Int = 20): DataFrame = {
     graft.sources.Warehouse.ensurePostings(spark, dir)
     graft.sources.Warehouse.ensureIvf(spark, dir, kmeansIters = 0)
-    val text = bm25RankIndexed(spark,
+    val text = bm25RankIndexed(spark, dir,
                                queryDocTermsIndexed(spark, dir, nq, nTerms),
                                listK, exclSelf = true)
       .select(col("query_id"), col("doc_id"), col("rnk").as("trnk"))

@@ -907,7 +907,7 @@ object TextOps {
   def qualityClassifierIndexed(spark: SparkSession, dir: String,
                                refSource: String = "src0"): DataFrame = {
     graft.sources.Warehouse.ensureNbModel(spark, dir, refSource)
-    nbScoreProbeFrom(docs(spark, dir), refSource)
+    nbScoreProbeFrom(docs(spark, dir), dir, refSource)
   }
 
   /** The landed-model scoring probe over an arbitrary (doc_id, text,
@@ -916,12 +916,13 @@ object TextOps {
     * micro-batch here). Scoring is per-doc against a FIXED model, so
     * verdicts are micro-batch-split-invariant.
     */
-  private[graft] def nbScoreProbeFrom(batch: DataFrame,
+  private[graft] def nbScoreProbeFrom(batch: DataFrame, dir: String,
                                       refSource: String = "src0"): DataFrame = {
+    import graft.sources.Warehouse.tbl
     val spark = batch.sparkSession
     nbScoreFrom(batch, refSource,
-                spark.table("graft_nb_weights"),
-                spark.table("graft_nb_priors"))
+                spark.table(tbl(dir, "graft_nb_weights")),
+                spark.table(tbl(dir, "graft_nb_priors")))
   }
 
   /** e15: within-doc lexical diversity — word-distribution Shannon

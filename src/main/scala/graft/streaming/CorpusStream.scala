@@ -132,11 +132,12 @@ object CorpusStream {
     * the join, so the per-micro-batch cost tracks the batch, not the
     * catalog.
     */
-  def bloomGate(docs: DataFrame): DataFrame = {
+  def bloomGate(docs: DataFrame, dir: String): DataFrame = {
+    import graft.sources.Warehouse.tbl
     val spark = docs.sparkSession
     import graft.operators.DedupOps
     // bounded: exactly BloomShards rows at ANY catalog size
-    val shardMap = spark.table("graft_bloom_shards").collect()
+    val shardMap = spark.table(tbl(dir, "graft_bloom_shards")).collect()
       .map(r => r.getInt(0) ->
         graft.functions.BloomAgg.deserialize(r.getAs[Array[Byte]](1))).toMap
     val bcast = spark.sparkContext.broadcast(shardMap)
@@ -147,7 +148,7 @@ object CorpusStream {
       .withColumn("might",
         mightContain(pmod(col("fp"), lit(DedupOps.BloomShards.toLong))
                        .cast("int"), col("fp")))
-    val fps = spark.table("graft_bloom_fps")
+    val fps = spark.table(tbl(dir, "graft_bloom_fps"))
       .select(col("fp").as("sfp"), col("ex_id").as("dup_of"))
     // survivors (≈ true dups + fpp·batch) probe the store; misses skip
     // it entirely — the per-micro-batch join input tracks the dup rate,
@@ -170,7 +171,7 @@ object CorpusStream {
                       newMod: Int = graft.operators.DedupOps.IncrementalNewMod): DataFrame =
     EventStream.runToBatch(spark,
         bloomGate(readDocuments(spark, dir)
-          .filter(pmod(col("doc_id"), lit(newMod)) === 0)),
+          .filter(pmod(col("doc_id"), lit(newMod)) === 0), dir),
         "append")
       .orderBy(col("doc_id"))
 
@@ -189,14 +190,15 @@ object CorpusStream {
     * foreachBatch sink — no state store exists to size, checkpoint or
     * expire (the spec asserts zero stateOperators in the progress).
     */
-  def minhashGate(docs: DataFrame, checkpoint: String, tau: Double = 0.5)
+  def minhashGate(docs: DataFrame, dir: String, checkpoint: String,
+                  tau: Double = 0.5)
                  (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
-        sink(graft.operators.DedupOps.minhashProbeFrom(b, tau), id)
+        sink(graft.operators.DedupOps.minhashProbeFrom(b, dir, tau), id)
       }
       .start()
 
@@ -206,14 +208,16 @@ object CorpusStream {
     * persisted band index + signature store (graft_phash_bands/_sigs,
     * Warehouse.buildPhash); the standing catalog is never re-read.
     */
-  def phashGate(media: DataFrame, checkpoint: String, maxHamming: Int = 3)
+  def phashGate(media: DataFrame, dir: String, checkpoint: String,
+                maxHamming: Int = 3)
                (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
-        sink(graft.operators.MultimodalOps.phashProbeFrom(b, maxHamming), id)
+        sink(graft.operators.MultimodalOps.phashProbeFrom(b, dir, maxHamming),
+             id)
       }
       .start()
 
@@ -224,14 +228,16 @@ object CorpusStream {
     * (graft_audio_bands/_sigs, Warehouse.buildAudio); the standing
     * catalog is never re-read.
     */
-  def audioGate(media: DataFrame, checkpoint: String, maxHamming: Int = 3)
+  def audioGate(media: DataFrame, dir: String, checkpoint: String,
+                maxHamming: Int = 3)
                (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
-        sink(graft.operators.MultimodalOps.audioProbeFrom(b, maxHamming), id)
+        sink(graft.operators.MultimodalOps.audioProbeFrom(b, dir, maxHamming),
+             id)
       }
       .start()
 
@@ -247,7 +253,7 @@ object CorpusStream {
     * the landed tables, not in stream state; zero stateOperators
     * asserted.
     */
-  def nbGate(docs: DataFrame, checkpoint: String,
+  def nbGate(docs: DataFrame, dir: String, checkpoint: String,
              refSource: String = "src0")
             (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -255,7 +261,7 @@ object CorpusStream {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
-        sink(graft.operators.TextOps.nbScoreProbeFrom(b, refSource), id)
+        sink(graft.operators.TextOps.nbScoreProbeFrom(b, dir, refSource), id)
       }
       .start()
 
@@ -272,14 +278,14 @@ object CorpusStream {
     * interrupted attempt wrote (the upsertIvfFrom contract;
     * CorpusStreamSpec pins drain-equivalence and restart-no-op).
     */
-  def maintainPostings(docs: DataFrame, checkpoint: String)
+  def maintainPostings(docs: DataFrame, dir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         graft.sources.Warehouse.upsertPostingsFrom(
-          b.select(col("doc_id"), col("text")), batchKey = batchId)
+          b.select(col("doc_id"), col("text")), dir, batchKey = batchId)
       }
       .start()
 
@@ -336,11 +342,12 @@ object CorpusStream {
                         newMod: Int = graft.operators.DedupOps.IncrementalNewMod)
       : DataFrame =
     runGate(spark,
-      graft.operators.DedupOps.minhashProbeFrom(emptyDocs(spark, dir), tau)
-        .schema,
+      graft.operators.DedupOps.minhashProbeFrom(emptyDocs(spark, dir), dir,
+                                                tau).schema,
       (ckpt, sink) =>
         minhashGate(readDocuments(spark, dir)
-          .filter(pmod(col("doc_id"), lit(newMod)) === 0), ckpt, tau)(sink))
+          .filter(pmod(col("doc_id"), lit(newMod)) === 0), dir, ckpt,
+          tau)(sink))
 
   /** [[audioGate]] over the corpus directory's arriving audio slice. */
   def streamAudioGate(spark: SparkSession, dir: String, maxHamming: Int = 3,
@@ -349,14 +356,14 @@ object CorpusStream {
       : DataFrame =
     runGate(spark,
       graft.operators.MultimodalOps.audioProbeFrom(
-        graft.operators.MultimodalOps.mediaFrom(emptyDocs(spark, dir)),
+        graft.operators.MultimodalOps.mediaFrom(emptyDocs(spark, dir)), dir,
         maxHamming).schema,
       (ckpt, sink) =>
         audioGate(graft.operators.MultimodalOps
             .mediaFrom(readDocuments(spark, dir))
             .filter(col("media_type") === "audio" &&
                     pmod(col("doc_id"), lit(newMod)) === 0),
-          ckpt, maxHamming)(sink))
+          dir, ckpt, maxHamming)(sink))
 
   /** [[nbGate]] over the corpus directory's arriving slice. */
   def streamNbGate(spark: SparkSession, dir: String,
@@ -364,11 +371,11 @@ object CorpusStream {
                    newMod: Int = graft.operators.DedupOps.IncrementalNewMod)
       : DataFrame =
     runGate(spark,
-      graft.operators.TextOps.nbScoreProbeFrom(emptyDocs(spark, dir),
+      graft.operators.TextOps.nbScoreProbeFrom(emptyDocs(spark, dir), dir,
                                                refSource).schema,
       (ckpt, sink) =>
         nbGate(readDocuments(spark, dir)
-          .filter(pmod(col("doc_id"), lit(newMod)) === 0), ckpt,
+          .filter(pmod(col("doc_id"), lit(newMod)) === 0), dir, ckpt,
           refSource)(sink))
 
   /** [[phashGate]] over the corpus directory's arriving image slice. */
@@ -378,12 +385,12 @@ object CorpusStream {
       : DataFrame =
     runGate(spark,
       graft.operators.MultimodalOps.phashProbeFrom(
-        graft.operators.MultimodalOps.mediaFrom(emptyDocs(spark, dir)),
+        graft.operators.MultimodalOps.mediaFrom(emptyDocs(spark, dir)), dir,
         maxHamming).schema,
       (ckpt, sink) =>
         phashGate(graft.operators.MultimodalOps
             .mediaFrom(readDocuments(spark, dir))
             .filter(col("media_type") === "image" &&
                     pmod(col("doc_id"), lit(newMod)) === 0),
-          ckpt, maxHamming)(sink))
+          dir, ckpt, maxHamming)(sink))
 }

@@ -55,7 +55,7 @@ object VectorStream {
     * maintenance without touching the body).
     */
   def maintainIvf(spark: SparkSession, batches: DataFrame,
-                  checkpoint: String): StreamingQuery =
+                  checkpoint: String, dir: String): StreamingQuery =
     batches.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -63,7 +63,7 @@ object VectorStream {
         graft.sources.Warehouse.upsertIvfFrom(
           b.select(org.apache.spark.sql.functions.col("vec_id"),
                    org.apache.spark.sql.functions.col("embedding")),
-          batchKey = batchId)
+          dir, batchKey = batchId)
       }
       .start()
 }

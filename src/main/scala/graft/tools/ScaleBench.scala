@@ -220,7 +220,8 @@ object ScaleBench {
          () => graft.sources.Warehouse.knnClassifyIndexed(spark, base)),
         ("d16b_knn_scalednlist", "scaled",
          () => graft.sources.Warehouse.knnClassifyIndexed(spark, scaled,
-                 nlistRule = graft.sources.Warehouse.landedNlistRule(spark))))
+                 nlistRule = graft.sources.Warehouse
+                   .landedNlistRule(spark, scaled))))
     // untimed per-measurement preparation (index builds): runs before
     // the timer, so the label measures ONLY the recurring cost
     val preps: Map[(String, String), () => Unit] = Map(

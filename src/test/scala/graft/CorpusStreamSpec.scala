@@ -196,7 +196,8 @@ class CorpusStreamSpec extends SparkSpec {
     val batch = graft.operators.TextOps.nbScoreProbeFrom(
         Tables.documents(spark, sf)
           .filter(pmod(col("doc_id"),
-                       lit(graft.operators.DedupOps.IncrementalNewMod)) === 0))
+                       lit(graft.operators.DedupOps.IncrementalNewMod)) === 0),
+        sf)
       .collect().toSeq.map(_.toString)
     assert(streamed == batch && streamed.nonEmpty,
       "streaming nb gate verdicts differ from the landed batch probe")
@@ -240,19 +241,21 @@ class CorpusStreamSpec extends SparkSpec {
       val src = spark.readStream
         .schema(Tables.documents(spark, sf).schema)
         .option("maxFilesPerTrigger", "1").parquet(landing.toString)
-      CorpusStream.maintainPostings(src, ckpt).awaitTermination()
+      CorpusStream.maintainPostings(src, sf, ckpt).awaitTermination()
     }
     drain()
-    spark.catalog.refreshTable("graft_post_lists")
-    spark.catalog.refreshTable("graft_post_stats")
-    val rowsAfter = spark.table("graft_post_lists").count()
+    spark.catalog.refreshTable(
+      graft.sources.Warehouse.tbl(sf, "graft_post_lists"))
+    spark.catalog.refreshTable(
+      graft.sources.Warehouse.tbl(sf, "graft_post_stats"))
+    val rowsAfter = spark.table(graft.sources.Warehouse.tbl(sf, "graft_post_lists")).count()
     // two micro-batches → two new stats rows beside the base build's
-    assert(spark.table("graft_post_stats").count() == 3L)
+    assert(spark.table(graft.sources.Warehouse.tbl(sf, "graft_post_stats")).count() == 3L)
 
     // probes over the maintained index answer exactly the one-shot e16
     // over the FULL corpus (union of standing + both micro-batches)
     val fromIndex = graft.operators.RetrievalOps
-      .bm25SearchIndexedUnchecked(spark).collect().toSeq.map(_.toString)
+      .bm25SearchIndexedUnchecked(spark, sf).collect().toSeq.map(_.toString)
     val oneShot = graft.operators.RetrievalOps.bm25Search(spark, sf)
       .collect().toSeq.map(_.toString)
     assert(fromIndex == oneShot && fromIndex.nonEmpty)
@@ -260,8 +263,9 @@ class CorpusStreamSpec extends SparkSpec {
     // restart over the same checkpoint: both files committed — the
     // drain processes nothing and the index is unchanged
     drain()
-    spark.catalog.refreshTable("graft_post_lists")
-    assert(spark.table("graft_post_lists").count() == rowsAfter)
+    spark.catalog.refreshTable(
+      graft.sources.Warehouse.tbl(sf, "graft_post_lists"))
+    assert(spark.table(graft.sources.Warehouse.tbl(sf, "graft_post_lists")).count() == rowsAfter)
 
     // leave a full default index for any test that runs after
     Warehouse.buildPostings(spark, sf)

@@ -534,7 +534,8 @@ class TextOpsSpec extends SparkSpec {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
         else Seq(f)
-      walk(new java.io.File(wh, "graft_nb_weights"))
+      walk(new java.io.File(wh,
+        graft.sources.Warehouse.tbl(sf, "graft_nb_weights")))
         .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
     }
     val built = weightFiles()

@@ -38,12 +38,12 @@ class VectorStreamSpec extends SparkSpec {
     def drain(): Unit = {
       val q = VectorStream.maintainIvf(spark,
         VectorStream.readEmbeddings(spark, landing.toString,
-          maxFilesPerTrigger = Some(1)), ckpt)
+          maxFilesPerTrigger = Some(1)), ckpt, sf)
       q.awaitTermination()
     }
     drain()
-    spark.catalog.refreshTable("graft_ivf_lists")
-    val rowsAfter = Warehouse.ivfLists(spark).count()
+    spark.catalog.refreshTable(Warehouse.tbl(sf, "graft_ivf_lists"))
+    val rowsAfter = Warehouse.ivfLists(spark, sf).count()
 
     // probes over the maintained index answer exactly the one-shot d11
     val fromIndex = Warehouse.annIvfFlatIndexed(spark, sf)
@@ -55,8 +55,8 @@ class VectorStreamSpec extends SparkSpec {
     // restart over the same checkpoint: both files already committed —
     // the drain processes nothing and the index is unchanged
     drain()
-    spark.catalog.refreshTable("graft_ivf_lists")
-    assert(Warehouse.ivfLists(spark).count() == rowsAfter)
+    spark.catalog.refreshTable(Warehouse.tbl(sf, "graft_ivf_lists"))
+    assert(Warehouse.ivfLists(spark, sf).count() == rowsAfter)
 
     // leave a full default index for any test that runs after
     Warehouse.buildIvf(spark, sf)
@@ -68,21 +68,21 @@ class VectorStreamSpec extends SparkSpec {
     // overwrite must replace the first attempt's rows, not double them
     Warehouse.buildIvf(spark, sf, kmeansIters = 0, excludeMod = 17)
     Warehouse.upsertIvf(spark, sf, batchMod = 17, batchKey = 7L)
-    spark.catalog.refreshTable("graft_ivf_lists")
-    val afterOnce = Warehouse.ivfLists(spark).count()
+    spark.catalog.refreshTable(Warehouse.tbl(sf, "graft_ivf_lists"))
+    val afterOnce = Warehouse.ivfLists(spark, sf).count()
     val probeOnce = Warehouse.annIvfFlatIndexed(spark, sf)
       .collect().toSeq.map(_.toString)
     Warehouse.upsertIvf(spark, sf, batchMod = 17, batchKey = 7L)  // replay
-    spark.catalog.refreshTable("graft_ivf_lists")
-    assert(Warehouse.ivfLists(spark).count() == afterOnce,
+    spark.catalog.refreshTable(Warehouse.tbl(sf, "graft_ivf_lists"))
+    assert(Warehouse.ivfLists(spark, sf).count() == afterOnce,
       "replayed batch double-appended posting rows")
     val probeTwice = Warehouse.annIvfFlatIndexed(spark, sf)
       .collect().toSeq.map(_.toString)
     assert(probeTwice == probeOnce && probeOnce.nonEmpty)
     // a DIFFERENT batch key must still append (it's a new batch)
     Warehouse.upsertIvf(spark, sf, batchMod = 17, batchKey = 8L)
-    spark.catalog.refreshTable("graft_ivf_lists")
-    assert(Warehouse.ivfLists(spark).count() > afterOnce)
+    spark.catalog.refreshTable(Warehouse.tbl(sf, "graft_ivf_lists"))
+    assert(Warehouse.ivfLists(spark, sf).count() > afterOnce)
     Warehouse.buildIvf(spark, sf)
   }
 }

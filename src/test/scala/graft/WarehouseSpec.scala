@@ -26,7 +26,7 @@ class WarehouseSpec extends SparkSpec {
 
   test("bucketed orders-lineitem join is shuffle-free and result-identical") {
     Warehouse.build(spark, sf)
-    val bucketed = Warehouse.revenueJoinBucketed(spark)
+    val bucketed = Warehouse.revenueJoinBucketed(spark, sf)
     // raw equivalent over plain parquet
     val raw = Tables.lineitem(spark, sf)
       .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
@@ -39,8 +39,9 @@ class WarehouseSpec extends SparkSpec {
 
     // join itself must be exchange-free: only the final tiny
     // groupBy(status) aggregate (post-join, 3 groups) may shuffle
-    val joinOnly = Warehouse.lineitemB(spark)
-      .join(Warehouse.ordersB(spark), col("l_orderkey") === col("o_orderkey"))
+    val joinOnly = Warehouse.lineitemB(spark, sf)
+      .join(Warehouse.ordersB(spark, sf),
+            col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"))
     assert(shuffleCount(joinOnly) == 0,
       "bucketed fact join should not shuffle either side")
@@ -50,15 +51,15 @@ class WarehouseSpec extends SparkSpec {
     import graft.operators.EventOps
     Warehouse.buildEvents(spark, sf)
     // result identity for the three per-user folds
-    assert(Warehouse.latestEventPerUserBucketed(spark).collect().toSeq ==
+    assert(Warehouse.latestEventPerUserBucketed(spark, sf).collect().toSeq ==
            EventOps.latestEventPerUser(spark, sf).collect().toSeq)
-    assert(Warehouse.sessionizeBucketed(spark).collect().toSeq ==
+    assert(Warehouse.sessionizeBucketed(spark, sf).collect().toSeq ==
            EventOps.sessionize(spark, sf).collect().toSeq)
-    assert(Warehouse.stateFoldBucketed(spark).collect().toSeq ==
+    assert(Warehouse.stateFoldBucketed(spark, sf).collect().toSeq ==
            EventOps.stateFold(spark, sf).collect().toSeq)
     // the fold itself is exchange-free: groupBy(user_id) is satisfied
     // by the bucketed scan's HashPartitioning — no shuffle of the log
-    val foldOnly = Warehouse.eventsB(spark).groupBy(col("user_id"))
+    val foldOnly = Warehouse.eventsB(spark, sf).groupBy(col("user_id"))
       .agg(max(col("ms")).as("last_ms"))
     assert(shuffleCount(foldOnly) == 0,
       "bucketed per-user fold should not shuffle the event log")
@@ -66,9 +67,9 @@ class WarehouseSpec extends SparkSpec {
     // a1's agg and a5's window/session-agg all reuse the bucketing
     // (HashPartitioning(user_id) satisfies the window's and the
     // (user_id, session_id) agg's clustered distributions)
-    assert(shuffleCount(Warehouse.latestEventPerUserBucketed(spark)) == 1)
-    assert(shuffleCount(Warehouse.sessionizeBucketed(spark)) == 1)
-    assert(shuffleCount(Warehouse.stateFoldBucketed(spark)) == 1)
+    assert(shuffleCount(Warehouse.latestEventPerUserBucketed(spark, sf)) == 1)
+    assert(shuffleCount(Warehouse.sessionizeBucketed(spark, sf)) == 1)
+    assert(shuffleCount(Warehouse.stateFoldBucketed(spark, sf)) == 1)
   }
 
   test("IVF-PQ over the landed index: partition-pruned probes, identical to d10") {
@@ -110,7 +111,7 @@ class WarehouseSpec extends SparkSpec {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
         else Seq(f)
-      walk(new java.io.File(wh, "graft_ivf_lists"))
+      walk(new java.io.File(wh, Warehouse.tbl(sf, "graft_ivf_lists")))
         .filter(_.getName.endsWith(".parquet"))
         .map { f =>
           val bytes = java.nio.file.Files.readAllBytes(f.toPath)
@@ -119,9 +120,9 @@ class WarehouseSpec extends SparkSpec {
         }.toMap
     }
     val before = dataFiles()
-    val rowsBefore = Warehouse.ivfLists(spark).count()
+    val rowsBefore = Warehouse.ivfLists(spark, sf).count()
     Warehouse.upsertIvf(spark, sf, batchMod = 17)
-    spark.catalog.refreshTable("graft_ivf_lists")
+    spark.catalog.refreshTable(Warehouse.tbl(sf, "graft_ivf_lists"))
     // append-only: every standing data file survives BIT-IDENTICAL —
     // the upsert never rewrote or re-shuffled the standing postings
     val after = dataFiles()
@@ -131,7 +132,7 @@ class WarehouseSpec extends SparkSpec {
     // rows grew by exactly the batch's postings: |batch assigns| * m
     val emb = Tables.embeddings(spark, sf)
     val nBatch = emb.filter(pmod(col("vec_id"), lit(17)) === 0).count()
-    val rowsAfter = Warehouse.ivfLists(spark).count()
+    val rowsAfter = Warehouse.ivfLists(spark, sf).count()
     assert(rowsAfter == rowsBefore + nBatch * 4 * 8,  // nAssign=4, m=8
       s"$rowsBefore -> $rowsAfter for $nBatch batch vectors")
     // probe-after-upsert answers EXACTLY what the one-shot incremental
@@ -238,7 +239,7 @@ class WarehouseSpec extends SparkSpec {
 
   test("bucketed d7 semi join is exchange-free and result-identical to plain d7") {
     Warehouse.buildAnn(spark, sf)
-    val bucketed = Warehouse.annFilteredBucketed(spark)
+    val bucketed = Warehouse.annFilteredBucketed(spark, sf)
     val raw = graft.operators.SimOps.annFiltered(spark, sf)
     assert(bucketed.collect().toSeq == raw.collect().toSeq)
     // the candidate semi join itself must not shuffle either side.
@@ -248,8 +249,8 @@ class WarehouseSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val semiOnly = Warehouse.embeddingsB(spark)
-        .join(Warehouse.documentsB(spark)
+      val semiOnly = Warehouse.embeddingsB(spark, sf)
+        .join(Warehouse.documentsB(spark, sf)
                 .filter(col("lang") === "en").select(col("doc_id")),
               col("vec_id") === col("doc_id"), "left_semi")
         .select(col("vec_id"))
@@ -263,7 +264,7 @@ class WarehouseSpec extends SparkSpec {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
       else Seq(f)
-    walk(new java.io.File(wh, table))
+    walk(new java.io.File(wh, Warehouse.tbl(sf, table)))
       .filter(_.getName.endsWith(".parquet"))
       .map { f =>
         val bytes = java.nio.file.Files.readAllBytes(f.toPath)
@@ -302,8 +303,8 @@ class WarehouseSpec extends SparkSpec {
     val before = tableDataFiles("graft_post_lists")
     val statsBefore = tableDataFiles("graft_post_stats")
     Warehouse.upsertPostings(spark, sf, batchMod = 10, batchKey = 7L)
-    spark.catalog.refreshTable("graft_post_lists")
-    spark.catalog.refreshTable("graft_post_stats")
+    spark.catalog.refreshTable(Warehouse.tbl(sf, "graft_post_lists"))
+    spark.catalog.refreshTable(Warehouse.tbl(sf, "graft_post_stats"))
     // append-only: every standing data file survives BIT-IDENTICAL
     val after = tableDataFiles("graft_post_lists")
     assert(before.keySet.subsetOf(after.keySet))
@@ -315,23 +316,67 @@ class WarehouseSpec extends SparkSpec {
     // probe-after-upsert ≡ the one-shot over the FULL corpus (N, avgdl
     // fold across the two stats rows exactly; postings disjoint union)
     val fromIndex = graft.operators.RetrievalOps
-      .bm25SearchIndexedUnchecked(spark)
+      .bm25SearchIndexedUnchecked(spark, sf)
       .collect().toSeq.map(_.toString)
     val oneShot = graft.operators.RetrievalOps.bm25Search(spark, sf)
       .collect().toSeq.map(_.toString)
     assert(fromIndex == oneShot && fromIndex.nonEmpty)
     // a REPLAY of the same batchKey must be a no-op in content
     // (dynamic overwrite of its own partitions — exactly-once)
-    val rowsAfter = spark.table("graft_post_lists").count()
+    val rowsAfter = spark.table(Warehouse.tbl(sf, "graft_post_lists")).count()
     Warehouse.upsertPostings(spark, sf, batchMod = 10, batchKey = 7L)
-    spark.catalog.refreshTable("graft_post_lists")
-    assert(spark.table("graft_post_lists").count() == rowsAfter,
+    spark.catalog.refreshTable(Warehouse.tbl(sf, "graft_post_lists"))
+    assert(spark.table(Warehouse.tbl(sf, "graft_post_lists")).count() == rowsAfter,
       "replayed upsert changed posting row count")
     val replayProbe = graft.operators.RetrievalOps
-      .bm25SearchIndexedUnchecked(spark)
+      .bm25SearchIndexedUnchecked(spark, sf)
       .collect().toSeq.map(_.toString)
     assert(replayProbe == oneShot)
     Warehouse.buildPostings(spark, sf) // restore the full index
+  }
+
+  test("two corpus dirs coexist: namespaced indexes never cross-rebuild") {
+    // the round-12 bench/warehouse collision: two dirs sharing one
+    // spark-warehouse thrashed each other's fixed-name indexes through
+    // the freshness gates. With per-corpus namespacing each dir owns a
+    // disjoint table set, so alternating ensure* calls must touch
+    // NOTHING of the other dir's index.
+    val dirB = "/root/testdata/sf0.001" // == sf; use a distinct path form
+    val dir2 = sf.stripSuffix("0.001") + "0.001/../sf0.001"
+    // canonicalization: a cosmetic path variant is the SAME corpus
+    assert(Warehouse.ns(dirB) == Warehouse.ns(dir2),
+      "path canonicalization failed — same dir got two namespaces")
+    val other = "/root/testdata/sf0.01"
+    assert(Warehouse.ns(sf) != Warehouse.ns(other))
+    Warehouse.buildPostings(spark, sf)
+    Warehouse.buildPostings(spark, other)
+    def files(dir: String): Map[String, (Long, String)] = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(wh, Warehouse.tbl(dir, "graft_post_lists")))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified().toString)).toMap
+    }
+    val mine = files(sf)
+    val theirs = files(other)
+    assert(mine.nonEmpty && theirs.nonEmpty)
+    assert(mine.keySet.intersect(theirs.keySet).isEmpty,
+      "namespaced indexes share data files")
+    // alternating freshness gates: neither dir's gate rebuilds the other
+    Warehouse.ensurePostings(spark, sf)
+    Warehouse.ensurePostings(spark, other)
+    Warehouse.ensurePostings(spark, sf)
+    assert(files(sf) == mine, "alternating ensure rebuilt dir A's index")
+    assert(files(other) == theirs, "alternating ensure rebuilt dir B's index")
+    // and both probes answer from their own corpus (different row sets)
+    val a = Warehouse.bm25Indexed(spark, sf).collect().toSeq.map(_.toString)
+    val b = Warehouse.bm25Indexed(spark, other).collect().toSeq.map(_.toString)
+    assert(a.nonEmpty && b.nonEmpty && a != b)
+    // cleanup: drop the other dir's tables so later suites see only sf's
+    Seq("graft_post_lists", "graft_post_stats", "graft_post_meta").foreach(
+      t => spark.sql(s"DROP TABLE IF EXISTS ${Warehouse.tbl(other, t)}"))
   }
 
   test("ensureIvf freshness gate + d12 identity with the one-shot d10") {
@@ -340,7 +385,7 @@ class WarehouseSpec extends SparkSpec {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
         else Seq(f)
-      walk(new java.io.File(wh, "graft_ivf_lists"))
+      walk(new java.io.File(wh, Warehouse.tbl(sf, "graft_ivf_lists")))
         .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
     }
     Warehouse.ensureIvf(spark, sf, kmeansIters = 0)
@@ -373,12 +418,12 @@ class WarehouseSpec extends SparkSpec {
     val n = sources.Tables.embeddings(spark, sf).count()
     val rule = s"sqrt:64@$n" // resolves to 64 at this SF — same size
     Warehouse.ensureIvf(spark, sf, kmeansIters = 0, nlistRule = rule)
-    assert(Warehouse.landedNlistRule(spark) == rule)
+    assert(Warehouse.landedNlistRule(spark, sf) == rule)
     val ruled = dataFiles()
     Warehouse.ensureIvf(spark, sf, kmeansIters = 0, nlistRule = rule)
     assert(dataFiles() == ruled, "same-rule ensureIvf rebuilt the index")
     Warehouse.ensureIvf(spark, sf, kmeansIters = 0)
     assert(dataFiles() != ruled, "rule mismatch did not force a rebuild")
-    assert(Warehouse.landedNlistRule(spark) == "fixed:64")
+    assert(Warehouse.landedNlistRule(spark, sf) == "fixed:64")
   }
 }
