@@ -317,7 +317,8 @@ object Warehouse {
                           m: Int, subDim: Int, kmeansIters: Int,
                           excludeMod: Int, ruleTag: String): String =
     s"$dir|nlist=$nlist|nAssign=$nAssign|ks=$ks|m=$m|subDim=$subDim|" +
-      s"km=$kmeansIters|excl=$excludeMod|rule=$ruleTag"
+      s"km=$kmeansIters|excl=$excludeMod|rule=$ruleTag|" +
+      s"fp=${corpusFingerprint(dir, "embeddings")}"
 
   /** Build the IVF-PQ index only if the landed one (per its own
     * metadata table) doesn't already match these parameters — the
@@ -342,10 +343,47 @@ object Warehouse {
       spark.catalog.tableExists(tbl(dir, "graft_ivf_lists")) && {
         val r = spark.table(tbl(dir, "graft_ivf_meta")).collect()
         r.length == 1 && r(0).getString(0) == key
-      }
+      } &&
+      // an excl=0 build admits NO legitimate upserts: extra batch_id
+      // partitions on top of a full build double-count the overlapping
+      // vectors' postings (round-13 advice) — detect and rebuild
+      // instead of serving the corrupted index as fresh forever
+      (excludeMod != 0 ||
+        landedBatchIds(spark, tbl(dir, "graft_ivf_lists")) == Set(-1L))
     if (!fresh)
       buildIvf(spark, dir, nlist, nAssign, ks, m, subDim, kmeansIters,
                excludeMod, nlistRule)
+  }
+
+  /** The distinct batch_id partition values of a landed
+    * batch_id-partitioned table — a catalog partition listing, never a
+    * data scan (bounded by the number of landed batches).
+    */
+  private def landedBatchIds(spark: SparkSession, table: String): Set[Long] =
+    spark.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0).split("/")(0).stripPrefix("batch_id=").toLong)
+      .toSet
+
+  /** Parse the excludeMod a landed index was built with out of its
+    * metadata key — the coverage guard for the dir-based upsert forms:
+    * an upsert of the `id % batchMod == 0` slice is overlap-free iff
+    * the standing build excluded a slice covering it
+    * (`batchMod % excl == 0`); anything else would double-count the
+    * overlapping ids' postings (round-13 advice fix).
+    */
+  private def requireUpsertCoverage(spark: SparkSession, metaTable: String,
+                                    batchMod: Int): Unit = {
+    require(spark.catalog.tableExists(metaTable),
+      s"no landed index metadata ($metaTable) — build the index first")
+    val key = spark.table(metaTable).select(col("build_key"))
+      .collect()(0).getString(0)
+    val excl = "\\|excl=(\\d+)".r.findFirstMatchIn(key)
+      .map(_.group(1).toInt).getOrElse(0)
+    require(excl > 0 && batchMod % excl == 0,
+      s"standing index was built with excludeMod=$excl, which does not " +
+        s"cover the arriving id % $batchMod == 0 slice — upserting would " +
+        s"double-count the overlapping ids (build with " +
+        s"excludeMod=$batchMod first)")
   }
 
   /** d12: the landed-index ANN probe as a driver-checked query — the
@@ -429,11 +467,13 @@ object Warehouse {
     */
   def upsertIvf(spark: SparkSession, dir: String, batchMod: Int,
                 nAssign: Int = 4, m: Int = 8, subDim: Int = 8,
-                batchKey: Long = 0L): Unit =
+                batchKey: Long = 0L): Unit = {
+    requireUpsertCoverage(spark, tbl(dir, "graft_ivf_meta"), batchMod)
     upsertIvfFrom(Tables.embeddings(spark, dir)
       .filter(pmod(col("vec_id"), lit(batchMod)) === 0)
       .select(col("vec_id"), col("embedding")), dir, nAssign, m, subDim,
       batchKey)
+  }
 
   /** The upsert body over a caller-supplied `(vec_id, embedding)`
     * batch frame — shared by the dir-based form above and the
@@ -846,7 +886,8 @@ object Warehouse {
   }
 
   private def postingsBuildKey(dir: String, excludeMod: Int): String =
-    s"$dir|tb=${graft.operators.RetrievalOps.TermBuckets}|excl=$excludeMod"
+    s"$dir|tb=${graft.operators.RetrievalOps.TermBuckets}|excl=$excludeMod|" +
+      s"fp=${corpusFingerprint(dir, "documents")}"
 
   /** Build the posting index only if the landed one doesn't match
     * these parameters — first touch in a JVM pays the build, every
@@ -860,7 +901,14 @@ object Warehouse {
       spark.catalog.tableExists(tbl(dir, "graft_post_stats")) && {
         val r = spark.table(tbl(dir, "graft_post_meta")).collect()
         r.length == 1 && r(0).getString(0) == key
-      }
+      } &&
+      // an excl=0 build admits NO legitimate upserts (round-13 advice):
+      // a batch partition on top of a full build double-counts its
+      // docs' postings AND stats rows — detect and rebuild instead of
+      // reporting the corrupted index fresh forever. The stats table
+      // has one row per batch, so this check is O(batches).
+      (excludeMod != 0 ||
+        landedBatchIds(spark, tbl(dir, "graft_post_stats")) == Set(-1L))
     if (!fresh) buildPostings(spark, dir, excludeMod)
   }
 
@@ -878,9 +926,11 @@ object Warehouse {
     * RetrievalOps.postingPartsFrom).
     */
   def upsertPostings(spark: SparkSession, dir: String, batchMod: Int,
-                     batchKey: Long = 0L): Unit =
+                     batchKey: Long = 0L): Unit = {
+    requireUpsertCoverage(spark, tbl(dir, "graft_post_meta"), batchMod)
     upsertPostingsFrom(Tables.documents(spark, dir)
       .filter(pmod(col("doc_id"), lit(batchMod)) === 0), dir, batchKey)
+  }
 
   /** The upsert body over a caller-supplied document batch frame —
     * shared by the dir-based form above and the streaming maintenance
@@ -940,7 +990,7 @@ object Warehouse {
     priors.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(tbl(dir, "graft_nb_priors"))
     import spark.implicits._
-    Seq(s"$dir|ref=$refSource").toDF("build_key")
+    Seq(nbBuildKey(dir, refSource)).toDF("build_key")
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(tbl(dir, "graft_nb_meta"))
   }
@@ -949,9 +999,12 @@ object Warehouse {
     * parameters (the ensureIvf gate): first scoring run in a JVM pays
     * the training shuffle, every subsequent run is join-only.
     */
+  private def nbBuildKey(dir: String, refSource: String): String =
+    s"$dir|ref=$refSource|fp=${corpusFingerprint(dir, "documents")}"
+
   def ensureNbModel(spark: SparkSession, dir: String,
                     refSource: String = "src0"): Unit = {
-    val key = s"$dir|ref=$refSource"
+    val key = nbBuildKey(dir, refSource)
     val fresh = spark.catalog.tableExists(tbl(dir, "graft_nb_meta")) &&
       spark.catalog.tableExists(tbl(dir, "graft_nb_weights")) &&
       spark.catalog.tableExists(tbl(dir, "graft_nb_priors")) && {

@@ -335,6 +335,90 @@ class WarehouseSpec extends SparkSpec {
     Warehouse.buildPostings(spark, sf) // restore the full index
   }
 
+  test("ensure* gates key on data content: rebuild on change, not on re-land") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // a private corpus copy this test can mutate
+    val tmp = Files.createTempDirectory("graft_fp_").toString
+    Seq("documents.parquet", "embeddings.parquet").foreach { f =>
+      Files.copy(Paths.get(sf, f), Paths.get(tmp, f),
+                 StandardCopyOption.REPLACE_EXISTING)
+    }
+    def postFiles(): Set[String] = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(wh, Warehouse.tbl(tmp, "graft_post_lists")))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    Warehouse.ensurePostings(spark, tmp)
+    val built = postFiles()
+    assert(built.nonEmpty)
+    // byte-identical re-land (fresh mtime): fingerprint is
+    // content-derived, so the gate must NOT rebuild
+    Files.copy(Paths.get(sf, "documents.parquet"),
+               Paths.get(tmp, "documents.parquet"),
+               StandardCopyOption.REPLACE_EXISTING)
+    Warehouse.ensurePostings(spark, tmp)
+    assert(postFiles() == built,
+      "byte-identical re-land forced a rebuild (fingerprint not content-derived)")
+    // rewrite the corpus at the SAME path (drop one doc): the stale
+    // (dir, params) key would serve the old index silently — the
+    // fingerprinted key must force a rebuild, and the probe must see
+    // the new corpus
+    val probeBefore = Warehouse.bm25Indexed(spark, tmp)
+      .collect().toSeq.map(_.toString)
+    val mutTmp = Files.createTempDirectory("graft_fp_mut_").toString
+    Tables.documents(spark, tmp).filter(col("doc_id") =!= 0L)
+      .coalesce(1).write.mode("overwrite").parquet(mutTmp)
+    val part = {
+      val l = Files.list(Paths.get(mutTmp))
+      try l.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally l.close()
+    }
+    Files.copy(part, Paths.get(tmp, "documents.parquet"),
+               StandardCopyOption.REPLACE_EXISTING)
+    Warehouse.ensurePostings(spark, tmp)
+    assert(postFiles() != built,
+      "corpus rewrite at the same path did not force a rebuild")
+    val probeAfter = Warehouse.bm25Indexed(spark, tmp)
+      .collect().toSeq.map(_.toString)
+    // the rebuilt index answers over the mutated corpus: stats (N)
+    // changed, so scores differ even if the top lists coincide
+    assert(probeAfter.nonEmpty && probeAfter != probeBefore)
+    Seq("graft_post_lists", "graft_post_stats", "graft_post_meta").foreach(
+      t => spark.sql(s"DROP TABLE IF EXISTS ${Warehouse.tbl(tmp, t)}"))
+  }
+
+  test("upsert coverage guard + upsert-blind gate detection") {
+    // a full (excl=0) posting build admits no upserts: the dir-based
+    // upsert must refuse (double-count hazard)...
+    Warehouse.buildPostings(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.upsertPostings(spark, sf, batchMod = 10)
+    }
+    assert(e.getMessage.contains("double-count"))
+    // ...and if a batch lands anyway (streaming form takes arbitrary
+    // frames), the freshness gate must detect the extra batch
+    // partition and rebuild instead of serving the corrupted index
+    Warehouse.upsertPostingsFrom(
+      Tables.documents(spark, sf)
+        .filter(pmod(col("doc_id"), lit(10)) === 0), sf, batchKey = 99L)
+    spark.catalog.refreshTable(Warehouse.tbl(sf, "graft_post_stats"))
+    val statsRows = spark.table(Warehouse.tbl(sf, "graft_post_stats")).count()
+    assert(statsRows == 2L, "upsert did not land its stats row")
+    Warehouse.ensurePostings(spark, sf) // must rebuild (batch set != {-1})
+    assert(spark.table(Warehouse.tbl(sf, "graft_post_stats")).count() == 1L,
+      "gate served an index with a foreign batch partition as fresh")
+    // the mirrored guard on the vector side
+    Warehouse.buildIvf(spark, sf, kmeansIters = 0)
+    val e2 = intercept[IllegalArgumentException] {
+      Warehouse.upsertIvf(spark, sf, batchMod = 17)
+    }
+    assert(e2.getMessage.contains("double-count"))
+    Warehouse.buildIvf(spark, sf) // restore defaults for later suites
+  }
+
   test("two corpus dirs coexist: namespaced indexes never cross-rebuild") {
     // the round-12 bench/warehouse collision: two dirs sharing one
     // spark-warehouse thrashed each other's fixed-name indexes through
