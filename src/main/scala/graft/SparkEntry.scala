@@ -53,6 +53,12 @@ object SparkEntry {
     // only prunes, never decides, so the oracle replays it as a plain
     // normalized-key join)
     "c12_bloom_dedup"           -> ((s: SparkSession, d: String) => DedupOps.bloomDedup(s, d)),
+    // c12b (round 14): c12 over the LANDED shard-bloom + fingerprint
+    // store (ensureBloom gate) — the history corpus is never read;
+    // the recurring per-recrawl membership-gate cost, driver-checked
+    "c12b_bloom_indexed"        -> ((s: SparkSession, d: String) => {
+      graft.sources.Warehouse.ensureBloom(s, d)
+      graft.sources.Warehouse.bloomDedupIndexed(s, d) }),
     // D. similarity search
     "d1_ann_bruteforce"         -> ((s: SparkSession, d: String) => SimOps.annBruteforce(s, d)),
     "d2_ann_lsh"                -> ((s: SparkSession, d: String) => SimOps.annLsh(s, d)),
@@ -74,6 +80,12 @@ object SparkEntry {
     // f7: the incremental form — arriving image batch vs the standing
     // catalog only (the crawler gate; landed twin in Warehouse)
     "f7_image_neardup_incr"     -> ((s: SparkSession, d: String) => MultimodalOps.imageNearDupIncremental(s, d)),
+    // f7b (round 14): f7 over the LANDED standing index — ensurePhash
+    // gates the build (first touch pays it), the probe hashes ONLY the
+    // arriving batch; f7 stays registered as the index-recompute foil
+    "f7b_image_indexed"         -> ((s: SparkSession, d: String) => {
+      graft.sources.Warehouse.ensurePhash(s, d)
+      graft.sources.Warehouse.imageNearDupIndexed(s, d) }),
     // f8 (round 12): audio near-dup — delta-sign fingerprints over the
     // f4 window grid through the f6 band/cap/verify machinery
     "f8_audio_neardup"          -> ((s: SparkSession, d: String) => MultimodalOps.audioNearDup(s, d)),
@@ -82,6 +94,11 @@ object SparkEntry {
     // fingerprints); landed/streaming forms in Warehouse.buildAudio +
     // CorpusStream.audioGate
     "f8b_audio_neardup_incr"    -> ((s: SparkSession, d: String) => MultimodalOps.audioNearDupIncremental(s, d)),
+    // f8c (round 14): f8b over the LANDED standing index (ensureAudio
+    // gate; only the arriving batch fingerprints per run)
+    "f8c_audio_indexed"         -> ((s: SparkSession, d: String) => {
+      graft.sources.Warehouse.ensureAudio(s, d)
+      graft.sources.Warehouse.audioNearDupIndexed(s, d) }),
     // P. pipeline compositions
     "p1_corpus_prep"            -> ((s: SparkSession, d: String) => PipelineOps.corpusPrep(s, d)),
     "p2_decontaminate"          -> ((s: SparkSession, d: String) => PipelineOps.decontaminate(s, d)),
@@ -96,6 +113,13 @@ object SparkEntry {
     // incremental (cross-batch) fuzzy dedup: arriving docs labeled
     // against the standing corpus' LSH band index
     "p11_incremental_dedup"     -> ((s: SparkSession, d: String) => DedupOps.incrementalMinhash(s, d)),
+    // p11b (round 14): p11 over the LANDED standing index
+    // (ensureMinhash gate; the batch side alone computes per run —
+    // the ×100-measured 6.7× vs 23.3× production curve, now
+    // driver-checked like e16b/d12)
+    "p11b_incremental_indexed"  -> ((s: SparkSession, d: String) => {
+      graft.sources.Warehouse.ensureMinhash(s, d)
+      graft.sources.Warehouse.incrementalMinhashIndexed(s, d) }),
     // b56 (round 13): the reference's OrderAndTokenCountCheck cron
     // (data-check.service.ts:24) as a reconciliation query
     "b56_consistency_audit"     -> ((s: SparkSession, d: String) => MarketOps.consistencyAudit(s, d)),
@@ -131,6 +155,12 @@ object SparkEntry {
     // posting index (Warehouse.buildPostings) — probe-only per run, the
     // d10→d12 amortization applied to text retrieval
     "e16b_bm25_indexed"         -> ((s: SparkSession, d: String) => graft.sources.Warehouse.bm25Indexed(s, d)),
+    // e16c (round 14): the DELETION demo — retract the doc_id % 17
+    // slice via Warehouse.deleteDocs (tombstones + exact stats delta)
+    // and probe the same landed index; hash-identical to BM25 over a
+    // corpus that never held the deleted docs (own what-if scope, so
+    // e16b is untouched)
+    "e16c_bm25_deleted"         -> ((s: SparkSession, d: String) => RetrievalOps.bm25SearchDeleted(s, d)),
     // e17 (round 12): learned NB quality classifier (counts-based
     // training replayed relationally in the oracle, the e3 pattern)
     "e17_quality_classifier"    -> ((s: SparkSession, d: String) => TextOps.qualityClassifier(s, d)),
@@ -151,6 +181,10 @@ object SparkEntry {
     // d12: the LANDED-index probe (ensureIvf + DPP-pruned posting-list
     // scan) — first run in a JVM builds, later runs probe only
     "d12_ann_indexed"           -> ((s: SparkSession, d: String) => graft.sources.Warehouse.annIndexed(s, d)),
+    // d12b (round 14): the vector-side deletion demo — deleteDocs on
+    // the vec_id % 17 slice, then d12's probe (tombstoned vectors drop
+    // from the posting hits before ADC; routing/codebook untouched)
+    "d12b_ann_deleted"          -> ((s: SparkSession, d: String) => graft.sources.Warehouse.annIndexedDeleted(s, d)),
     // d13-d15 (round 10): the FIXED-|Q| production forms of d5/d10/d12.
     // The qmod batches grow with the corpus (|Q| = N/50), so their
     // scaled cost is Q·scan — quadratic in SF by WORKLOAD definition;
@@ -350,7 +384,8 @@ object SparkEntry {
     // that at dump time and fall back to the rows-only check instead
     // of failing the driver gate opaquely.
     if (operators.MultimodalOps.hasRealWav(spark, sfDir))
-      base - "f8_audio_neardup" - "f8b_audio_neardup_incr"
+      base - "f8_audio_neardup" - "f8b_audio_neardup_incr" -
+        "f8c_audio_indexed"
     else base
   }
 
@@ -399,7 +434,55 @@ object SparkEntry {
       // d17b probes the LANDED posting + IVF indexes built from the
       // same corpus at the same tokenization/routing, so the SAME
       // replay hash-gates both (the d12/e16b sharing convention)
-      ("d17b_hybrid_indexed" -> d17OracleSql)
+      ("d17b_hybrid_indexed" -> d17OracleSql) +
+      // round 14: the remaining landed probes as driver-checked rows —
+      // each is result-identical to its registered one-shot parent
+      // (WarehouseSpec pins probe ≡ one-shot for all four), so the
+      // parent's replay hash-gates both (the d12/e16b convention)
+      ("c12b_bloom_indexed" -> baseOracleSql("c12_bloom_dedup")) +
+      ("p11b_incremental_indexed" -> baseOracleSql("p11_incremental_dedup")) +
+      ("f7b_image_indexed" -> baseOracleSql("f7_image_neardup_incr")) +
+      ("f8c_audio_indexed" -> baseOracleSql("f8b_audio_neardup_incr")) +
+      // round 14 deletion demos: DERIVED from the parents' replays by
+      // filtering the deleted slice out of exactly the place the
+      // tombstone layer removes it — e16c's corpus CTE (stats, df and
+      // candidates all re-derive downstream of it, mirroring the
+      // delta-corrected landedStats + pre-df anti-join), d12b's
+      // candidate membership alone (routing/codebook/queries stay
+      // corpus-true, mirroring the pre-ADC anti-join). require-guarded
+      // like d17's derivation so a reworded parent fails loud.
+      ("e16c_bm25_deleted" -> e16cOracleSql) +
+      ("d12b_ann_deleted" -> d12bOracleSql)
+
+  /** e16c: e16's replay over a corpus that never held the deleted
+    * slice — the corpus CTE gains the slice filter; stats, df and
+    * candidates re-derive downstream exactly as the engine's
+    * delta-corrected landedStats + pre-df tombstone anti-join do.
+    */
+  private lazy val e16cOracleSql: String = {
+    val parent = baseOracleSql("e16_bm25_search")
+    val cut = parent.replace(
+      "FROM documents WHERE text IS NOT NULL),",
+      "FROM documents WHERE text IS NOT NULL AND doc_id % 17 <> 0),")
+    require(cut != parent,
+      "e16c corpus-cut rewrite missed: e16 replay's corpus CTE was reworded")
+    cut
+  }
+
+  /** d12b: d10's replay with the deleted slice filtered out of the
+    * CANDIDATE membership only — routing (ct/asg sample), codebook and
+    * the query batch stay corpus-true, exactly like the landed index's
+    * pre-ADC tombstone anti-join.
+    */
+  private lazy val d12bOracleSql: String = {
+    val parent = baseOracleSql("d10_ann_ivfpq")
+    val cut = parent.replace(
+      "AND asg.vec_id <> prb.query_id),",
+      "AND asg.vec_id <> prb.query_id AND asg.vec_id % 17 <> 0),")
+    require(cut != parent,
+      "d12b candidate-cut rewrite missed: d10 replay's dd CTE was reworded")
+    cut
+  }
 
   private lazy val d17OracleSql: String = {
         val parent = fixedqOracle(baseOracleSql("d5_ann_ivf"))

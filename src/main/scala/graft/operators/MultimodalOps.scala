@@ -886,10 +886,15 @@ object MultimodalOps {
     */
   private[graft] def phashProbeFrom(batchImgs: DataFrame, dir: String,
                                     maxHamming: Int = 3): DataFrame = {
+    import graft.sources.Warehouse
     import graft.sources.Warehouse.tbl
     val spark = batchImgs.sparkSession
+    // deletion layer: candidacy flows through the band index alone
+    // (the sigs side only verifies pairs), so the anti-join there
+    // guarantees a tombstoned catalog image never surfaces as dup_of
     nearDupProbe(phashed(batchImgs),
-                 spark.table(tbl(dir, "graft_phash_bands")),
+                 Warehouse.exceptTombstoned(
+                   spark.table(tbl(dir, "graft_phash_bands")), dir, "doc_id"),
                  spark.table(tbl(dir, "graft_phash_sigs")), maxHamming)
   }
 
@@ -987,10 +992,13 @@ object MultimodalOps {
                                     winMs: Long = 1000L, hopMs: Long = 500L,
                                     maxWins: Int = 65,
                                     minWins: Int = 33): DataFrame = {
+    import graft.sources.Warehouse
     import graft.sources.Warehouse.tbl
     val spark = batchMedia.sparkSession
+    // deletion layer: the band-index anti-join (see phashProbeFrom)
     audioVerdict(audioFped(batchMedia, winMs, hopMs, maxWins),
-                 spark.table(tbl(dir, "graft_audio_bands")),
+                 Warehouse.exceptTombstoned(
+                   spark.table(tbl(dir, "graft_audio_bands")), dir, "doc_id"),
                  spark.table(tbl(dir, "graft_audio_sigs")), maxHamming, minWins)
   }
 

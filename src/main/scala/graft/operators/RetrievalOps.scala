@@ -202,27 +202,37 @@ object RetrievalOps {
     (lists, stats)
   }
 
-  /** Build-time parts over a corpus dir; `excludeMod > 0` builds the
-    * STANDING index of the incremental story (docs with doc_id %
-    * excludeMod == 0 are the yet-to-arrive batch, upserted later).
+  /** Corpus stats reconstructed from the landed per-batch stats rows,
+    * minus the scope's deletion deltas at the CURRENT index identity
+    * (deleteDocs lands one (n_docs, sum_dl) delta row per delete
+    * batch, tagged (build_key, gen) — superseded generations already
+    * folded or excluded what they corrected, so their deltas are
+    * inert): n = Σ n_docs − Σ Δn, avgdl = (Σ sum_dl − Σ Δdl)/n (exact
+    * — see postingPartsFrom). Bounded: one row per landed batch plus
+    * one per delete batch.
     */
-  private[graft] def postingParts(spark: SparkSession, dir: String,
-                                  excludeMod: Int): (DataFrame, DataFrame) = {
-    val base = docs(spark, dir)
-    postingPartsFrom(
-      if (excludeMod <= 0) base
-      else base.filter(pmod(col("doc_id"), lit(excludeMod)) =!= 0))
+  private[graft] def landedStats(spark: SparkSession, dir: String,
+                                 tombScope: String =
+                                   graft.sources.Warehouse.LiveScope)
+      : DataFrame = {
+    import graft.sources.Warehouse
+    val base = spark.table(Warehouse.tbl(dir, "graft_post_stats"))
+      .select(col("n_docs").cast("long").as("n_docs"),
+              col("sum_dl").cast("long").as("sum_dl"))
+    val all = Warehouse.tombStats(spark, dir) match {
+      case Some(t) =>
+        val (bkey, gen) = Warehouse.postingsIdentity(spark, dir)
+        base.union(
+          t.filter(col("scope") === tombScope && col("bkey") === bkey &&
+                   col("gen") === gen)
+            .select((-col("n_docs")).as("n_docs"),
+                    (-col("sum_dl")).as("sum_dl")))
+      case None => base
+    }
+    all.agg(sum(col("n_docs")).cast("double").as("n"),
+            (sum(col("sum_dl")).cast("double") /
+              sum(col("n_docs")).cast("double")).as("avgdl"))
   }
-
-  /** Corpus stats reconstructed from the landed per-batch stats rows:
-    * n = Σ n_docs, avgdl = Σ sum_dl / Σ n_docs (exact — see
-    * postingPartsFrom). Bounded: one row per landed batch.
-    */
-  private[graft] def landedStats(spark: SparkSession, dir: String): DataFrame =
-    spark.table(graft.sources.Warehouse.tbl(dir, "graft_post_stats"))
-      .agg(sum(col("n_docs")).cast("double").as("n"),
-           (sum(col("sum_dl")).cast("double") /
-             sum(col("n_docs")).cast("double")).as("avgdl"))
 
   /** BM25 rank over the LANDED posting index: the probe joins the
     * broadcast query terms against the term-bucket PARTITION column,
@@ -235,7 +245,10 @@ object RetrievalOps {
     */
   private[graft] def bm25RankIndexed(spark: SparkSession, dir: String,
                                      qterms: DataFrame,
-                                     k: Int, exclSelf: Boolean): DataFrame = {
+                                     k: Int, exclSelf: Boolean,
+                                     tombScope: String =
+                                       graft.sources.Warehouse.LiveScope)
+      : DataFrame = {
     // the trailing =!= "" filter is semantically a no-op (qterms are
     // split-and-dropped-empties by construction) but it is what makes
     // the terms side DPP-ELIGIBLE: Spark's PartitionPruning rule only
@@ -247,10 +260,16 @@ object RetrievalOps {
     val terms = qterms.select(col("term")).distinct()
       .filter(col("term") =!= "")
       .withColumn("tb", termBucket(col("term")))
-    val matched = spark.table(graft.sources.Warehouse.tbl(dir, "graft_post_lists"))
-      .join(broadcast(terms), Seq("tb", "term"))
+    // deletion layer: tombstoned docs drop BEFORE df counts, so idf
+    // and scores equal a physically-purged index's exactly (the
+    // no-tombstone case costs nothing — the plan is unchanged)
+    val matched = graft.sources.Warehouse.exceptTombstoned(
+        spark.table(graft.sources.Warehouse.tbl(dir, "graft_post_lists"))
+          .join(broadcast(terms), Seq("tb", "term")),
+        dir, "doc_id", tombScope)
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
-    bm25ScoreTail(matched, landedStats(spark, dir), qterms, k, exclSelf)
+    bm25ScoreTail(matched, landedStats(spark, dir, tombScope), qterms, k,
+                  exclSelf)
   }
 
   /** e16's literal query workload as (query_id, term) rows. */
@@ -275,6 +294,34 @@ object RetrievalOps {
                         k: Int = 10): DataFrame = {
     graft.sources.Warehouse.ensurePostings(spark, dir)
     bm25RankIndexed(spark, dir, bm25QueryTerms(spark), k, exclSelf = false)
+  }
+
+  /** e16c: the deletion demo — e16b's landed probe AFTER retracting
+    * the `doc_id % delMod == 0` slice through [[graft.sources.Warehouse.deleteDocs]].
+    * The row registers the whole production flow (ensure → delete →
+    * probe): tombstones land exactly-once under their own (scope,
+    * batch) partitions, the probe anti-joins them before df counts,
+    * and (N, avgdl) re-sum through the delete batch's stats delta — so
+    * the output is hash-identical to BM25 over a corpus that never
+    * contained the deleted docs, which is exactly what the derived
+    * DuckDB oracle replays (e16's SQL with the slice filtered out of
+    * the corpus CTE). Runs in its own what-if scope so e16b and every
+    * other default-scope row sharing the warehouse is untouched; the
+    * production path is the same call with the default live scope.
+    * Deliberately re-deletes per invocation (the delete is the demo),
+    * so the benched cost is delete + probe.
+    */
+  def bm25SearchDeleted(spark: SparkSession, dir: String, k: Int = 10,
+                        delMod: Int = 17): DataFrame = {
+    import graft.sources.Warehouse
+    Warehouse.ensurePostings(spark, dir)
+    val scope = s"demo-doc-m$delMod"
+    Warehouse.deleteDocs(spark, dir,
+      docs(spark, dir).filter(pmod(col("doc_id"), lit(delMod)) === 0)
+        .select(col("doc_id")),
+      scope)
+    bm25RankIndexed(spark, dir, bm25QueryTerms(spark), k, exclSelf = false,
+                    tombScope = scope)
   }
 
   /** The e16b probe WITHOUT the freshness gate — for callers that just
@@ -356,7 +403,10 @@ object RetrievalOps {
     * bm25RankIndexed shape.
     */
   private def queryDocTermsIndexed(spark: SparkSession, dir: String,
-                                   nq: Int, nTerms: Int): DataFrame = {
+                                   nq: Int, nTerms: Int,
+                                   tombScope: String =
+                                     graft.sources.Warehouse.LiveScope)
+      : DataFrame = {
     val toks = filter(split(col("text"), " "), w => w =!= "")
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
@@ -371,11 +421,13 @@ object RetrievalOps {
     val qdfTerms = qtf.select(col("term")).distinct()
       .filter(col("term") =!= "")  // DPP eligibility (see bm25RankIndexed)
       .withColumn("tb", termBucket(col("term")))
-    val dfs = spark.table(graft.sources.Warehouse.tbl(dir, "graft_post_lists"))
-      .join(broadcast(qdfTerms), Seq("tb", "term"))
+    val dfs = graft.sources.Warehouse.exceptTombstoned(
+        spark.table(graft.sources.Warehouse.tbl(dir, "graft_post_lists"))
+          .join(broadcast(qdfTerms), Seq("tb", "term")),
+        dir, "doc_id", tombScope)
       .groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("qdf"))
-    val nDocs = landedStats(spark, dir).select(col("n"))
+    val nDocs = landedStats(spark, dir, tombScope).select(col("n"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("tsc").desc, col("term"))
     qtf
@@ -447,15 +499,19 @@ object RetrievalOps {
     */
   def hybridRetrievalIndexed(spark: SparkSession, dir: String, k: Int = 10,
                              nq: Int = SimOps.FixedQBatch, nTerms: Int = 8,
-                             listK: Int = 20): DataFrame = {
+                             listK: Int = 20,
+                             tombScope: String =
+                               graft.sources.Warehouse.LiveScope): DataFrame = {
     graft.sources.Warehouse.ensurePostings(spark, dir)
     graft.sources.Warehouse.ensureIvf(spark, dir, kmeansIters = 0)
     val text = bm25RankIndexed(spark, dir,
-                               queryDocTermsIndexed(spark, dir, nq, nTerms),
-                               listK, exclSelf = true)
+                               queryDocTermsIndexed(spark, dir, nq, nTerms,
+                                                    tombScope),
+                               listK, exclSelf = true, tombScope)
       .select(col("query_id"), col("doc_id"), col("rnk").as("trnk"))
     val vec = graft.sources.Warehouse
-      .annIvfFlatIndexed(spark, dir, k = listK, nq = nq)
+      .annIvfFlatIndexed(spark, dir, k = listK, nq = nq,
+                         tombScope = tombScope)
       .select(col("query_id"), col("cand_id").as("doc_id"),
               col("rnk").as("vrnk"))
     rrfFuse(text, vec, k)

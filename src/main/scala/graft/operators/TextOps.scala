@@ -918,9 +918,13 @@ object TextOps {
     */
   private[graft] def nbScoreProbeFrom(batch: DataFrame, dir: String,
                                       refSource: String = "src0"): DataFrame = {
+    import graft.sources.Warehouse
     import graft.sources.Warehouse.tbl
     val spark = batch.sparkSession
-    nbScoreFrom(batch, refSource,
+    // deletion layer: tombstoned docs are neither scored nor served
+    // (the model itself retrains without them — ensureNbModel keys on
+    // the live tombstone state)
+    nbScoreFrom(Warehouse.exceptTombstoned(batch, dir, "doc_id"), refSource,
                 spark.table(tbl(dir, "graft_nb_weights")),
                 spark.table(tbl(dir, "graft_nb_priors")))
   }

@@ -52,8 +52,14 @@ object Warehouse {
     * under a byte-identical re-land (mtime is deliberately excluded),
     * so re-copying the same corpus never forces a rebuild.
     */
-  def corpusFingerprint(dir: String, table: String): String = {
-    val root = new java.io.File(dir, s"$table.parquet")
+  def corpusFingerprint(dir: String, table: String): String =
+    manifestHash(new java.io.File(dir, s"$table.parquet"))
+
+  /** The manifest-hash body of [[corpusFingerprint]], reusable over
+    * any file tree (the tombstone-state fingerprint hashes a warehouse
+    * table directory with it).
+    */
+  private def manifestHash(root: java.io.File): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def eat(f: java.io.File, rel: String): Unit =
       if (f.isDirectory) {
@@ -403,6 +409,30 @@ object Warehouse {
     annIvfPqIndexed(spark, dir, k, qmod, nProbe, nq = nq)
   }
 
+  /** d12b: the vector-side deletion demo — d12's landed probe AFTER
+    * retracting the `vec_id % delMod == 0` slice through
+    * [[deleteDocs]] (the e16c flow on the IVF index): tombstoned
+    * vectors drop from the posting hits before ADC, so the result is
+    * hash-identical to probing an index whose lists never held them —
+    * the derived oracle is d10's replay with the slice filtered out of
+    * the CANDIDATE membership only (routing, codebook and the query
+    * batch are untouched, exactly like the physical index). Own
+    * what-if scope (d12/d15 and every default-scope row unaffected);
+    * re-deletes per invocation, so the benched cost is delete + probe.
+    */
+  def annIndexedDeleted(spark: SparkSession, dir: String, k: Int = 10,
+                        qmod: Int = 50, nProbe: Int = 8,
+                        delMod: Int = 17): DataFrame = {
+    ensureIvf(spark, dir, kmeansIters = 0)
+    val scope = s"demo-vec-m$delMod"
+    deleteDocs(spark, dir,
+      Tables.embeddings(spark, dir)
+        .filter(pmod(col("vec_id"), lit(delMod)) === 0)
+        .select(col("vec_id")),
+      scope)
+    annIvfPqIndexed(spark, dir, k, qmod, nProbe, tombScope = scope)
+  }
+
   /** d16b: kNN classification routed through the LANDED IVF-PQ index —
     * the scale fix for d16's one design gap (its exact form scans the
     * full corpus per classify batch; at 100 TB labeling 100 vectors
@@ -496,7 +526,9 @@ object Warehouse {
                     m: Int = 8, subDim: Int = 8, batchKey: Long = 0L): Unit = {
     import graft.operators.SimOps
     val spark = batchEmb.sparkSession
-    val batch = batchEmb
+    // live-tombstoned vectors stay deleted (the upsertPostingsFrom
+    // contract)
+    val batch = exceptTombstoned(batchEmb, dir, "vec_id")
       .select(col("vec_id"), col("embedding"),
               graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
     val lists = SimOps.nearestCells(ivfCents(spark, dir))(
@@ -599,6 +631,29 @@ object Warehouse {
     * probe (DedupOps.bloomDedupIndexed) then never reads the history
     * corpus at all.
     */
+  /** Generic freshness gate for the band/sketch index family (bloom,
+    * minhash, phash, audio): fresh iff the meta table exists, every
+    * data table exists, and the landed build key matches — the
+    * ensureIvf/ensurePostings convention factored once. The key always
+    * folds in the corpus fingerprint, so a rewritten corpus at the
+    * same path rebuilds (round-14 data-version contract).
+    */
+  private def metaFresh(spark: SparkSession, dir: String, metaBase: String,
+                        dataBases: Seq[String], key: String): Boolean =
+    (metaBase +: dataBases).forall(b =>
+      spark.catalog.tableExists(tbl(dir, b))) && {
+      val r = spark.table(tbl(dir, metaBase)).collect()
+      r.length == 1 && r(0).getString(0) == key
+    }
+
+  private def writeMeta(spark: SparkSession, dir: String, metaBase: String,
+                        key: String): Unit = {
+    import spark.implicits._
+    Seq(key).toDF("build_key")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(tbl(dir, metaBase))
+  }
+
   def buildBloom(spark: SparkSession, dir: String,
                  fpp: Double = 0.01, newMod: Int = graft.operators.DedupOps.IncrementalNewMod): Unit = {
     // shard count pinned to DedupOps.BloomShards: the landed probe
@@ -606,7 +661,8 @@ object Warehouse {
     // other sharding would silently mis-route probes (an empty shard
     // also can't be told apart from a missing one at read time, so the
     // count can't be derived from the table safely)
-    dropManaged(spark, Seq(tbl(dir, "graft_bloom_shards"), tbl(dir, "graft_bloom_fps")))
+    dropManaged(spark, Seq(tbl(dir, "graft_bloom_shards"), tbl(dir, "graft_bloom_fps"),
+                           tbl(dir, "graft_bloom_meta")))
     val (shards, fps) = graft.operators.DedupOps
       .bloomIndexParts(spark, dir, graft.operators.DedupOps.BloomShards,
                        fpp, newMod)
@@ -614,7 +670,30 @@ object Warehouse {
       .saveAsTable(tbl(dir, "graft_bloom_shards"))
     fps.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(tbl(dir, "graft_bloom_fps"))
+    writeMeta(spark, dir, "graft_bloom_meta",
+              bloomBuildKey(spark, dir, fpp, newMod))
   }
+
+  private def bloomBuildKey(spark: SparkSession, dir: String, fpp: Double,
+                            newMod: Int): String =
+    s"$dir|shards=${graft.operators.DedupOps.BloomShards}|fpp=$fpp|" +
+      s"newMod=$newMod|fp=${corpusFingerprint(dir, "documents")}|" +
+      // a bloom cannot forget: a live deletion keys a rebuild (the
+      // ensureNbModel pattern) — the exact path; the probe-side owner
+      // anti-join covers the window until the next gated probe
+      s"tfp=${tombstoneFingerprint(spark, dir)}"
+
+  /** Build c12's bloom index only if the landed one doesn't match
+    * these parameters (the ensurePostings gate applied to the sketch
+    * family): first probe in a JVM pays the build, every subsequent
+    * probe is membership-gate cost only.
+    */
+  def ensureBloom(spark: SparkSession, dir: String, fpp: Double = 0.01,
+                  newMod: Int = graft.operators.DedupOps.IncrementalNewMod): Unit =
+    if (!metaFresh(spark, dir, "graft_bloom_meta",
+                   Seq("graft_bloom_shards", "graft_bloom_fps"),
+                   bloomBuildKey(spark, dir, fpp, newMod)))
+      buildBloom(spark, dir, fpp, newMod)
 
   /** See [[buildBloom]]; delegate kept here so the landed arm lives
     * next to the other warehouse probes.
@@ -635,14 +714,36 @@ object Warehouse {
   def buildPhash(spark: SparkSession, dir: String, bucketCap: Int = 64,
                  newMod: Int = graft.operators.MultimodalOps.NearDupBatchMod)
       : Unit = {
-    dropManaged(spark, Seq(tbl(dir, "graft_phash_bands"), tbl(dir, "graft_phash_sigs")))
+    dropManaged(spark, Seq(tbl(dir, "graft_phash_bands"), tbl(dir, "graft_phash_sigs"),
+                           tbl(dir, "graft_phash_meta")))
     val (bands, sigs) = graft.operators.MultimodalOps
       .phashIndexParts(spark, dir, bucketCap, newMod)
     bands.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(tbl(dir, "graft_phash_bands"))
     sigs.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(tbl(dir, "graft_phash_sigs"))
+    writeMeta(spark, dir, "graft_phash_meta",
+              bandIndexKey(dir, "phash", bucketCap, newMod))
   }
+
+  /** Shared build-key shape for the band-index family (minhash, phash,
+    * audio): dir + cap + split modulus + corpus fingerprint.
+    */
+  private def bandIndexKey(dir: String, kind: String, bucketCap: Int,
+                           newMod: Int): String =
+    s"$dir|kind=$kind|cap=$bucketCap|newMod=$newMod|" +
+      s"fp=${corpusFingerprint(dir, "documents")}"
+
+  /** Build f7's image index only if the landed one doesn't match these
+    * parameters (the ensureBloom gate on pixels).
+    */
+  def ensurePhash(spark: SparkSession, dir: String, bucketCap: Int = 64,
+                  newMod: Int = graft.operators.MultimodalOps.NearDupBatchMod)
+      : Unit =
+    if (!metaFresh(spark, dir, "graft_phash_meta",
+                   Seq("graft_phash_bands", "graft_phash_sigs"),
+                   bandIndexKey(dir, "phash", bucketCap, newMod)))
+      buildPhash(spark, dir, bucketCap, newMod)
 
   /** See [[buildPhash]]; delegate kept next to the other landed probes.
     * `newMod` threads through to the batch slice (round-12 advice fix:
@@ -667,14 +768,28 @@ object Warehouse {
   def buildAudio(spark: SparkSession, dir: String, bucketCap: Int = 64,
                  newMod: Int = graft.operators.MultimodalOps.NearDupBatchMod)
       : Unit = {
-    dropManaged(spark, Seq(tbl(dir, "graft_audio_bands"), tbl(dir, "graft_audio_sigs")))
+    dropManaged(spark, Seq(tbl(dir, "graft_audio_bands"), tbl(dir, "graft_audio_sigs"),
+                           tbl(dir, "graft_audio_meta")))
     val (bands, sigs) = graft.operators.MultimodalOps
       .audioIndexParts(spark, dir, bucketCap, newMod)
     bands.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(tbl(dir, "graft_audio_bands"))
     sigs.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(tbl(dir, "graft_audio_sigs"))
+    writeMeta(spark, dir, "graft_audio_meta",
+              bandIndexKey(dir, "audio", bucketCap, newMod))
   }
+
+  /** Build f8b's audio index only if the landed one doesn't match
+    * these parameters (the ensurePhash gate on recordings).
+    */
+  def ensureAudio(spark: SparkSession, dir: String, bucketCap: Int = 64,
+                  newMod: Int = graft.operators.MultimodalOps.NearDupBatchMod)
+      : Unit =
+    if (!metaFresh(spark, dir, "graft_audio_meta",
+                   Seq("graft_audio_bands", "graft_audio_sigs"),
+                   bandIndexKey(dir, "audio", bucketCap, newMod)))
+      buildAudio(spark, dir, bucketCap, newMod)
 
   /** See [[buildAudio]]; delegate kept next to the other landed probes.
     * `newMod` threads through to the batch slice (the buildPhash
@@ -690,14 +805,28 @@ object Warehouse {
 
   def buildMinhash(spark: SparkSession, dir: String, bucketCap: Int = 64,
                    newMod: Int = graft.operators.DedupOps.IncrementalNewMod): Unit = {
-    dropManaged(spark, Seq(tbl(dir, "graft_minhash_bands"), tbl(dir, "graft_minhash_sigs")))
+    dropManaged(spark, Seq(tbl(dir, "graft_minhash_bands"), tbl(dir, "graft_minhash_sigs"),
+                           tbl(dir, "graft_minhash_meta")))
     val (bands, sigs) = graft.operators.DedupOps
       .minhashIndexParts(spark, dir, bucketCap, newMod)
     bands.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(tbl(dir, "graft_minhash_bands"))
     sigs.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(tbl(dir, "graft_minhash_sigs"))
+    writeMeta(spark, dir, "graft_minhash_meta",
+              bandIndexKey(dir, "minhash", bucketCap, newMod))
   }
+
+  /** Build p11's standing MinHash index only if the landed one doesn't
+    * match these parameters (the ensureBloom gate on band keys).
+    */
+  def ensureMinhash(spark: SparkSession, dir: String, bucketCap: Int = 64,
+                    newMod: Int = graft.operators.DedupOps.IncrementalNewMod)
+      : Unit =
+    if (!metaFresh(spark, dir, "graft_minhash_meta",
+                   Seq("graft_minhash_bands", "graft_minhash_sigs"),
+                   bandIndexKey(dir, "minhash", bucketCap, newMod)))
+      buildMinhash(spark, dir, bucketCap, newMod)
 
   /** p11 over the landed standing index — see
     * DedupOps.incrementalMinhashIndexed.
@@ -720,7 +849,8 @@ object Warehouse {
     */
   def annIvfFlatIndexed(spark: SparkSession, dir: String, k: Int = 10,
                         qmod: Int = 50, nProbe: Int = 8,
-                        nq: Int = 0): DataFrame = {
+                        nq: Int = 0,
+                        tombScope: String = LiveScope): DataFrame = {
     import graft.operators.SimOps
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
@@ -735,8 +865,11 @@ object Warehouse {
     val probes = SimOps.nearestCells(ivfCents(spark, dir))(
         queries, "query_id", "qe", "qnrm", nProbe)
       .select(col("query_id"), col("cent_id"))
-    // landed posting lists: one row per (vec_id, cell) membership
-    val members = ivfLists(spark, dir).select(col("vec_id"), col("cent_id"))
+    // landed posting lists: one row per (vec_id, cell) membership;
+    // tombstoned vectors drop here, before scoring (deletion layer)
+    val members = exceptTombstoned(
+        ivfLists(spark, dir).select(col("vec_id"), col("cent_id")),
+        dir, "vec_id", tombScope)
       .distinct()
     val matched = members
       .join(broadcast(probes), "cent_id")
@@ -771,7 +904,8 @@ object Warehouse {
   def annIvfPqIndexed(spark: SparkSession, dir: String, k: Int = 10,
                       qmod: Int = 50, nProbe: Int = 8, m: Int = 8,
                       subDim: Int = 8, rerank: Int = 16,
-                      nq: Int = 0): DataFrame = {
+                      nq: Int = 0,
+                      tombScope: String = LiveScope): DataFrame = {
     import graft.operators.SimOps
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
@@ -806,7 +940,9 @@ object Warehouse {
     // duplicates AFTER scoring with max (per-cell sums are over the
     // same 8 code values, so max ≡ the value). Two slim HashAggregate
     // shuffles, no wide rows, no SMJ.
-    val hits = ivfLists(spark, dir)
+    // tombstoned vectors drop before ADC (deletion layer; free when no
+    // tombstone table exists)
+    val hits = exceptTombstoned(ivfLists(spark, dir), dir, "vec_id", tombScope)
       .join(broadcast(probes), "cent_id")
       .filter(col("vec_id") =!= col("query_id"))
     val adc = hits
@@ -860,9 +996,25 @@ object Warehouse {
   def buildPostings(spark: SparkSession, dir: String,
                     excludeMod: Int = 0): Unit = {
     import graft.operators.RetrievalOps
+    // gen is a monotone physical-generation counter across builds AND
+    // compactions: stats deltas (deleteDocs) are tagged with the
+    // (build_key, gen) they correct, and ANY new generation makes
+    // superseded deltas inert — a rebuild at the same params must not
+    // re-subtract deltas for docs it already excluded below.
+    val nextGen =
+      if (spark.catalog.tableExists(tbl(dir, "graft_post_meta")))
+        postingsIdentity(spark, dir)._2 + 1L
+      else 0L
     dropManaged(spark, Seq(tbl(dir, "graft_post_lists"), tbl(dir, "graft_post_stats"),
                            tbl(dir, "graft_post_meta")))
-    val (lists, stats) = RetrievalOps.postingParts(spark, dir, excludeMod)
+    // rebuilds physically exclude live-tombstoned docs (the new
+    // generation is born clean — the right-to-be-forgotten contract);
+    // what-if scopes stay logical-only
+    val baseDocs = Tables.documents(spark, dir)
+    val sliced = if (excludeMod <= 0) baseDocs
+      else baseDocs.filter(pmod(col("doc_id"), lit(excludeMod)) =!= 0)
+    val (lists, stats) =
+      RetrievalOps.postingPartsFrom(exceptTombstoned(sliced, dir, "doc_id"))
     // repartition by bucket so each task writes whole tb directories
     // (64 files total, not tasks×64 small ones)
     lists
@@ -880,7 +1032,8 @@ object Warehouse {
       .format("parquet")
       .saveAsTable(tbl(dir, "graft_post_stats"))
     import spark.implicits._
-    Seq(postingsBuildKey(dir, excludeMod)).toDF("build_key")
+    Seq((postingsBuildKey(dir, excludeMod), nextGen))
+      .toDF("build_key", "gen")
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(tbl(dir, "graft_post_meta"))
   }
@@ -899,8 +1052,13 @@ object Warehouse {
     val fresh = spark.catalog.tableExists(tbl(dir, "graft_post_meta")) &&
       spark.catalog.tableExists(tbl(dir, "graft_post_lists")) &&
       spark.catalog.tableExists(tbl(dir, "graft_post_stats")) && {
-        val r = spark.table(tbl(dir, "graft_post_meta")).collect()
-        r.length == 1 && r(0).getString(0) == key
+        val m = spark.table(tbl(dir, "graft_post_meta"))
+        // a pre-round-14 meta (no gen column) is a stale physical
+        // format: rebuild rather than guessing a generation
+        m.columns.contains("gen") && {
+          val r = m.select(col("build_key")).collect()
+          r.length == 1 && r(0).getString(0) == key
+        }
       } &&
       // an excl=0 build admits NO legitimate upserts (round-13 advice):
       // a batch partition on top of a full build double-counts its
@@ -944,7 +1102,12 @@ object Warehouse {
                          batchKey: Long = 0L): Unit = {
     import graft.operators.RetrievalOps
     val spark = batchDocs.sparkSession
-    val (lists, stats) = RetrievalOps.postingPartsFrom(batchDocs)
+    // a live-tombstoned doc re-arriving in a batch stays deleted (its
+    // rows never land, so stats never count what probes must hide);
+    // re-admitting content is an explicit un-delete, not a side effect
+    // of a recrawl
+    val (lists, stats) = RetrievalOps.postingPartsFrom(
+      exceptTombstoned(batchDocs, dir, "doc_id"))
     val owKey = "spark.sql.sources.partitionOverwriteMode"
     val prior = spark.conf.get(owKey)
     spark.conf.set(owKey, "dynamic")
@@ -981,8 +1144,13 @@ object Warehouse {
                    refSource: String = "src0"): Unit = {
     dropManaged(spark, Seq(tbl(dir, "graft_nb_weights"), tbl(dir, "graft_nb_priors"),
                            tbl(dir, "graft_nb_meta")))
+    // live-tombstoned docs are excluded from TRAINING (a deleted doc's
+    // counts must leave the model, not just its score row; the build
+    // key carries the tombstone-state fingerprint so ensureNbModel
+    // retrains on the next probe after a live deletion)
     val (weights, priors) = graft.operators.TextOps
-      .nbModelFrom(Tables.documents(spark, dir), refSource)
+      .nbModelFrom(exceptTombstoned(Tables.documents(spark, dir),
+                                    dir, "doc_id"), refSource)
     weights.write.mode(SaveMode.Overwrite)
       .bucketBy(Buckets, "term").sortBy("term")
       .format("parquet")
@@ -990,7 +1158,7 @@ object Warehouse {
     priors.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(tbl(dir, "graft_nb_priors"))
     import spark.implicits._
-    Seq(nbBuildKey(dir, refSource)).toDF("build_key")
+    Seq(nbBuildKey(spark, dir, refSource)).toDF("build_key")
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(tbl(dir, "graft_nb_meta"))
   }
@@ -999,12 +1167,14 @@ object Warehouse {
     * parameters (the ensureIvf gate): first scoring run in a JVM pays
     * the training shuffle, every subsequent run is join-only.
     */
-  private def nbBuildKey(dir: String, refSource: String): String =
-    s"$dir|ref=$refSource|fp=${corpusFingerprint(dir, "documents")}"
+  private def nbBuildKey(spark: SparkSession, dir: String,
+                         refSource: String): String =
+    s"$dir|ref=$refSource|fp=${corpusFingerprint(dir, "documents")}|" +
+      s"tfp=${tombstoneFingerprint(spark, dir)}"
 
   def ensureNbModel(spark: SparkSession, dir: String,
                     refSource: String = "src0"): Unit = {
-    val key = nbBuildKey(dir, refSource)
+    val key = nbBuildKey(spark, dir, refSource)
     val fresh = spark.catalog.tableExists(tbl(dir, "graft_nb_meta")) &&
       spark.catalog.tableExists(tbl(dir, "graft_nb_weights")) &&
       spark.catalog.tableExists(tbl(dir, "graft_nb_priors")) && {
@@ -1012,5 +1182,316 @@ object Warehouse {
         r.length == 1 && r(0).getString(0) == key
       }
     if (!fresh) buildNbModel(spark, dir, refSource)
+  }
+
+  // ---------- deletion / retraction (round 14) -----------------------------
+
+  /** The production tombstone scope. Every landed probe consults this
+    * scope by default, so a doc passed to [[deleteDocs]] under it
+    * stops serving from EVERY index immediately — the
+    * right-to-be-forgotten path the reference's burn/cancel event
+    * folds play for marketplace state (order state machine
+    * tasks.service.ts:599-796; burn-owner exclusions listNFTs
+    * app.service.ts:779), applied to a training-data corpus. Other
+    * scope strings are self-contained what-if deletion sets (the
+    * registered deletion-demo rows use one so they never perturb the
+    * default-scope rows sharing the warehouse); scopes do not union.
+    */
+  val LiveScope = "live"
+
+  /** Logical deletion of a set of doc/vec ids from every landed index
+    * of this corpus namespace. The mechanism is a TOMBSTONE layer, not
+    * a rewrite: ids land under their (scope, batch_id) partition of
+    * graft_tombstones, and every probe anti-joins the (broadcast,
+    * deletion-sized) tombstone set — standing index files are NEVER
+    * touched (physical removal is [[compactPostings]]/[[compactIvf]]'s
+    * job). BM25's corpus stats stay EXACT: the delete batch computes
+    * the tombstoned docs' (n_docs, sum_dl) contribution from the
+    * landed posting rows themselves (one columnar postings scan per
+    * delete batch — curation-cadence cost, never probe cost) and lands
+    * it as a delta row tagged with the posting index's current
+    * (build_key, gen) identity; landedStats subtracts only deltas
+    * matching the CURRENT identity, so a rebuild or compaction (which
+    * both exclude/purge live tombstones physically) can never
+    * double-subtract.
+    *
+    * Exactly-once under replay: both writes are dynamic partition
+    * overwrites of this batch's own (scope, batch_id) partitions (the
+    * upsertIvfFrom contract); the already-tombstoned exclusion ignores
+    * the batch's OWN prior rows so a replay recomputes — not drops —
+    * them. Ids never indexed are harmless (their delta contribution is
+    * zero; anti-joins of absent ids are no-ops).
+    */
+  def deleteDocs(spark: SparkSession, dir: String, ids: DataFrame,
+                 scope: String = LiveScope, batchKey: Long = 0L): Unit = {
+    require(scope.nonEmpty && !scope.exists(c => c == '/' || c == '='),
+      s"bad tombstone scope: '$scope'")
+    val idsDf = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .distinct()
+    // exclude ids already tombstoned in this scope by OTHER batches
+    // (their stats delta is already landed — re-landing would
+    // double-subtract); the batch's own prior rows are fair game so a
+    // replay overwrites rather than empties its partition
+    val newIds = (if (recoverTombTable(spark, dir, "graft_tombstones"))
+      idsDf.join(
+        spark.table(tbl(dir, "graft_tombstones"))
+          .filter(col("scope") === scope && col("batch_id") =!= batchKey)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    else idsDf).localCheckpoint(false)
+    val rows = newIds
+      .select(col("doc_id"), lit(scope).as("scope"),
+              lit(batchKey).as("batch_id"))
+    writePartitioned(spark, dir, "graft_tombstones", rows,
+                     Seq("scope", "batch_id"))
+    // postings stats delta (only meaningful when a posting index is
+    // landed): subtract exactly what is PHYSICALLY INDEXED for these
+    // ids — a doc absent from the postings (never indexed, or already
+    // purged) contributes nothing, which is what keeps replays after
+    // compaction self-healing
+    if (spark.catalog.tableExists(tbl(dir, "graft_post_meta")) &&
+        spark.catalog.tableExists(tbl(dir, "graft_post_lists"))) {
+      val (bkey, gen) = postingsIdentity(spark, dir)
+      val d = spark.table(tbl(dir, "graft_post_lists"))
+        .join(broadcast(newIds), "doc_id")
+        .select(col("doc_id"), col("dl")).distinct()
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+             coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
+        .select(col("n_docs"), col("sum_dl"), lit(bkey).as("bkey"),
+                lit(gen).as("gen"), lit(scope).as("scope"),
+                lit(batchKey).as("batch_id"))
+      writePartitioned(spark, dir, "graft_tomb_stats", d,
+                       Seq("scope", "batch_id"))
+    }
+  }
+
+  /** [[deleteDocs]] over a literal id list. */
+  def deleteDocIds(spark: SparkSession, dir: String, ids: Seq[Long],
+                   scope: String = LiveScope, batchKey: Long = 0L): Unit = {
+    import spark.implicits._
+    deleteDocs(spark, dir, ids.toDF("doc_id"), scope, batchKey)
+  }
+
+  /** Tombstone-table schemas for cross-JVM recovery (see
+    * [[recoverTombTable]]).
+    */
+  private val tombSchemas: Map[String, (String, String)] = Map(
+    "graft_tombstones" -> ("doc_id BIGINT, scope STRING, batch_id BIGINT",
+                           "scope, batch_id"),
+    "graft_tomb_stats" -> ("n_docs BIGINT, sum_dl BIGINT, bkey STRING, " +
+                             "gen BIGINT, scope STRING, batch_id BIGINT",
+                           "scope, batch_id"))
+
+  /** True iff the tombstone table is catalog-visible, RECOVERING it
+    * first when only its files survived a previous JVM (the in-memory
+    * catalog forgets tables across sessions; every other landed table
+    * is rebuilt by its gate, but silently recreating THIS one would
+    * silently UN-DELETE every tombstoned doc — the one state loss that
+    * must never happen, so the surviving location is re-registered and
+    * its partitions recovered instead).
+    */
+  private def recoverTombTable(spark: SparkSession, dir: String,
+                               base: String): Boolean =
+    spark.catalog.tableExists(tbl(dir, base)) || {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = new java.io.File(wh, tbl(dir, base))
+      loc.exists() && {
+        val (cols, parts) = tombSchemas(base)
+        spark.sql(s"CREATE TABLE ${tbl(dir, base)} ($cols) USING parquet " +
+          s"PARTITIONED BY ($parts) LOCATION '${loc.getAbsolutePath}'")
+        spark.catalog.recoverPartitions(tbl(dir, base))
+        true
+      }
+    }
+
+  /** Create-or-dynamic-overwrite a (scope, batch_id)-partitioned
+    * maintenance table: first write creates it partitioned; later
+    * writes replace exactly the partitions present in `rows` (the
+    * upsertIvfFrom exactly-once contract).
+    */
+  private def writePartitioned(spark: SparkSession, dir: String,
+                               base: String, rows: DataFrame,
+                               parts: Seq[String]): Unit =
+    if (!recoverTombTable(spark, dir, base)) {
+      rows.write.mode(SaveMode.Overwrite)
+        .partitionBy(parts: _*)
+        .format("parquet")
+        .saveAsTable(tbl(dir, base))
+    } else {
+      val owKey = "spark.sql.sources.partitionOverwriteMode"
+      val prior = spark.conf.get(owKey)
+      spark.conf.set(owKey, "dynamic")
+      try rows.write.mode(SaveMode.Overwrite).insertInto(tbl(dir, base))
+      finally spark.conf.set(owKey, prior)
+    }
+
+  /** The landed posting index's identity: (build_key, gen). gen counts
+    * physical generations — 0 at build, +1 per compaction — so stats
+    * deltas tagged with a superseded generation are inert (the
+    * generation that replaced them already folded or purged what they
+    * corrected).
+    */
+  private[graft] def postingsIdentity(spark: SparkSession,
+                                      dir: String): (String, Long) = {
+    val m = spark.table(tbl(dir, "graft_post_meta"))
+    val r = m.select(col("build_key"),
+                     (if (m.columns.contains("gen")) col("gen")
+                      else lit(0L)).as("gen")).collect()(0)
+    (r.getString(0), r.getLong(1))
+  }
+
+  /** The scope-filtered deletion stats deltas, recovered across JVMs
+    * like the tombstones themselves — None when nothing was ever
+    * deleted.
+    */
+  private[graft] def tombStats(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (recoverTombTable(spark, dir, "graft_tomb_stats"))
+      Some(spark.table(tbl(dir, "graft_tomb_stats")))
+    else None
+
+  /** The tombstoned id set of one scope — empty frame when nothing was
+    * ever deleted. Bounded by deletion volume, never corpus size; the
+    * probes broadcast it.
+    */
+  private[graft] def tombstoneIds(spark: SparkSession, dir: String,
+                                  scope: String): Option[DataFrame] =
+    if (recoverTombTable(spark, dir, "graft_tombstones"))
+      Some(spark.table(tbl(dir, "graft_tombstones"))
+        .filter(col("scope") === scope).select(col("doc_id")))
+    else None
+
+  /** Anti-join `df` against the scope's tombstone set on `idCol` — the
+    * one hook every landed probe routes through. A never-deleted
+    * corpus (no tombstone table) costs NOTHING: the plan is returned
+    * unchanged. With tombstones the cost is one broadcast hash
+    * anti-join of the deletion-sized id set — the standing side never
+    * re-shards.
+    */
+  private[graft] def exceptTombstoned(df: DataFrame, dir: String,
+                                      idCol: String,
+                                      scope: String = LiveScope): DataFrame =
+    tombstoneIds(df.sparkSession, dir, scope) match {
+      case Some(t) =>
+        df.join(broadcast(t.withColumnRenamed("doc_id", idCol)),
+                Seq(idCol), "left_anti")
+      case None => df
+    }
+
+  /** Content fingerprint of the LIVE tombstone state — folded into the
+    * NB-model build key so a live deletion retrains the model without
+    * the deleted docs' counts (weights are corpus aggregates; unlike
+    * the postings there is no exact summable delta for a smoothed
+    * log-odds table, and retraining is the documented
+    * once-per-curation-cycle cost).
+    */
+  private[graft] def tombstoneFingerprint(spark: SparkSession,
+                                          dir: String): String = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(new java.io.File(wh, tbl(dir, "graft_tombstones")),
+                               s"scope=$LiveScope")
+    if (loc.exists()) manifestHash(loc) else "none"
+  }
+
+  // ---------- compaction / vacuum (round 14) --------------------------------
+
+  /** Fold every batch_id partition of the landed posting index into
+    * one base generation and PHYSICALLY PURGE live-tombstoned rows —
+    * the small-file/vacuum maintenance every batch_id-partitioned
+    * incremental store eventually needs (probe cost degrades with file
+    * count, not data size; and purge is the physical
+    * right-to-be-forgotten step the tombstone layer defers). Stats
+    * re-sum exactly: one surviving row = Σ landed stats − Σ live
+    * deltas at the current identity. The metadata generation
+    * increments, so superseded deltas go inert; live tombstone ROWS
+    * stay (their future replays and probe anti-joins are no-ops over
+    * purged ids — self-healing), and non-live what-if scopes keep
+    * their rows but must re-apply after a compaction (their
+    * deleteDocs-per-invocation demo rows do).
+    *
+    * Run at a maintenance quiet point (the contract of any checkpoint
+    * compaction): a micro-batch replayed with a PRE-compaction
+    * batchKey would re-append rows the fold already absorbed. A
+    * production deployment would swap generations via a table-format
+    * snapshot commit; the plain-parquet stand-in here stages to a temp
+    * table and rewrites (double write, disclosed).
+    */
+  def compactPostings(spark: SparkSession, dir: String): Unit = {
+    require(spark.catalog.tableExists(tbl(dir, "graft_post_meta")),
+      "no landed posting index to compact")
+    val (bkey, gen) = postingsIdentity(spark, dir)
+    val folded = exceptTombstoned(
+        spark.table(tbl(dir, "graft_post_lists")), dir, "doc_id")
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"),
+              lit(-1L).as("batch_id"), col("tb"))
+    val newStats = {
+      val base = spark.table(tbl(dir, "graft_post_stats"))
+        .select(col("n_docs").cast("long").as("n_docs"),
+                col("sum_dl").cast("long").as("sum_dl"))
+      val negs = tombStats(spark, dir) match {
+        case Some(t) =>
+          t.filter(col("scope") === LiveScope && col("bkey") === bkey &&
+                   col("gen") === gen)
+            .select((-col("n_docs")).as("n_docs"), (-col("sum_dl")).as("sum_dl"))
+        case None => base.limit(0)
+      }
+      base.union(negs)
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+             coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
+        .select(col("n_docs"), col("sum_dl"), lit(-1L).as("batch_id"))
+    }
+    swapTable(spark, dir, "graft_post_lists", folded,
+              Seq("batch_id", "tb"), bucketCol = Some("tb"))
+    swapTable(spark, dir, "graft_post_stats", newStats, Seq("batch_id"))
+    import spark.implicits._
+    Seq((bkey, gen + 1L)).toDF("build_key", "gen")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(tbl(dir, "graft_post_meta"))
+  }
+
+  /** [[compactPostings]] for the IVF posting lists: fold every
+    * batch_id partition into the base generation and purge
+    * live-tombstoned vectors. Centroids and PQ codebook are untouched
+    * (a fold changes WHERE codes live, never what they are), so probe
+    * routing — and therefore probe results over the surviving ids —
+    * is bit-identical before/after (WarehouseSpec pins it).
+    */
+  def compactIvf(spark: SparkSession, dir: String): Unit = {
+    require(spark.catalog.tableExists(tbl(dir, "graft_ivf_meta")),
+      "no landed IVF index to compact")
+    val folded = exceptTombstoned(
+        spark.table(tbl(dir, "graft_ivf_lists")), dir, "vec_id")
+      .select(col("vec_id"), col("sub_j"), col("ce"), col("cn"),
+              lit(-1L).as("batch_id"), col("cent_id"))
+    swapTable(spark, dir, "graft_ivf_lists", folded,
+              Seq("batch_id", "cent_id"))
+  }
+
+  /** Stage-and-rewrite a partitioned managed table (overwriting a
+    * table being read is illegal, and a catalog rename does not move
+    * partition locations reliably on the plain-parquet catalog): write
+    * the folded rows to a temp table, drop the original, rewrite from
+    * the stage, drop the stage.
+    */
+  private def swapTable(spark: SparkSession, dir: String, base: String,
+                        rows: DataFrame, parts: Seq[String],
+                        bucketCol: Option[String] = None): Unit = {
+    val stage = s"${base}_stage"
+    dropManaged(spark, Seq(tbl(dir, stage)))
+    val staged = bucketCol match {
+      case Some(c) => rows.repartition(col(c))
+      case None    => rows
+    }
+    staged.write.mode(SaveMode.Overwrite)
+      .partitionBy(parts: _*)
+      .format("parquet")
+      .saveAsTable(tbl(dir, stage))
+    dropManaged(spark, Seq(tbl(dir, base)))
+    spark.table(tbl(dir, stage))
+      .select(rows.columns.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(parts: _*)
+      .format("parquet")
+      .saveAsTable(tbl(dir, base))
+    dropManaged(spark, Seq(tbl(dir, stage)))
   }
 }

@@ -148,7 +148,11 @@ object CorpusStream {
       .withColumn("might",
         mightContain(pmod(col("fp"), lit(DedupOps.BloomShards.toLong))
                        .cast("int"), col("fp")))
-    val fps = spark.table(tbl(dir, "graft_bloom_fps"))
+    // deletion layer: a tombstoned owner drops from the static store
+    // side (the bloomDedupIndexed contract; the bloom itself only
+    // prunes, so a stale positive just misses here and reports novel)
+    val fps = graft.sources.Warehouse.exceptTombstoned(
+        spark.table(tbl(dir, "graft_bloom_fps")), dir, "ex_id")
       .select(col("fp").as("sfp"), col("ex_id").as("dup_of"))
     // survivors (≈ true dups + fpp·batch) probe the store; misses skip
     // it entirely — the per-micro-batch join input tracks the dup rate,

@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, MultimodalOps, RetrievalOps, TextOps}
+import graft.sources.{Tables, Warehouse}
+
+/** Round-14 deletion/retraction + compaction contract:
+  *
+  *  - a doc passed to Warehouse.deleteDocs (live scope) surfaces in NO
+  *    landed probe — postings/BM25, IVF, minhash, bloom, phash, audio,
+  *    NB scoring — immediately, with no index rewrite;
+  *  - BM25 stats stay EXACT: the tombstoned probe is row-identical to
+  *    the one-shot over a corpus that never held the deleted docs;
+  *  - standing index files are untouched by a delete (tombstones are a
+  *    layer, not a rewrite) and a replayed delete batch is a no-op;
+  *  - compactPostings/compactIvf fold batch partitions into one base
+  *    generation and PHYSICALLY purge live-tombstoned rows with
+  *    probe-identity before/after.
+  *
+  * Runs on a private corpus copy (own warehouse namespace), so the
+  * shared-fixture suites never see these tombstones.
+  */
+class DeletionSpec extends SparkSpec {
+
+  private lazy val tmpDir: String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("graft_del_").toString
+    Seq("documents.parquet", "embeddings.parquet").foreach { f =>
+      Files.copy(Paths.get(sf, f), Paths.get(d, f),
+                 StandardCopyOption.REPLACE_EXISTING)
+    }
+    d
+  }
+
+  /** A second corpus with `docIds` physically absent — the
+    * ground-truth world the tombstone layer must be indistinguishable
+    * from (documents only; enough for the text-side identities).
+    */
+  private def filteredCorpus(docIds: Seq[Long]): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_delref_").toString
+    Tables.documents(spark, tmpDir)
+      .filter(!col("doc_id").isin(docIds: _*))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def tableFiles(base: String): Map[String, (Long, String)] = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(wh, Warehouse.tbl(tmpDir, base)))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> ((f.length(), f.lastModified().toString))).toMap
+  }
+
+  private def strs(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString)
+
+  test("BM25: tombstoned probe ≡ one-shot over the never-held-them corpus; files untouched; replay no-op") {
+    Warehouse.ensurePostings(spark, tmpDir)
+    val pre = strs(Warehouse.bm25Indexed(spark, tmpDir))
+    // delete docs that actually SERVE (appear in pre-delete results),
+    // plus one that may not — absence must hold for both
+    val served = Warehouse.bm25Indexed(spark, tmpDir)
+      .select(col("doc_id")).distinct().orderBy(col("doc_id")).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    val victims = (served :+ 499L).distinct
+    val filesBefore = tableFiles("graft_post_lists")
+    Warehouse.deleteDocIds(spark, tmpDir, victims)
+    assert(tableFiles("graft_post_lists") == filesBefore,
+      "deleteDocs rewrote standing posting files (must be a layer, not a rewrite)")
+    val post = Warehouse.bm25Indexed(spark, tmpDir)
+    assert(strs(post) != pre, "deletion of served docs changed nothing")
+    assert(post.filter(col("doc_id").isin(victims: _*)).count() == 0,
+      "a deleted doc surfaced from the BM25 probe")
+    // EXACT identity with a world that never held the victims: same
+    // top-k, same scores (N/avgdl re-summed through the stats delta,
+    // df re-counted under the anti-join)
+    val ref = filteredCorpus(victims)
+    assert(strs(post) == strs(RetrievalOps.bm25Search(spark, ref)),
+      "tombstoned probe drifted from the physically-filtered one-shot")
+    // replayed delete batch (same batchKey): content no-op
+    Warehouse.deleteDocIds(spark, tmpDir, victims)
+    assert(strs(Warehouse.bm25Indexed(spark, tmpDir)) == strs(post))
+    assert(spark.table(Warehouse.tbl(tmpDir, "graft_tombstones"))
+             .filter(col("scope") === Warehouse.LiveScope).count() ==
+           victims.size.toLong)
+    // overlapping SECOND batch must not double-subtract stats: the
+    // probe still matches the filtered world with the union removed
+    val more = victims.take(1) ++ Seq(497L)
+    Warehouse.deleteDocIds(spark, tmpDir, more, batchKey = 1L)
+    val ref2 = filteredCorpus((victims ++ more).distinct)
+    assert(strs(Warehouse.bm25Indexed(spark, tmpDir)) ==
+           strs(RetrievalOps.bm25Search(spark, ref2)),
+      "overlapping delete batches corrupted the stats delta")
+  }
+
+  test("IVF: deleted vectors leave every landed ANN surface; compactIvf purge is probe-identical") {
+    Warehouse.ensureIvf(spark, tmpDir, kmeansIters = 0)
+    val victims = Warehouse.annIndexed(spark, tmpDir)
+      .select(col("cand_id")).distinct().orderBy(col("cand_id")).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    Warehouse.deleteDocIds(spark, tmpDir, victims, batchKey = 2L)
+    val flat = Warehouse.annIvfFlatIndexed(spark, tmpDir)
+    val pq = Warehouse.annIndexed(spark, tmpDir)
+    Seq(flat, pq).foreach { df =>
+      assert(df.filter(col("cand_id").isin(victims: _*)).count() == 0,
+        "a deleted vector surfaced from an ANN probe")
+    }
+    val pqRows = strs(pq)
+    // physical purge: identical probe results, victims gone from disk
+    Warehouse.compactIvf(spark, tmpDir)
+    spark.catalog.refreshTable(Warehouse.tbl(tmpDir, "graft_ivf_lists"))
+    assert(strs(Warehouse.annIndexed(spark, tmpDir)) == pqRows,
+      "compactIvf changed probe results")
+    assert(spark.table(Warehouse.tbl(tmpDir, "graft_ivf_lists"))
+             .filter(col("vec_id").isin(victims: _*)).count() == 0,
+      "compactIvf left tombstoned vectors on disk")
+  }
+
+  test("band/sketch gates: a tombstoned standing doc never labels an arriving one") {
+    Warehouse.ensureMinhash(spark, tmpDir)
+    Warehouse.ensureBloom(spark, tmpDir)
+    Warehouse.ensurePhash(spark, tmpDir)
+    Warehouse.ensureAudio(spark, tmpDir)
+    def partners(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.filter(col("dup_of").isNotNull).select(col("dup_of"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+    val pre = Seq(
+      Warehouse.incrementalMinhashIndexed(spark, tmpDir),
+      Warehouse.bloomDedupIndexed(spark, tmpDir),
+      Warehouse.imageNearDupIndexed(spark, tmpDir),
+      Warehouse.audioNearDupIndexed(spark, tmpDir)).map(df => (df, partners(df)))
+    val victims = pre.flatMap(_._2).distinct.sorted.take(6)
+    assert(victims.nonEmpty, "vacuous: no probe produced a dup partner")
+    Warehouse.deleteDocIds(spark, tmpDir, victims, batchKey = 3L)
+    val post = Seq(
+      Warehouse.incrementalMinhashIndexed(spark, tmpDir),
+      Warehouse.bloomDedupIndexed(spark, tmpDir),
+      Warehouse.imageNearDupIndexed(spark, tmpDir),
+      Warehouse.audioNearDupIndexed(spark, tmpDir))
+    post.zip(pre).foreach { case (df, (preDf, _)) =>
+      assert(df.filter(col("dup_of").isin(victims: _*)).count() == 0,
+        "a deleted standing doc still labels arriving docs")
+      // every arriving doc still gets a verdict row (deletion thins
+      // partners, never the batch)
+      assert(df.count() == preDf.count())
+    }
+  }
+
+  test("NB quality: deletion retrains the model and unscores the doc") {
+    Warehouse.ensureNbModel(spark, tmpDir)
+    val scoredPre = TextOps.qualityClassifierIndexed(spark, tmpDir)
+    val someDoc = scoredPre.select(col("doc_id")).orderBy(col("doc_id")).limit(1)
+      .collect()(0).getLong(0)
+    val preW = strs(spark.table(Warehouse.tbl(tmpDir, "graft_nb_weights"))
+      .orderBy(col("term")))
+    Warehouse.deleteDocIds(spark, tmpDir, Seq(someDoc), batchKey = 4L)
+    val scoredPost = TextOps.qualityClassifierIndexed(spark, tmpDir)
+    assert(scoredPost.filter(col("doc_id") === someDoc).count() == 0,
+      "a deleted doc was still scored/served")
+    val postW = strs(spark.table(Warehouse.tbl(tmpDir, "graft_nb_weights"))
+      .orderBy(col("term")))
+    assert(postW != preW,
+      "live deletion did not retrain the NB model (its counts still include the doc)")
+    // identity with the never-held-them world (weights AND scored
+    // set): the reference filters EVERY live tombstone, since the
+    // model excludes them all
+    val allLive = spark.table(Warehouse.tbl(tmpDir, "graft_tombstones"))
+      .filter(col("scope") === Warehouse.LiveScope)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val ref = filteredCorpus(allLive)
+    assert(strs(scoredPost) == strs(TextOps.qualityClassifier(spark, ref)),
+      "retrained scoring drifted from the physically-filtered one-shot")
+  }
+
+  test("compactPostings folds batches + purges tombstones with probe identity") {
+    // standing build that admits upserts, plus one landed batch
+    Warehouse.buildPostings(spark, tmpDir, excludeMod = 10)
+    Warehouse.upsertPostings(spark, tmpDir, batchMod = 10, batchKey = 7L)
+    val victims = RetrievalOps.bm25SearchIndexedUnchecked(spark, tmpDir)
+      .select(col("doc_id")).distinct().orderBy(col("doc_id")).limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    Warehouse.deleteDocIds(spark, tmpDir, victims, batchKey = 5L)
+    val pre = strs(RetrievalOps.bm25SearchIndexedUnchecked(spark, tmpDir))
+    val filesBefore = tableFiles("graft_post_lists").size
+    Warehouse.compactPostings(spark, tmpDir)
+    Seq("graft_post_lists", "graft_post_stats", "graft_post_meta").foreach(
+      t => spark.catalog.refreshTable(Warehouse.tbl(tmpDir, t)))
+    // one base generation survives
+    val parts = spark.sql(
+        s"SHOW PARTITIONS ${Warehouse.tbl(tmpDir, "graft_post_stats")}")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts == Seq("batch_id=-1"),
+      s"compaction left batch partitions: $parts")
+    assert(tableFiles("graft_post_lists").size < filesBefore,
+      "compaction did not reduce the file count")
+    // tombstoned rows are physically gone; probe rows identical
+    assert(spark.table(Warehouse.tbl(tmpDir, "graft_post_lists"))
+             .filter(col("doc_id").isin(victims: _*)).count() == 0,
+      "compaction left tombstoned postings on disk")
+    assert(strs(RetrievalOps.bm25SearchIndexedUnchecked(spark, tmpDir)) == pre,
+      "compaction changed probe results")
+    // post-compaction delete still exact: stats delta re-derives
+    // against the NEW generation
+    val more = RetrievalOps.bm25SearchIndexedUnchecked(spark, tmpDir)
+      .select(col("doc_id")).distinct().orderBy(col("doc_id")).limit(1)
+      .collect().map(_.getLong(0)).toSeq
+    Warehouse.deleteDocIds(spark, tmpDir, more, batchKey = 6L)
+    assert(RetrievalOps.bm25SearchIndexedUnchecked(spark, tmpDir)
+             .filter(col("doc_id").isin(more: _*)).count() == 0)
+    // replaying the PRE-compaction delete batch self-heals: its ids
+    // are purged, so the recomputed delta is zero and results hold
+    val now = strs(RetrievalOps.bm25SearchIndexedUnchecked(spark, tmpDir))
+    Warehouse.deleteDocIds(spark, tmpDir, victims, batchKey = 5L)
+    assert(strs(RetrievalOps.bm25SearchIndexedUnchecked(spark, tmpDir)) == now,
+      "replaying a pre-compaction delete batch corrupted stats")
+  }
+}

@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpec {
     "d10_ann_ivfpq",           // broadcast centroid probe + query subs
     "d11_ann_incremental",     // broadcast frozen-centroid routing
     "d12_ann_indexed",         // broadcast PERSISTED-centroid probe (d10's landed twin)
+    "d12b_ann_deleted",        // d12's probe behind the tombstone layer
     "d13_ann_ivf_fixedq",      // d5's probe with the fixed-|Q| batch
     "d14_ann_ivfpq_fixedq",    // d10's probe with the fixed-|Q| batch
     "d15_ann_indexed_fixedq",  // d12's probe with the fixed-|Q| batch
@@ -41,6 +42,7 @@ class PlanAuditSpec extends SparkSpec {
     "d17b_hybrid_indexed",     // PERSISTED-centroid probe + 1-row landed stats
     "e16_bm25_search",         // 1-row (N, avgdl) corpus-stats broadcast
     "e16b_bm25_indexed",       // 1-row LANDED (N, avgdl) stats broadcast
+    "e16c_bm25_deleted",       // e16b's probe behind the tombstone layer
     "e17_quality_classifier",  // 1-row totals/priors broadcasts
     "e17b_quality_indexed",    // 1-row LANDED priors broadcast
     "c9_semdedup",             // broadcast centroid routing (d5's sample)
