@@ -293,6 +293,32 @@ object CorpusStream {
       }
       .start()
 
+  /** Streaming DELETION maintenance — the drain for the reference's
+    * cancel/burn-shaped events applied to the corpus indexes (round
+    * 14; the retraction twin of [[maintainPostings]]): each arriving
+    * micro-batch of doc ids lands through `Warehouse.deleteDocs` with
+    * its Spark batchId as the tombstone batch key, so the ids stop
+    * serving from EVERY landed probe at the next read and the BM25
+    * stats delta stays exact per batch. Exactly-once under replay by
+    * the deleteDocs dynamic-overwrite contract (a replayed micro-batch
+    * rewrites its own (scope, batch_id) partitions; DeletionSpec pins
+    * the restart no-op). The batchId key space belongs to this
+    * checkpoint — mix manual deleteDocs calls only with disjoint
+    * batchKeys (the upsertPostings/maintainPostings convention).
+    */
+  def maintainTombstones(deletes: DataFrame, dir: String, checkpoint: String,
+                         scope: String = graft.sources.Warehouse.LiveScope)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deletes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        graft.sources.Warehouse.deleteDocs(
+          b.sparkSession, dir, b.select(col("doc_id")), scope,
+          batchKey = batchId)
+      }
+      .start()
+
   /** Max state-operator count observed across the most recent
     * [[runGate]] stream's progress — the statelessness evidence the
     * gate specs assert (0 = no state store ever placed).

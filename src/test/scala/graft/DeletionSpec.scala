@@ -176,6 +176,60 @@ class DeletionSpec extends SparkSpec {
       "retrained scoring drifted from the physically-filtered one-shot")
   }
 
+  test("streamed deletion drain: probes exclude after drain; restart deletes nothing twice") {
+    import java.nio.file.Files
+    // a fresh corpus copy so earlier tests' live tombstones don't mix
+    // into this test's filtered-world reference
+    val dir = {
+      val d = Files.createTempDirectory("graft_sdel_").toString
+      Seq("documents.parquet", "embeddings.parquet").foreach { f =>
+        Files.copy(java.nio.file.Paths.get(sf, f),
+                   java.nio.file.Paths.get(d, f))
+      }
+      d
+    }
+    Warehouse.ensurePostings(spark, dir)
+    val victims = Warehouse.bm25Indexed(spark, dir)
+      .select(col("doc_id")).distinct().orderBy(col("doc_id")).limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    // land the deletion feed as TWO files -> two micro-batches
+    val landing = Files.createTempDirectory("graft_sdel_landing")
+    victims.grouped(2).zipWithIndex.foreach { case (ids, i) =>
+      import spark.implicits._
+      val part = Files.createTempDirectory(s"graft_sdel_p$i")
+      ids.toDF("doc_id").coalesce(1).write.mode("overwrite")
+        .parquet(part.toString)
+      val src = Files.list(part)
+      val f = try src.filter(_.toString.endsWith(".parquet")).findFirst().get()
+              finally src.close()
+      Files.copy(f, landing.resolve(s"b$i.parquet"))
+    }
+    val ckpt = Files.createTempDirectory("graft_sdel_ckpt").toString
+    def drain(): Unit = {
+      val src = spark.readStream
+        .schema("doc_id BIGINT")
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      graft.streaming.CorpusStream.maintainTombstones(src, dir, ckpt)
+        .awaitTermination()
+    }
+    drain()
+    val post = Warehouse.bm25Indexed(spark, dir)
+    assert(post.filter(col("doc_id").isin(victims: _*)).count() == 0,
+      "a stream-deleted doc still serves")
+    // exact identity with the never-held-them world (per-batch stats
+    // deltas summed across the two micro-batches)
+    val ref = filteredCorpus(victims)
+    assert(strs(post) == strs(RetrievalOps.bm25Search(spark, ref)),
+      "streamed deletion drifted from the physically-filtered one-shot")
+    // restart on the same checkpoint: nothing new arrives, nothing
+    // changes (exactly-once)
+    val rows = strs(post)
+    drain()
+    assert(strs(Warehouse.bm25Indexed(spark, dir)) == rows)
+    assert(spark.table(Warehouse.tbl(dir, "graft_tombstones")).count() ==
+           victims.size.toLong)
+  }
+
   test("compactPostings folds batches + purges tombstones with probe identity") {
     // standing build that admits upserts, plus one landed batch
     Warehouse.buildPostings(spark, tmpDir, excludeMod = 10)
