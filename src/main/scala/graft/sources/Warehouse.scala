@@ -1392,6 +1392,61 @@ object Warehouse {
     if (loc.exists()) manifestHash(loc) else "none"
   }
 
+  /** Prune live tombstones that no longer protect anything — the
+    * growth bound for the deletion layer (every probe broadcasts the
+    * live set, so it must not grow forever). A live tombstone is
+    * prunable only when its id is gone from BOTH re-entry surfaces:
+    * the CORPUS tables (else the next fingerprint-keyed rebuild would
+    * silently re-admit the doc — the tombstone must outlive the raw
+    * data, which upstream hard-deletes on its own retention schedule)
+    * and every LANDED store (else pruning would put physically-present
+    * rows back into service; run compactPostings/compactIvf first).
+    * Stats deltas never need adjustment: a still-physical id keeps its
+    * tombstone, and a compacted id's deltas are already inert behind
+    * the generation bump. Cost: one broadcast-semi id-scan per store
+    * at curation cadence. What-if scopes are never pruned. Returns the
+    * pruned-row count. Pruning perturbs the tombstone-state
+    * fingerprint, so the NB/bloom gates rebuild on next touch —
+    * content-identical, since pruned ids are in neither corpus nor
+    * training slice.
+    */
+  def vacuumTombstones(spark: SparkSession, dir: String): Long = {
+    if (!recoverTombTable(spark, dir, "graft_tombstones")) return 0L
+    val tomb = spark.table(tbl(dir, "graft_tombstones"))
+    val live = tomb.filter(col("scope") === LiveScope)
+      .select(col("doc_id")).distinct().localCheckpoint(false)
+    if (live.isEmpty) return 0L
+    def idsOf(base: String, c: String): Option[DataFrame] =
+      if (spark.catalog.tableExists(tbl(dir, base)))
+        Some(spark.table(tbl(dir, base)).select(col(c).as("doc_id")))
+      else None
+    def corpusOf(table: String, c: String): Option[DataFrame] =
+      if (new java.io.File(dir, s"$table.parquet").exists())
+        Some(Tables.table(spark, dir, table).select(col(c).as("doc_id")))
+      else None
+    val surfaces: Seq[DataFrame] = Seq(
+      corpusOf("documents", "doc_id"), corpusOf("embeddings", "vec_id"),
+      idsOf("graft_post_lists", "doc_id"), idsOf("graft_ivf_lists", "vec_id"),
+      idsOf("graft_minhash_sigs", "doc_id"), idsOf("graft_phash_sigs", "doc_id"),
+      idsOf("graft_audio_sigs", "doc_id"), idsOf("graft_bloom_fps", "ex_id")
+    ).flatten
+    val referenced = surfaces
+      .map(s => s.join(broadcast(live), Seq("doc_id"), "left_semi"))
+      .reduce(_.unionAll(_)).distinct().localCheckpoint(false)
+    val pruned = live.count() - referenced.count()
+    if (pruned > 0) {
+      val pruneIds = live.join(referenced, Seq("doc_id"), "left_anti")
+      val kept = tomb.join(
+        broadcast(pruneIds.select(col("doc_id").as("p_id"))),
+        col("scope") === LiveScope && col("doc_id") === col("p_id"),
+        "left_anti")
+      swapTable(spark, dir, "graft_tombstones", kept
+        .select(col("doc_id"), col("scope"), col("batch_id")),
+        Seq("scope", "batch_id"))
+    }
+    pruned
+  }
+
   // ---------- compaction / vacuum (round 14) --------------------------------
 
   /** Fold every batch_id partition of the landed posting index into

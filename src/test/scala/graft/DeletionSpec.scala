@@ -230,6 +230,59 @@ class DeletionSpec extends SparkSpec {
            victims.size.toLong)
   }
 
+  test("vacuumTombstones prunes only ids gone from BOTH re-entry surfaces") {
+    import java.nio.file.{Files, Paths}
+    val dir = {
+      val d = Files.createTempDirectory("graft_vac_").toString
+      Seq("documents.parquet", "embeddings.parquet").foreach { f =>
+        Files.copy(Paths.get(sf, f), Paths.get(d, f))
+      }
+      d
+    }
+    Warehouse.ensurePostings(spark, dir)
+    Warehouse.ensureIvf(spark, dir, kmeansIters = 0)
+    val victim = Warehouse.bm25Indexed(spark, dir)
+      .select(col("doc_id")).distinct().orderBy(col("doc_id")).limit(1)
+      .collect()(0).getLong(0)
+    Warehouse.deleteDocIds(spark, dir, Seq(victim))
+    Warehouse.deleteDocIds(spark, dir, Seq(victim + 1), scope = "whatif")
+    // still in corpus AND landed stores: must NOT prune (a prune here
+    // would re-admit the doc at the next rebuild / next probe)
+    assert(Warehouse.vacuumTombstones(spark, dir) == 0L)
+    // physically purged from the landed stores, but still in the
+    // corpus: a fingerprint-keyed rebuild would re-admit it — still
+    // must NOT prune
+    Warehouse.compactPostings(spark, dir)
+    Warehouse.compactIvf(spark, dir)
+    Seq("graft_post_lists", "graft_post_stats", "graft_post_meta",
+        "graft_ivf_lists").foreach(
+      t => spark.catalog.refreshTable(Warehouse.tbl(dir, t)))
+    assert(Warehouse.vacuumTombstones(spark, dir) == 0L)
+    val probeBefore = strs(RetrievalOps.bm25SearchIndexedUnchecked(spark, dir))
+    // upstream hard-deletes the raw data (retention): now the
+    // tombstone protects nothing and is prunable
+    Seq(("documents", "doc_id"), ("embeddings", "vec_id")).foreach {
+      case (t, k) =>
+        val stage = Files.createTempDirectory(s"graft_vac_$t").toString
+        Tables.table(spark, dir, t).filter(col(k) =!= victim)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        Files.delete(Paths.get(dir, s"$t.parquet"))
+        Files.move(Paths.get(stage), Paths.get(dir, s"$t.parquet"))
+    }
+    assert(Warehouse.vacuumTombstones(spark, dir) == 1L)
+    spark.catalog.refreshTable(Warehouse.tbl(dir, "graft_tombstones"))
+    val tomb = spark.table(Warehouse.tbl(dir, "graft_tombstones"))
+    assert(tomb.filter(col("scope") === Warehouse.LiveScope).count() == 0L,
+      "live tombstone not pruned")
+    assert(tomb.filter(col("scope") === "whatif").count() == 1L,
+      "what-if scope must never be pruned")
+    // probes unchanged by the prune (the id is nowhere to serve from)
+    assert(strs(RetrievalOps.bm25SearchIndexedUnchecked(spark, dir)) ==
+           probeBefore)
+    // idempotent
+    assert(Warehouse.vacuumTombstones(spark, dir) == 0L)
+  }
+
   test("compactPostings folds batches + purges tombstones with probe identity") {
     // standing build that admits upserts, plus one landed batch
     Warehouse.buildPostings(spark, tmpDir, excludeMod = 10)
