@@ -85,10 +85,47 @@ object CompactBench {
       "compaction changed probe results — abort, numbers meaningless")
     points += (("after_compact", listFiles(), probeSec()))
 
-    val pts = points.map { case (tag, files, sec) =>
+    // ---- the IVF twin: same spiral, same kill, on the vector store ----
+    Warehouse.buildIvf(spark, dir, kmeansIters = 0, excludeMod = batchMod)
+    def ivfFiles(): Int = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(wh, Warehouse.tbl(dir, "graft_ivf_lists")))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    def ivfProbeSec(): Double = (1 to repeats).map { _ =>
+      val t0 = System.nanoTime()
+      Warehouse.annIvfPqIndexed(spark, dir, nq = 64)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    def ivfProbeRows(): Seq[String] =
+      Warehouse.annIvfPqIndexed(spark, dir, nq = 64)
+        .collect().toSeq.map(_.toString)
+    val arrivingVecs = Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(batchMod)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val ivfPoints = scala.collection.mutable.ArrayBuffer[(String, Int, Double)]()
+    ivfPoints += (("base", ivfFiles(), ivfProbeSec()))
+    (0 until nBatches).foreach { b =>
+      Warehouse.upsertIvfFrom(
+        arrivingVecs.filter(pmod(xxhash64(col("vec_id")), lit(nBatches)) === b),
+        dir, batchKey = b.toLong)
+    }
+    val ivfRows = ivfProbeRows()
+    ivfPoints += ((s"after_${nBatches}_batches", ivfFiles(), ivfProbeSec()))
+    Warehouse.compactIvf(spark, dir)
+    spark.catalog.refreshTable(Warehouse.tbl(dir, "graft_ivf_lists"))
+    require(ivfProbeRows() == ivfRows,
+      "compactIvf changed probe results — abort, numbers meaningless")
+    ivfPoints += (("after_compact", ivfFiles(), ivfProbeSec()))
+
+    def obj(ps: Seq[(String, Int, Double)]) = ps.map { case (tag, files, sec) =>
       s"""{"point":"$tag","files":$files,"probe_sec":${f"$sec%.3f"}}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"compact_bench","dir":"$dir","n_batches":$nBatches,"repeats":$repeats,"delete_1pct_sec":${f"$tDel%.3f"},"points":$pts}""")
+    println(s"""{"metric":"compact_bench","dir":"$dir","n_batches":$nBatches,"repeats":$repeats,"delete_1pct_sec":${f"$tDel%.3f"},"points":${obj(points.toSeq)},"ivf_points":${obj(ivfPoints.toSeq)}}""")
     spark.stop()
   }
 }
