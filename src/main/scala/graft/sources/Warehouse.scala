@@ -1226,6 +1226,10 @@ object Warehouse {
                  scope: String = LiveScope, batchKey: Long = 0L): Unit = {
     require(scope.nonEmpty && !scope.exists(c => c == '/' || c == '='),
       s"bad tombstone scope: '$scope'")
+    // delete batch keys live below 1e6; undeleteDocs lands its
+    // compensating deltas at 1e6+key so the two flows can never
+    // overwrite each other's tomb_stats partitions
+    require(batchKey < 1000000L, s"delete batchKey must be < 1e6: $batchKey")
     val idsDf = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
       .distinct()
     // exclude ids already tombstoned in this scope by OTHER batches
@@ -1390,6 +1394,76 @@ object Warehouse {
     val loc = new java.io.File(new java.io.File(wh, tbl(dir, "graft_tombstones")),
                                s"scope=$LiveScope")
     if (loc.exists()) manifestHash(loc) else "none"
+  }
+
+  /** Explicit re-admission — the inverse of [[deleteDocs]] (a
+    * retraction reversed lawfully is a real curation event, not a
+    * recrawl side effect): remove the ids' tombstone rows in `scope`
+    * and land a COMPENSATING positive stats delta recomputed from the
+    * landed postings at the current identity — ids still physically
+    * indexed return to service with stats exactly as if never deleted;
+    * ids a compaction or rebuild already excluded physically
+    * contribute a zero delta and STAY absent until explicitly
+    * re-ingested (upsertPostingsFrom / a corpus-change rebuild) — the
+    * data is physically gone, and un-deleting must not fabricate it.
+    * Returns (restored, needsReingest) counts.
+    *
+    * Idempotent under replay: only ids currently tombstoned in the
+    * scope participate (a repeat finds none, lands a zero-row delta
+    * frame whose dynamic overwrite is a no-op, and the first call's
+    * compensation survives); never-deleted ids are filtered out, so
+    * the compensation can never inflate stats. Replaying the ORIGINAL
+    * delete batch after an undelete re-deletes — the same at-least-once
+    * boundary as replaying a pre-compaction batch, run curation flows
+    * at quiet points. NB/bloom gates key on the tombstone state, so
+    * the restored doc re-enters training/sketch on their next touch.
+    */
+  def undeleteDocs(spark: SparkSession, dir: String, ids: DataFrame,
+                   scope: String = LiveScope,
+                   batchKey: Long = 0L): (Long, Long) = {
+    if (!recoverTombTable(spark, dir, "graft_tombstones")) return (0L, 0L)
+    val idsDf = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .distinct()
+    val tomb = spark.table(tbl(dir, "graft_tombstones"))
+    val hit = idsDf.join(
+        tomb.filter(col("scope") === scope).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
+    val nHit = hit.count()
+    if (nHit == 0L) return (0L, 0L)
+    // compensating delta BEFORE the tombstone rewrite (same identity,
+    // same source — the landed posting rows — as the delete's)
+    var restored = 0L
+    if (spark.catalog.tableExists(tbl(dir, "graft_post_meta")) &&
+        spark.catalog.tableExists(tbl(dir, "graft_post_lists"))) {
+      val (bkey, gen) = postingsIdentity(spark, dir)
+      val phys = spark.table(tbl(dir, "graft_post_lists"))
+        .join(broadcast(hit), "doc_id")
+        .select(col("doc_id"), col("dl")).distinct()
+        .localCheckpoint(false)
+      restored = phys.count()
+      // deltas are stored as amounts-to-SUBTRACT (landedStats negates
+      // every row at read) — so the compensation lands NEGATED, and
+      // compaction's fold likewise nets it against the delete's row
+      val d = phys
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+             coalesce(sum(col("dl").cast("long")), lit(0L)).as("s"))
+        .filter(col("n") > 0)
+        .select((-col("n")).as("n_docs"), (-col("s")).as("sum_dl"),
+                lit(bkey).as("bkey"), lit(gen).as("gen"),
+                lit(scope).as("scope"),
+                lit(1000000L + batchKey).as("batch_id"))
+      writePartitioned(spark, dir, "graft_tomb_stats", d,
+                       Seq("scope", "batch_id"))
+    }
+    val kept = tomb.join(
+      broadcast(hit.select(col("doc_id").as("p_id"))),
+      col("scope") === scope && col("doc_id") === col("p_id"),
+      "left_anti")
+    swapTable(spark, dir, "graft_tombstones",
+              kept.select(col("doc_id"), col("scope"), col("batch_id")),
+              Seq("scope", "batch_id"))
+    (restored, nHit - restored)
   }
 
   /** Prune live tombstones that no longer protect anything — the

@@ -230,6 +230,55 @@ class DeletionSpec extends SparkSpec {
            victims.size.toLong)
   }
 
+  test("undeleteDocs: exact restore while physical; purged ids need explicit re-ingest") {
+    import java.nio.file.{Files, Paths}
+    val dir = {
+      val d = Files.createTempDirectory("graft_undel_").toString
+      Seq("documents.parquet", "embeddings.parquet").foreach { f =>
+        Files.copy(Paths.get(sf, f), Paths.get(d, f))
+      }
+      d
+    }
+    Warehouse.ensurePostings(spark, dir)
+    val pre = strs(Warehouse.bm25Indexed(spark, dir))
+    val victims = Warehouse.bm25Indexed(spark, dir)
+      .select(col("doc_id")).distinct().orderBy(col("doc_id")).limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    import spark.implicits._
+    Warehouse.deleteDocIds(spark, dir, victims)
+    assert(strs(Warehouse.bm25Indexed(spark, dir)) != pre)
+    // logical restore: rows were never touched, so service and STATS
+    // come back exactly (the compensating delta nets the delete's out)
+    assert(Warehouse.undeleteDocs(spark, dir, victims.toDF("doc_id")) ==
+           ((victims.size.toLong, 0L)))
+    spark.catalog.refreshTable(Warehouse.tbl(dir, "graft_tombstones"))
+    assert(strs(Warehouse.bm25Indexed(spark, dir)) == pre,
+      "undelete did not restore the exact pre-delete state")
+    // replay / never-deleted: no-ops, state still exact
+    assert(Warehouse.undeleteDocs(spark, dir, victims.toDF("doc_id")) == ((0L, 0L)))
+    assert(Warehouse.undeleteDocs(spark, dir, Seq(victims.max + 7).toDF("doc_id")) == ((0L, 0L)))
+    assert(strs(Warehouse.bm25Indexed(spark, dir)) == pre)
+    // physically purged: undelete cannot fabricate data — it reports
+    // needs-reingest, and an explicit re-ingest completes the restore
+    Warehouse.deleteDocIds(spark, dir, victims, batchKey = 2L)
+    Warehouse.compactPostings(spark, dir)
+    Seq("graft_post_lists", "graft_post_stats", "graft_post_meta").foreach(
+      t => spark.catalog.refreshTable(Warehouse.tbl(dir, t)))
+    assert(Warehouse.undeleteDocs(spark, dir, victims.toDF("doc_id"), batchKey = 1L) ==
+           ((0L, victims.size.toLong)))
+    spark.catalog.refreshTable(Warehouse.tbl(dir, "graft_tombstones"))
+    val gone = RetrievalOps.bm25SearchIndexedUnchecked(spark, dir)
+    assert(gone.filter(col("doc_id").isin(victims: _*)).count() == 0,
+      "undelete fabricated physically-purged rows")
+    Warehouse.upsertPostingsFrom(
+      Tables.documents(spark, dir).filter(col("doc_id").isin(victims: _*)),
+      dir, batchKey = 77L)
+    spark.catalog.refreshTable(Warehouse.tbl(dir, "graft_post_lists"))
+    spark.catalog.refreshTable(Warehouse.tbl(dir, "graft_post_stats"))
+    assert(strs(RetrievalOps.bm25SearchIndexedUnchecked(spark, dir)) == pre,
+      "re-ingest after undelete did not restore the exact original state")
+  }
+
   test("vacuumTombstones prunes only ids gone from BOTH re-entry surfaces") {
     import java.nio.file.{Files, Paths}
     val dir = {
