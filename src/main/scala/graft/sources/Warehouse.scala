@@ -339,6 +339,7 @@ object Warehouse {
                 nAssign: Int = 4, ks: Int = 256, m: Int = 8,
                 subDim: Int = 8, kmeansIters: Int = 4,
                 excludeMod: Int = 0, nlistRule: String = "fixed"): Unit = {
+    recoverMaintenance(spark, dir)
     val (resolved, ruleTag) =
       if (nlistRule == "fixed") (nlist, s"fixed:$nlist")
       else (resolveNlist(nlistRule, ruledCount(spark, dir, excludeMod)),
@@ -1048,6 +1049,7 @@ object Warehouse {
     */
   def ensurePostings(spark: SparkSession, dir: String,
                      excludeMod: Int = 0): Unit = {
+    recoverMaintenance(spark, dir)
     val key = postingsBuildKey(dir, excludeMod)
     val fresh = spark.catalog.tableExists(tbl(dir, "graft_post_meta")) &&
       spark.catalog.tableExists(tbl(dir, "graft_post_lists")) &&
@@ -1230,6 +1232,7 @@ object Warehouse {
     // compensating deltas at 1e6+key so the two flows can never
     // overwrite each other's tomb_stats partitions
     require(batchKey < 1000000L, s"delete batchKey must be < 1e6: $batchKey")
+    recoverMaintenance(spark, dir)
     val idsDf = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
       .distinct()
     // exclude ids already tombstoned in this scope by OTHER batches
@@ -1421,6 +1424,7 @@ object Warehouse {
   def undeleteDocs(spark: SparkSession, dir: String, ids: DataFrame,
                    scope: String = LiveScope,
                    batchKey: Long = 0L): (Long, Long) = {
+    recoverMaintenance(spark, dir)
     if (!recoverTombTable(spark, dir, "graft_tombstones")) return (0L, 0L)
     val idsDf = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
       .distinct()
@@ -1485,7 +1489,9 @@ object Warehouse {
     * training slice.
     */
   def vacuumTombstones(spark: SparkSession, dir: String): Long = {
+    recoverMaintenance(spark, dir)
     if (!recoverTombTable(spark, dir, "graft_tombstones")) return 0L
+    val tombSnap = partitionSet(spark, tbl(dir, "graft_tombstones"))
     val tomb = spark.table(tbl(dir, "graft_tombstones"))
     val live = tomb.filter(col("scope") === LiveScope)
       .select(col("doc_id")).distinct().localCheckpoint(false)
@@ -1516,7 +1522,14 @@ object Warehouse {
         "left_anti")
       swapTable(spark, dir, "graft_tombstones", kept
         .select(col("doc_id"), col("scope"), col("batch_id")),
-        Seq("scope", "batch_id"))
+        Seq("scope", "batch_id"),
+        verify = () => {
+          val now = partitionSet(spark, tbl(dir, "graft_tombstones"))
+          if (now != tombSnap) throw new IllegalStateException(
+            "concurrent deleteDocs landed tombstone partitions " +
+              s"${(now -- tombSnap).mkString(",")} during vacuum — aborted " +
+              "with the tombstone table untouched; re-run at a quiet point")
+        })
     }
     pruned
   }
@@ -1542,11 +1555,40 @@ object Warehouse {
     * batchKey would re-append rows the fold already absorbed. A
     * production deployment would swap generations via a table-format
     * snapshot commit; the plain-parquet stand-in here stages to a temp
-    * table and rewrites (double write, disclosed).
+    * table and rewrites (double write, disclosed). The quiet-point
+    * contract is ENFORCED, not assumed: each swap snapshots its
+    * table's partition set at entry and re-checks it after the fold
+    * executes but before anything is dropped — an upsert that landed
+    * mid-fold aborts the compaction with the standing table (and the
+    * new batch) untouched. Two disclosed residues a table format's
+    * atomic commit would close: an upsert landing in the instant
+    * between the re-check and the drop is still lost, and a crash
+    * between the stats swap and the generation bump double-subtracts
+    * the live deltas until the next compaction (both windows are one
+    * driver-side metadata operation wide).
     */
-  def compactPostings(spark: SparkSession, dir: String): Unit = {
+  def compactPostings(spark: SparkSession, dir: String): Unit =
+    compactPostingsHooked(spark, dir, () => ())
+
+  /** [[compactPostings]] with a test seam run between the entry
+    * snapshot and the fold — lets the spec interleave a concurrent
+    * upsert and prove the guard aborts without data loss.
+    */
+  private[graft] def compactPostingsHooked(spark: SparkSession, dir: String,
+                                           afterSnapshot: () => Unit): Unit = {
     require(spark.catalog.tableExists(tbl(dir, "graft_post_meta")),
       "no landed posting index to compact")
+    recoverMaintenance(spark, dir)
+    val listsSnap = partitionSet(spark, tbl(dir, "graft_post_lists"))
+    val statsSnap = partitionSet(spark, tbl(dir, "graft_post_stats"))
+    def guard(table: String, snap: Set[String]): () => Unit = () => {
+      val now = partitionSet(spark, tbl(dir, table))
+      if (now != snap) throw new IllegalStateException(
+        s"concurrent upsert landed partitions ${(now -- snap).mkString(",")} " +
+          s"in ${tbl(dir, table)} during compaction — aborted with the " +
+          "standing table untouched; re-run at a quiet point")
+    }
+    afterSnapshot()
     val (bkey, gen) = postingsIdentity(spark, dir)
     val folded = exceptTombstoned(
         spark.table(tbl(dir, "graft_post_lists")), dir, "doc_id")
@@ -1569,8 +1611,10 @@ object Warehouse {
         .select(col("n_docs"), col("sum_dl"), lit(-1L).as("batch_id"))
     }
     swapTable(spark, dir, "graft_post_lists", folded,
-              Seq("batch_id", "tb"), bucketCol = Some("tb"))
-    swapTable(spark, dir, "graft_post_stats", newStats, Seq("batch_id"))
+              Seq("batch_id", "tb"), bucketCol = Some("tb"),
+              verify = guard("graft_post_lists", listsSnap))
+    swapTable(spark, dir, "graft_post_stats", newStats, Seq("batch_id"),
+              verify = guard("graft_post_stats", statsSnap))
     import spark.implicits._
     Seq((bkey, gen + 1L)).toDF("build_key", "gen")
       .write.mode(SaveMode.Overwrite).format("parquet")
@@ -1584,9 +1628,16 @@ object Warehouse {
     * routing — and therefore probe results over the surviving ids —
     * is bit-identical before/after (WarehouseSpec pins it).
     */
-  def compactIvf(spark: SparkSession, dir: String): Unit = {
+  def compactIvf(spark: SparkSession, dir: String): Unit =
+    compactIvfHooked(spark, dir, () => ())
+
+  private[graft] def compactIvfHooked(spark: SparkSession, dir: String,
+                                      afterSnapshot: () => Unit): Unit = {
     require(spark.catalog.tableExists(tbl(dir, "graft_ivf_meta")),
       "no landed IVF index to compact")
+    recoverMaintenance(spark, dir)
+    val listsSnap = partitionSet(spark, tbl(dir, "graft_ivf_lists"))
+    afterSnapshot()
     val folded = exceptTombstoned(
         spark.table(tbl(dir, "graft_ivf_lists")), dir, "vec_id")
       .select(col("vec_id"), col("sub_j"), col("ce"), col("cn"),
@@ -1601,7 +1652,14 @@ object Warehouse {
     val clustered = folded.repartition(256, col("cent_id"),
       pmod(xxhash64(col("vec_id")), lit(4L)))
     swapTable(spark, dir, "graft_ivf_lists", clustered,
-              Seq("batch_id", "cent_id"))
+              Seq("batch_id", "cent_id"),
+      verify = () => {
+        val now = partitionSet(spark, tbl(dir, "graft_ivf_lists"))
+        if (now != listsSnap) throw new IllegalStateException(
+          s"concurrent upsert landed partitions ${(now -- listsSnap).mkString(",")} " +
+            s"in ${tbl(dir, "graft_ivf_lists")} during compaction — aborted " +
+            "with the standing table untouched; re-run at a quiet point")
+      })
   }
 
   /** Stage-and-rewrite a partitioned managed table (overwriting a
@@ -1609,10 +1667,20 @@ object Warehouse {
     * partition locations reliably on the plain-parquet catalog): write
     * the folded rows to a temp table, drop the original, rewrite from
     * the stage, drop the stage.
+    *
+    * `verify` runs AFTER the stage write (which is when the fold's
+    * read actually executes) and BEFORE the destructive drop — the
+    * concurrency guard's seam: a maintenance fold that raced a
+    * concurrent upsert can still abort here with the standing table
+    * untouched (the stage is dropped, the exception propagates).
+    * A crash between the drop and the rewrite is recovered by
+    * [[recoverMaintenance]] (the stage holds the only committed copy
+    * and is rolled forward).
     */
   private def swapTable(spark: SparkSession, dir: String, base: String,
                         rows: DataFrame, parts: Seq[String],
-                        bucketCol: Option[String] = None): Unit = {
+                        bucketCol: Option[String] = None,
+                        verify: () => Unit = () => ()): Unit = {
     val stage = s"${base}_stage"
     dropManaged(spark, Seq(tbl(dir, stage)))
     val staged = bucketCol match {
@@ -1623,6 +1691,12 @@ object Warehouse {
       .partitionBy(parts: _*)
       .format("parquet")
       .saveAsTable(tbl(dir, stage))
+    try verify()
+    catch {
+      case e: Throwable =>
+        dropManaged(spark, Seq(tbl(dir, stage)))
+        throw e
+    }
     dropManaged(spark, Seq(tbl(dir, base)))
     spark.table(tbl(dir, stage))
       .select(rows.columns.map(col): _*)
@@ -1631,5 +1705,182 @@ object Warehouse {
       .format("parquet")
       .saveAsTable(tbl(dir, base))
     dropManaged(spark, Seq(tbl(dir, stage)))
+  }
+
+  // ---------- maintenance: crash recovery + auto policy (round 14) ----------
+
+  /** The [[swapTable]]-managed tables: base name → (partition columns,
+    * bucket column) — the registry [[recoverMaintenance]] needs to
+    * finish an interrupted swap. Partition-column types are pinned in
+    * [[PartTypes]] (directory-name inference would narrow `batch_id=-1`
+    * to int and break the positional insertInto contract of the upsert
+    * paths).
+    */
+  private val SwapManaged: Seq[(String, Seq[String], Option[String])] = Seq(
+    ("graft_post_lists", Seq("batch_id", "tb"), Some("tb")),
+    ("graft_post_stats", Seq("batch_id"), None),
+    ("graft_ivf_lists", Seq("batch_id", "cent_id"), None),
+    ("graft_tombstones", Seq("scope", "batch_id"), None))
+
+  private val PartTypes: Map[String, String] = Map(
+    "batch_id" -> "bigint", "tb" -> "bigint",
+    "cent_id" -> "bigint", "scope" -> "string")
+
+  /** A table location holds a COMMITTED write iff the job-commit
+    * marker survived and no in-flight staging dir did: `_SUCCESS` is
+    * written at job commit (and covers the zero-row edge where no
+    * parquet file exists), `_temporary` exists only while a write job
+    * is in flight.
+    */
+  private def committedLoc(loc: java.io.File): Boolean =
+    loc.exists() && !new java.io.File(loc, "_temporary").exists() && {
+      def walk(f: java.io.File): Boolean =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.exists(walk)
+        else f.getName == "_SUCCESS" || f.getName.endsWith(".parquet")
+      walk(loc)
+    }
+
+  /** The full partition-value strings of a partitioned table (e.g.
+    * `batch_id=3/tb=7`) — the concurrency guard's snapshot unit: a
+    * catalog partition listing, never a data scan.
+    */
+  private def partitionSet(spark: SparkSession, table: String): Set[String] =
+    spark.sql(s"SHOW PARTITIONS $table").collect().map(_.getString(0)).toSet
+
+  /** Crash recovery for an interrupted [[swapTable]] swap (compaction
+    * or vacuum): the plain-parquet stand-in for a table format's
+    * atomic snapshot commit stages the folded rows to `<base>_stage`,
+    * drops the base, rewrites it, drops the stage — so a crash between
+    * the drop and the rewrite leaves the ONLY copy of the table in the
+    * stage, and a rebuild-from-corpus could NOT recover it (upserted /
+    * streamed batches never existed in the corpus dir). Location-
+    * driven, like [[recoverTombTable]], because the in-memory catalog
+    * forgets tables across JVMs:
+    *
+    *  - committed base + surviving stage → the crash happened before
+    *    the drop (or after the rewrite): roll BACK by dropping the
+    *    stage, the base is intact;
+    *  - missing/uncommitted base + committed stage → the crash
+    *    happened inside the swap: roll FORWARD — rewrite the base from
+    *    the stage (partition types re-pinned per [[PartTypes]]; the
+    *    inference off a `batch_id=-1` directory name would narrow the
+    *    column and break upsert insertInto positionality), then drop
+    *    the stage.
+    *
+    * Called by every maintenance entrypoint and the ensure* gates;
+    * costs one File.exists per managed table when nothing crashed.
+    * Returns the actions taken. The one residue a real table format
+    * would also close: compactPostings' stats fold and its generation
+    * bump are two writes — a crash BETWEEN them double-subtracts the
+    * live deltas until the next compaction (window = one metadata
+    * write; disclosed in [[compactPostings]]).
+    */
+  def recoverMaintenance(spark: SparkSession, dir: String): Seq[String] = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    SwapManaged.flatMap { case (base, parts, bucketCol) =>
+      val stageT = tbl(dir, s"${base}_stage")
+      val stageLoc = new java.io.File(wh, stageT)
+      if (!stageLoc.exists()) None
+      else {
+        val baseT = tbl(dir, base)
+        val baseLoc = new java.io.File(wh, baseT)
+        if (committedLoc(baseLoc)) {
+          dropManaged(spark, Seq(stageT))
+          Some(s"dropped-stage $baseT")
+        } else if (committedLoc(stageLoc)) {
+          dropManaged(spark, Seq(baseT)) // partial rewrite / catalog ghost
+          val raw = spark.read.parquet(stageLoc.getAbsolutePath)
+          val typed = parts.foldLeft(raw) { (df, p) =>
+            df.withColumn(p, col(p).cast(PartTypes(p)))
+          }
+          val staged = bucketCol match {
+            case Some(c) => typed.repartition(col(c))
+            case None    => typed
+          }
+          staged.write.mode(SaveMode.Overwrite)
+            .partitionBy(parts: _*)
+            .format("parquet")
+            .saveAsTable(baseT)
+          dropManaged(spark, Seq(stageT))
+          Some(s"rolled-forward $baseT")
+        } else {
+          // both uncommitted: unreachable by the swap's write order
+          // (the stage commits before the base is touched) — report,
+          // touch nothing
+          Some(s"unrecoverable $baseT")
+        }
+      }
+    }
+  }
+
+  /** One row per landed incremental store: landed batch partitions,
+    * physical file count, and live-tombstoned ids still physically
+    * present (the deferred-purge backlog). The facts behind
+    * [[autoMaintain]]'s policy, also useful on their own as the ops
+    * dashboard a 1000-executor deployment watches: probe cost degrades
+    * with FILE count (the measured ×100 small-file spiral:
+    * 64 → 2,112 files = +45% probe latency), not data size.
+    */
+  def maintenanceStatus(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def files(table: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(new java.io.File(wh, table))
+    }
+    val live = tombstoneIds(spark, dir, LiveScope)
+    def purgeable(table: String, idCol: String): Long = live match {
+      case Some(t) =>
+        spark.table(table).select(col(idCol).as("doc_id")).distinct()
+          .join(broadcast(t.toDF("doc_id")), Seq("doc_id"), "left_semi")
+          .count()
+      case None => 0L
+    }
+    val stores = Seq(
+      ("postings", "graft_post_lists", "doc_id"),
+      ("ivf", "graft_ivf_lists", "vec_id"))
+    import spark.implicits._
+    stores.flatMap { case (store, base, idCol) =>
+      val t = tbl(dir, base)
+      if (!spark.catalog.tableExists(t)) None
+      else {
+        val batches = landedBatchIds(spark, t)
+        Some((store, (batches - (-1L)).size.toLong, files(t),
+              purgeable(t, idCol)))
+      }
+    }.toDF("store", "upsert_batches", "files", "purgeable_tombstoned")
+  }
+
+  /** The maintenance policy over [[maintenanceStatus]]'s facts: first
+    * finish any interrupted swap ([[recoverMaintenance]]), then
+    * compact a store when its upsert-batch partitions exceed
+    * `maxBatches` (the small-file bound) or at least `minPurge`
+    * live-tombstoned ids are still physically present (the deferred
+    * right-to-be-forgotten purge), then prune tombstones whose ids are
+    * gone from every re-entry surface ([[vacuumTombstones]]). Runs at
+    * curation cadence (the reference's cron shape); every step is
+    * probe-identity-preserving, so scheduling it is an ops decision,
+    * not a correctness one. Returns the actions taken.
+    */
+  def autoMaintain(spark: SparkSession, dir: String, maxBatches: Int = 8,
+                   minPurge: Long = 1L): Seq[String] = {
+    val recovered = recoverMaintenance(spark, dir)
+    val status = maintenanceStatus(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val compacted = status.toSeq.sortBy(_._1).flatMap {
+      case (store, (batches, purge)) =>
+        if (batches <= maxBatches && purge < minPurge) None
+        else {
+          if (store == "postings") compactPostings(spark, dir)
+          else compactIvf(spark, dir)
+          Some(s"compacted-$store")
+        }
+    }
+    val pruned = vacuumTombstones(spark, dir)
+    recovered ++ compacted ++
+      (if (pruned > 0) Seq(s"vacuumed-$pruned") else Nil)
   }
 }
