@@ -340,6 +340,10 @@ object Warehouse {
                 subDim: Int = 8, kmeansIters: Int = 4,
                 excludeMod: Int = 0, nlistRule: String = "fixed"): Unit = {
     recoverMaintenance(spark, dir)
+    adoptLanded(spark, dir, "graft_ivf_meta")
+    adoptLanded(spark, dir, "graft_ivf_cents")
+    adoptLanded(spark, dir, "graft_ivf_book")
+    adoptLanded(spark, dir, "graft_ivf_lists", Seq("batch_id", "cent_id"))
     val (resolved, ruleTag) =
       if (nlistRule == "fixed") (nlist, s"fixed:$nlist")
       else (resolveNlist(nlistRule, ruledCount(spark, dir, excludeMod)),
@@ -642,7 +646,7 @@ object Warehouse {
   private def metaFresh(spark: SparkSession, dir: String, metaBase: String,
                         dataBases: Seq[String], key: String): Boolean =
     (metaBase +: dataBases).forall(b =>
-      spark.catalog.tableExists(tbl(dir, b))) && {
+      adoptLanded(spark, dir, b)) && {
       val r = spark.table(tbl(dir, metaBase)).collect()
       r.length == 1 && r(0).getString(0) == key
     }
@@ -1050,6 +1054,9 @@ object Warehouse {
   def ensurePostings(spark: SparkSession, dir: String,
                      excludeMod: Int = 0): Unit = {
     recoverMaintenance(spark, dir)
+    adoptLanded(spark, dir, "graft_post_meta")
+    adoptLanded(spark, dir, "graft_post_lists", Seq("batch_id", "tb"))
+    adoptLanded(spark, dir, "graft_post_stats", Seq("batch_id"))
     val key = postingsBuildKey(dir, excludeMod)
     val fresh = spark.catalog.tableExists(tbl(dir, "graft_post_meta")) &&
       spark.catalog.tableExists(tbl(dir, "graft_post_lists")) &&
@@ -1177,9 +1184,9 @@ object Warehouse {
   def ensureNbModel(spark: SparkSession, dir: String,
                     refSource: String = "src0"): Unit = {
     val key = nbBuildKey(spark, dir, refSource)
-    val fresh = spark.catalog.tableExists(tbl(dir, "graft_nb_meta")) &&
-      spark.catalog.tableExists(tbl(dir, "graft_nb_weights")) &&
-      spark.catalog.tableExists(tbl(dir, "graft_nb_priors")) && {
+    val fresh = adoptLanded(spark, dir, "graft_nb_meta") &&
+      adoptLanded(spark, dir, "graft_nb_weights") &&
+      adoptLanded(spark, dir, "graft_nb_priors") && {
         val r = spark.table(tbl(dir, "graft_nb_meta")).collect()
         r.length == 1 && r(0).getString(0) == key
       }
@@ -1725,6 +1732,57 @@ object Warehouse {
   private val PartTypes: Map[String, String] = Map(
     "batch_id" -> "bigint", "tb" -> "bigint",
     "cent_id" -> "bigint", "scope" -> "string")
+
+  /** Landed tables written bucketed — adoption must re-declare the
+    * bucket spec or the bucketed-join property silently degrades to a
+    * shuffle (results identical either way; the spec pins files, not
+    * plans, so the property is preserved rather than re-proved).
+    */
+  private val BucketedLanded: Map[String, (Int, String)] =
+    Map("graft_nb_weights" -> ((Buckets, "term")))
+
+  /** Adopt a landed table whose FILES survived a previous JVM (round
+    * 14, the recoverTombTable precedent generalized): the in-memory
+    * catalog forgets every table across sessions, so without adoption
+    * each new process re-pays every index build — at 100 TB a driver
+    * restart must not cost a corpus-sized rebuild. The surviving
+    * location is re-registered (schema inferred from the parquet
+    * footers; partition-column types re-pinned per [[PartTypes]]
+    * because directory-name inference would narrow `batch_id=-1` to
+    * int and break upsert insertInto positionality; bucket specs
+    * re-declared per [[BucketedLanded]]) and its partitions recovered.
+    * SAFE because every ensure* gate then validates the adopted meta
+    * build key — which folds in the corpus fingerprint and (NB/bloom)
+    * the tombstone-state fingerprint — so a stale adopted index
+    * rebuilds exactly as a stale registered one does. Returns true iff
+    * the table is catalog-visible afterwards.
+    */
+  private def adoptLanded(spark: SparkSession, dir: String, base: String,
+                          parts: Seq[String] = Nil): Boolean = {
+    val t = tbl(dir, base)
+    spark.catalog.tableExists(t) || {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = new java.io.File(wh, t)
+      committedLoc(loc) && {
+        val inferred = spark.read.parquet(loc.getAbsolutePath).schema
+        val dataDdl = inferred.fields.filterNot(f => parts.contains(f.name))
+          .map(f => s"${f.name} ${f.dataType.sql}")
+        val partDdl = parts.map(p => s"$p ${PartTypes(p)}")
+        val cols = (dataDdl ++ partDdl).mkString(", ")
+        val partClause =
+          if (parts.isEmpty) "" else s" PARTITIONED BY (${parts.mkString(", ")})"
+        val bucketClause = BucketedLanded.get(base) match {
+          case Some((n, c)) =>
+            s" CLUSTERED BY ($c) SORTED BY ($c) INTO $n BUCKETS"
+          case None => ""
+        }
+        spark.sql(s"CREATE TABLE $t ($cols) USING parquet" +
+          s"$partClause$bucketClause LOCATION '${loc.getAbsolutePath}'")
+        if (parts.nonEmpty) spark.catalog.recoverPartitions(t)
+        true
+      }
+    }
+  }
 
   /** A table location holds a COMMITTED write iff the job-commit
     * marker survived and no in-flight staging dir did: `_SUCCESS` is

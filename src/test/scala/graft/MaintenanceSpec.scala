@@ -170,6 +170,85 @@ class MaintenanceSpec extends SparkSpec {
       "guard abort lost the racing IVF batch")
   }
 
+  /** Simulate catalog amnesia (a new JVM's in-memory catalog): copy
+    * each table's surviving files aside, DROP TABLE (managed: files
+    * go too), put the files back — exactly the state a restarted
+    * process sees.
+    */
+  private def amnesia(dir: String, bases: Seq[String]): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def copyTree(from: Path, to: Path): Unit = {
+      Files.createDirectories(to.getParent)
+      if (Files.isDirectory(from)) {
+        Files.createDirectories(to)
+        Files.list(from).forEach(c => copyTree(c, to.resolve(c.getFileName)))
+      } else Files.copy(from, to)
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    bases.foreach { b =>
+      val t = Warehouse.tbl(dir, b)
+      val loc = Paths.get(wh, t)
+      val stash = Files.createTempDirectory("graft_amnesia_").resolve(t)
+      copyTree(loc, stash)
+      spark.sql(s"DROP TABLE $t")
+      rm(loc.toFile) // external drop keeps files; model a clean restart
+      copyTree(stash, loc)
+    }
+  }
+
+  test("landed indexes survive catalog amnesia: adopted from files, not rebuilt") {
+    val dir = corpusCopy(withEmb = true)
+    Warehouse.ensurePostings(spark, dir, excludeMod = 2)
+    Warehouse.upsertPostingsFrom(
+      syntheticDocs(Seq(999999301L), "zzadoptq"), dir, batchKey = 5L)
+    val files0 = tableFiles(dir, "graft_post_lists")
+    val probe0 = strs(RetrievalOps.bm25RankIndexed(
+      spark, dir, qterm("zzadoptq"), k = 5, exclSelf = false))
+    assert(probe0.exists(_.contains("999999301")))
+
+    amnesia(dir, Seq("graft_post_meta", "graft_post_lists", "graft_post_stats"))
+    Warehouse.ensurePostings(spark, dir, excludeMod = 2)
+    assert(tableFiles(dir, "graft_post_lists") == files0,
+      "adoption must register the surviving files, not rebuild " +
+        "(a rebuild would also lose the upserted batch)")
+    assert(strs(RetrievalOps.bm25RankIndexed(
+      spark, dir, qterm("zzadoptq"), k = 5, exclSelf = false)) == probe0,
+      "adopted index must answer exactly as before the restart")
+
+    // IVF family adopts too, probe-identically (kmeansIters=0 = the
+    // annIndexed/d12 registered form, so the probe's own ensure
+    // agrees with ours instead of rebuilding at different params)
+    Warehouse.ensureIvf(spark, dir, kmeansIters = 0)
+    val ann0 = strs(Warehouse.annIndexed(spark, dir))
+    val ivfFiles0 = tableFiles(dir, "graft_ivf_lists")
+    amnesia(dir, Seq("graft_ivf_meta", "graft_ivf_cents", "graft_ivf_book",
+                     "graft_ivf_lists"))
+    Warehouse.ensureIvf(spark, dir, kmeansIters = 0)
+    assert(tableFiles(dir, "graft_ivf_lists") == ivfFiles0,
+      "IVF adoption must not rebuild")
+    assert(strs(Warehouse.annIndexed(spark, dir)) == ann0)
+
+    // staleness still wins over adoption: a rewritten corpus at the
+    // same path rebuilds even though adoptable files survive
+    Tables.documents(spark, dir).filter(col("doc_id") =!= 0L)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${dir}/documents_new.parquet")
+    val newDocs = s"$dir/documents_new.parquet"
+    val docPath = new java.io.File(dir, "documents.parquet")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(docPath)
+    assert(new java.io.File(newDocs).renameTo(docPath))
+    amnesia(dir, Seq("graft_post_meta", "graft_post_lists", "graft_post_stats"))
+    Warehouse.ensurePostings(spark, dir, excludeMod = 2)
+    assert(tableFiles(dir, "graft_post_lists") != files0,
+      "a stale adopted index must rebuild (corpus fingerprint mismatch)")
+  }
+
   test("autoMaintain: compacts past maxBatches, purges pending deletes, vacuums, then idles") {
     val dir = corpusCopy(withEmb = true)
     Warehouse.ensurePostings(spark, dir, excludeMod = 2)
