@@ -1282,40 +1282,45 @@ object MarketOps {
     * results cross-join (documented BNLJ, the b23 dashboard pattern).
     */
   def consistencyAudit(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.orders(spark, dir)
-    val lineitem = Tables.lineitem(spark, dir)
-    // NULL foreign keys are NOT dangling references (count(DISTINCT x)
-    // ignores NULLs in both engines' SQL semantics, and the DuckDB
-    // replay uses exactly that) — filter them out of the lhs explicitly
-    // so a nullable-FK corpus can't raise a false inconsistency alarm
-    // (round-13 advice fix; the rhs is already null-free via semi join).
-    def distinctN(df: DataFrame, key: String): DataFrame =
-      df.filter(col(key).isNotNull)
-        .select(col(key)).distinct().agg(count(lit(1)).as("n"))
-    def coveredN(fact: DataFrame, key: String, dim: DataFrame,
-                 dimKey: String): DataFrame =
-      fact.filter(col(key).isNotNull)
-        .select(col(key)).distinct()
-        .join(dim.select(col(dimKey).as(key)), Seq(key), "left_semi")
-        .agg(count(lit(1)).as("n"))
-    def check(name: String, lhs: DataFrame, rhs: DataFrame): DataFrame =
-      lhs.select(col("n").as("lhs_n"))
-        .crossJoin(rhs.select(col("n").as("rhs_n")))
-        .select(lit(name).as("check_name"), col("lhs_n"), col("rhs_n"))
-    Seq(
-      check("lineitem_order_refs",
-            distinctN(lineitem, "l_orderkey"),
-            coveredN(lineitem, "l_orderkey", orders, "o_orderkey")),
-      check("orders_customer_refs",
-            distinctN(orders, "o_custkey"),
-            coveredN(orders, "o_custkey", Tables.customer(spark, dir), "c_custkey")),
-      check("lineitem_part_refs",
-            distinctN(lineitem, "l_partkey"),
-            coveredN(lineitem, "l_partkey", Tables.part(spark, dir), "p_partkey")),
-      check("lineitem_supplier_refs",
-            distinctN(lineitem, "l_suppkey"),
-            coveredN(lineitem, "l_suppkey", Tables.supplier(spark, dir), "s_suppkey")))
+    // Single-pass shape (round-14 rewrite of the 12-scan form the
+    // round-13 verdict noted): every fact row emits its audited
+    // (check_name, key) pairs through ONE exploded projection — so
+    // lineitem is scanned once for its three audited keys, not three
+    // times twice — the distinct pair set left-joins the unioned
+    // dimension keys, and one aggregation yields every check's
+    // (lhs_n, rhs_n) pair. This is the batch twin of AuditStream's
+    // union design (they must stay in lockstep; AuditStreamSpec pins
+    // the identity). NULL FKs drop before the distinct — a null FK is
+    // not a dangling reference (count(DISTINCT) oracle semantics,
+    // round-13 advice fix). 100 TB: map-side partial distinct bounds
+    // the shuffle at |distinct keys| per check; the dim side is the
+    // small side and broadcasts.
+    def pairs(df: DataFrame, keys: Seq[(String, String)]): DataFrame =
+      df.select(explode(array(keys.map { case (name, key) =>
+          struct(lit(name).as("check_name"), col(key).cast("long").as("key"))
+        }: _*)).as("p"))
+        .select(col("p.check_name").as("check_name"), col("p.key").as("key"))
+        .filter(col("key").isNotNull)
+    val facts = pairs(Tables.lineitem(spark, dir), Seq(
+        ("lineitem_order_refs", "l_orderkey"),
+        ("lineitem_part_refs", "l_partkey"),
+        ("lineitem_supplier_refs", "l_suppkey")))
+      .unionAll(pairs(Tables.orders(spark, dir),
+        Seq(("orders_customer_refs", "o_custkey"))))
+    val dims = Seq(
+        ("lineitem_order_refs", Tables.orders(spark, dir), "o_orderkey"),
+        ("orders_customer_refs", Tables.customer(spark, dir), "c_custkey"),
+        ("lineitem_part_refs", Tables.part(spark, dir), "p_partkey"),
+        ("lineitem_supplier_refs", Tables.supplier(spark, dir), "s_suppkey"))
+      .map { case (name, df, key) => pairs(df, Seq((name, key))) }
       .reduce(_.unionAll(_))
+      .distinct() // dup-safe: a (hypothetically) duplicated dim key
+                  // must not multiply the joined fact rows
+      .withColumn("hit", lit(1))
+    facts.distinct()
+      .join(dims, Seq("check_name", "key"), "left")
+      .groupBy(col("check_name"))
+      .agg(count(lit(1)).as("lhs_n"), count(col("hit")).as("rhs_n"))
       .withColumn("consistent", col("lhs_n") === col("rhs_n"))
       .orderBy(col("check_name"))
   }

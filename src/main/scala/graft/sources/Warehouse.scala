@@ -1764,7 +1764,12 @@ object Warehouse {
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
       val loc = new java.io.File(wh, t)
       committedLoc(loc) && {
-        val inferred = spark.read.parquet(loc.getAbsolutePath).schema
+        // a committed-but-empty location (only _SUCCESS survives) has
+        // no footers to infer from — unadoptable, let the gate rebuild
+        val inferredOpt =
+          scala.util.Try(spark.read.parquet(loc.getAbsolutePath).schema)
+        inferredOpt.isSuccess && {
+        val inferred = inferredOpt.get
         val dataDdl = inferred.fields.filterNot(f => parts.contains(f.name))
           .map(f => s"${f.name} ${f.dataType.sql}")
         val partDdl = parts.map(p => s"$p ${PartTypes(p)}")
@@ -1780,6 +1785,7 @@ object Warehouse {
           s"$partClause$bucketClause LOCATION '${loc.getAbsolutePath}'")
         if (parts.nonEmpty) spark.catalog.recoverPartitions(t)
         true
+        }
       }
     }
   }
@@ -1848,20 +1854,34 @@ object Warehouse {
           Some(s"dropped-stage $baseT")
         } else if (committedLoc(stageLoc)) {
           dropManaged(spark, Seq(baseT)) // partial rewrite / catalog ghost
-          val raw = spark.read.parquet(stageLoc.getAbsolutePath)
-          val typed = parts.foldLeft(raw) { (df, p) =>
-            df.withColumn(p, col(p).cast(PartTypes(p)))
+          scala.util.Try(spark.read.parquet(stageLoc.getAbsolutePath)) match {
+            case scala.util.Success(raw) =>
+              val typed = parts.foldLeft(raw) { (df, p) =>
+                df.withColumn(p, col(p).cast(PartTypes(p)))
+              }
+              val staged = bucketCol match {
+                case Some(c) => typed.repartition(col(c))
+                case None    => typed
+              }
+              staged.write.mode(SaveMode.Overwrite)
+                .partitionBy(parts: _*)
+                .format("parquet")
+                .saveAsTable(baseT)
+              dropManaged(spark, Seq(stageT))
+              Some(s"rolled-forward $baseT")
+            case scala.util.Failure(_) if tombSchemas.contains(base) =>
+              // committed-but-EMPTY stage (only _SUCCESS): legitimate
+              // when a vacuum pruned every tombstone — roll forward to
+              // an empty table from the pinned schema (no footers to
+              // infer from); other stores never fold to empty
+              val (cols2, parts2) = tombSchemas(base)
+              spark.sql(s"CREATE TABLE $baseT ($cols2) USING parquet " +
+                s"PARTITIONED BY ($parts2)")
+              dropManaged(spark, Seq(stageT))
+              Some(s"rolled-forward-empty $baseT")
+            case scala.util.Failure(_) =>
+              Some(s"unrecoverable $baseT")
           }
-          val staged = bucketCol match {
-            case Some(c) => typed.repartition(col(c))
-            case None    => typed
-          }
-          staged.write.mode(SaveMode.Overwrite)
-            .partitionBy(parts: _*)
-            .format("parquet")
-            .saveAsTable(baseT)
-          dropManaged(spark, Seq(stageT))
-          Some(s"rolled-forward $baseT")
         } else {
           // both uncommitted: unreachable by the swap's write order
           // (the stage commits before the base is touched) — report,

@@ -170,6 +170,29 @@ class MaintenanceSpec extends SparkSpec {
       "guard abort lost the racing IVF batch")
   }
 
+  test("empty-stage roll-forward: a vacuum that pruned every tombstone recovers to an empty table") {
+    val dir = corpusCopy(withEmb = false)
+    // the crash state: a committed stage holding ZERO rows (only the
+    // _SUCCESS marker survives — no parquet footers to infer from),
+    // base gone — what a crash inside a prune-everything vacuum leaves
+    val stage = Warehouse.tbl(dir, "graft_tombstones_stage")
+    spark.sql(s"CREATE TABLE $stage (doc_id BIGINT, scope STRING, " +
+      "batch_id BIGINT) USING parquet PARTITIONED BY (scope, batch_id)")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(wh, stage)
+    loc.mkdirs()
+    new java.io.File(loc, "_SUCCESS").createNewFile()
+    val actions = Warehouse.recoverMaintenance(spark, dir)
+    assert(actions.exists(_.startsWith("rolled-forward-empty")),
+      s"expected an empty roll-forward, got $actions")
+    val tomb = Warehouse.tbl(dir, "graft_tombstones")
+    assert(spark.catalog.tableExists(tomb) && spark.table(tomb).isEmpty)
+    assert(!spark.catalog.tableExists(stage))
+    // the deletion layer is fully functional on the recovered table
+    Warehouse.deleteDocIds(spark, dir, Seq(7L))
+    assert(spark.table(tomb).count() == 1L)
+  }
+
   /** Simulate catalog amnesia (a new JVM's in-memory catalog): copy
     * each table's surviving files aside, DROP TABLE (managed: files
     * go too), put the files back — exactly the state a restarted

@@ -22,7 +22,6 @@ class PlanAuditSpec extends SparkSpec {
   // every BNLJ here is a documented broadcast-small-side pattern
   private val bnljByDesign = Set(
     "b23_platform_counts",     // scalar-subquery count dashboard
-    "b56_consistency_audit",   // 1-row count-pair cross joins (audit)
     "b34_marketplace_page",    // 1-row total broadcast
     "b39_nft_directory",       // 1-row total broadcast
     "b41_feeds_channels",      // 1-row total broadcast
