@@ -1295,32 +1295,38 @@ object MarketOps {
     // round-13 advice fix). 100 TB: map-side partial distinct bounds
     // the shuffle at |distinct keys| per check; the dim side is the
     // small side and broadcasts.
-    def pairs(df: DataFrame, keys: Seq[(String, String)]): DataFrame =
-      df.select(explode(array(keys.map { case (name, key) =>
-          struct(lit(name).as("check_name"), col(key).cast("long").as("key"))
+    // shuffle keys are (check_id INT, key LONG) — the display name
+    // joins back over 4 rows at the very end (a string key in every
+    // exchanged row measurably doubled the audit at sf0.1)
+    val checkNames = Seq(
+      0 -> "lineitem_order_refs", 1 -> "orders_customer_refs",
+      2 -> "lineitem_part_refs", 3 -> "lineitem_supplier_refs")
+    def pairs(df: DataFrame, keys: Seq[(Int, String)]): DataFrame =
+      df.select(explode(array(keys.map { case (id, key) =>
+          struct(lit(id).as("check_id"), col(key).cast("long").as("key"))
         }: _*)).as("p"))
-        .select(col("p.check_name").as("check_name"), col("p.key").as("key"))
+        .select(col("p.check_id").as("check_id"), col("p.key").as("key"))
         .filter(col("key").isNotNull)
     val facts = pairs(Tables.lineitem(spark, dir), Seq(
-        ("lineitem_order_refs", "l_orderkey"),
-        ("lineitem_part_refs", "l_partkey"),
-        ("lineitem_supplier_refs", "l_suppkey")))
-      .unionAll(pairs(Tables.orders(spark, dir),
-        Seq(("orders_customer_refs", "o_custkey"))))
+        (0, "l_orderkey"), (2, "l_partkey"), (3, "l_suppkey")))
+      .unionAll(pairs(Tables.orders(spark, dir), Seq((1, "o_custkey"))))
     val dims = Seq(
-        ("lineitem_order_refs", Tables.orders(spark, dir), "o_orderkey"),
-        ("orders_customer_refs", Tables.customer(spark, dir), "c_custkey"),
-        ("lineitem_part_refs", Tables.part(spark, dir), "p_partkey"),
-        ("lineitem_supplier_refs", Tables.supplier(spark, dir), "s_suppkey"))
-      .map { case (name, df, key) => pairs(df, Seq((name, key))) }
+        (0, Tables.orders(spark, dir), "o_orderkey"),
+        (1, Tables.customer(spark, dir), "c_custkey"),
+        (2, Tables.part(spark, dir), "p_partkey"),
+        (3, Tables.supplier(spark, dir), "s_suppkey"))
+      .map { case (id, df, key) => pairs(df, Seq((id, key))) }
       .reduce(_.unionAll(_))
       .distinct() // dup-safe: a (hypothetically) duplicated dim key
                   // must not multiply the joined fact rows
       .withColumn("hit", lit(1))
+    import spark.implicits._
     facts.distinct()
-      .join(dims, Seq("check_name", "key"), "left")
-      .groupBy(col("check_name"))
+      .join(dims, Seq("check_id", "key"), "left")
+      .groupBy(col("check_id"))
       .agg(count(lit(1)).as("lhs_n"), count(col("hit")).as("rhs_n"))
+      .join(broadcast(checkNames.toDF("check_id", "check_name")), "check_id")
+      .select(col("check_name"), col("lhs_n"), col("rhs_n"))
       .withColumn("consistent", col("lhs_n") === col("rhs_n"))
       .orderBy(col("check_name"))
   }
