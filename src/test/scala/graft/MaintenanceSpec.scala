@@ -254,6 +254,21 @@ class MaintenanceSpec extends SparkSpec {
       "IVF adoption must not rebuild")
     assert(strs(Warehouse.annIndexed(spark, dir)) == ann0)
 
+    // upserts keep working against ADOPTED tables — the positional
+    // insertInto contract is exactly what the re-pinned partition
+    // types protect (an int-narrowed batch_id would break it here)
+    Warehouse.upsertPostingsFrom(
+      syntheticDocs(Seq(999999302L), "zzadoptr"), dir, batchKey = 6L)
+    assert(strs(RetrievalOps.bm25RankIndexed(
+      spark, dir, qterm("zzadoptr"), k = 5, exclSelf = false))
+      .exists(_.contains("999999302")),
+      "post-adoption postings upsert not probe-visible")
+    val ivfBatch = Tables.embeddings(spark, dir).limit(3)
+      .select((col("vec_id") + 910000000L).as("vec_id"), col("embedding"))
+    Warehouse.upsertIvfFrom(ivfBatch, dir, batchKey = 8L)
+    assert(partitions(dir, "graft_ivf_lists").exists(_.startsWith("batch_id=8/")),
+      "post-adoption IVF upsert did not land its batch partition")
+
     // staleness still wins over adoption: a rewritten corpus at the
     // same path rebuilds even though adoptable files survive
     Tables.documents(spark, dir).filter(col("doc_id") =!= 0L)
