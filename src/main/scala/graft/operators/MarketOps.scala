@@ -1321,12 +1321,20 @@ object MarketOps {
                   // must not multiply the joined fact rows
       .withColumn("hit", lit(1))
     import spark.implicits._
-    facts.distinct()
+    val agg = facts.distinct()
       .join(dims, Seq("check_id", "key"), "left")
       .groupBy(col("check_id"))
       .agg(count(lit(1)).as("lhs_n"), count(col("hit")).as("rhs_n"))
-      .join(broadcast(checkNames.toDF("check_id", "check_name")), "check_id")
-      .select(col("check_name"), col("lhs_n"), col("rhs_n"))
+    // drive from the 4-row check list, not the aggregate: a check
+    // whose fact side has zero non-null keys produces NO group, and
+    // the audit's contract (the DuckDB replay, AuditStream.readAudit)
+    // is four explicit rows — an empty check is (0, 0, consistent),
+    // never a missing row
+    checkNames.toDF("check_id", "check_name")
+      .join(agg, Seq("check_id"), "left")
+      .select(col("check_name"),
+              coalesce(col("lhs_n"), lit(0L)).as("lhs_n"),
+              coalesce(col("rhs_n"), lit(0L)).as("rhs_n"))
       .withColumn("consistent", col("lhs_n") === col("rhs_n"))
       .orderBy(col("check_name"))
   }

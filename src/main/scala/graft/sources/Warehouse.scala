@@ -1263,8 +1263,13 @@ object Warehouse {
     // ids — a doc absent from the postings (never indexed, or already
     // purged) contributes nothing, which is what keeps replays after
     // compaction self-healing
-    if (spark.catalog.tableExists(tbl(dir, "graft_post_meta")) &&
-        spark.catalog.tableExists(tbl(dir, "graft_post_lists"))) {
+    // adoption, not tableExists: after a JVM restart the landed
+    // posting index survives only as files — skipping the stats delta
+    // because the catalog forgot the table would bake an over-count
+    // into the next compaction's folded stats (pre-adoption this
+    // self-healed because a restart forced a born-clean rebuild)
+    if (adoptLanded(spark, dir, "graft_post_meta") &&
+        adoptLanded(spark, dir, "graft_post_lists", Seq("batch_id", "tb"))) {
       val (bkey, gen) = postingsIdentity(spark, dir)
       val d = spark.table(tbl(dir, "graft_post_lists"))
         .join(broadcast(newIds), "doc_id")
@@ -1433,6 +1438,13 @@ object Warehouse {
                    batchKey: Long = 0L): (Long, Long) = {
     recoverMaintenance(spark, dir)
     if (!recoverTombTable(spark, dir, "graft_tombstones")) return (0L, 0L)
+    // guard snapshot BEFORE any read: the tombstone rewrite below
+    // must not erase a deleteDocs batch that lands mid-function (its
+    // rows would vanish while its stats delta stayed — an un-delete
+    // plus a stats under-count). A racing delete writes graft_tombstones
+    // FIRST, so comparing this set at swap time catches it; the layer
+    // snapshot is taken after this function's own delta write.
+    val tombSnap0 = partitionSet(spark, tbl(dir, "graft_tombstones"))
     val idsDf = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
       .distinct()
     val tomb = spark.table(tbl(dir, "graft_tombstones"))
@@ -1445,8 +1457,13 @@ object Warehouse {
     // compensating delta BEFORE the tombstone rewrite (same identity,
     // same source — the landed posting rows — as the delete's)
     var restored = 0L
-    if (spark.catalog.tableExists(tbl(dir, "graft_post_meta")) &&
-        spark.catalog.tableExists(tbl(dir, "graft_post_lists"))) {
+    // adoption, not tableExists: after a JVM restart the landed
+    // posting index survives only as files — skipping the stats delta
+    // because the catalog forgot the table would bake an over-count
+    // into the next compaction's folded stats (pre-adoption this
+    // self-healed because a restart forced a born-clean rebuild)
+    if (adoptLanded(spark, dir, "graft_post_meta") &&
+        adoptLanded(spark, dir, "graft_post_lists", Seq("batch_id", "tb"))) {
       val (bkey, gen) = postingsIdentity(spark, dir)
       val phys = spark.table(tbl(dir, "graft_post_lists"))
         .join(broadcast(hit), "doc_id")
@@ -1471,9 +1488,12 @@ object Warehouse {
       broadcast(hit.select(col("doc_id").as("p_id"))),
       col("scope") === scope && col("doc_id") === col("p_id"),
       "left_anti")
+    val tombLayerSnap = tombState(spark, dir)
     swapTable(spark, dir, "graft_tombstones",
               kept.select(col("doc_id"), col("scope"), col("batch_id")),
-              Seq("scope", "batch_id"))
+              Seq("scope", "batch_id"),
+              verify = partitionGuard(spark, dir, "graft_tombstones",
+                                      tombSnap0, tombLayerSnap, "deleteDocs"))
     (restored, nHit - restored)
   }
 
@@ -1498,13 +1518,21 @@ object Warehouse {
   def vacuumTombstones(spark: SparkSession, dir: String): Long = {
     recoverMaintenance(spark, dir)
     if (!recoverTombTable(spark, dir, "graft_tombstones")) return 0L
-    val tombSnap = partitionSet(spark, tbl(dir, "graft_tombstones"))
+    val tombSnap0 = partitionSet(spark, tbl(dir, "graft_tombstones"))
+    val tombLayerSnap = tombState(spark, dir)
     val tomb = spark.table(tbl(dir, "graft_tombstones"))
     val live = tomb.filter(col("scope") === LiveScope)
       .select(col("doc_id")).distinct().localCheckpoint(false)
     if (live.isEmpty) return 0L
+    // ADOPT each landed store before treating it as a re-entry
+    // surface: after a JVM restart the catalog has forgotten them,
+    // and a tableExists check here would silently drop every landed
+    // store from the surface list — pruning tombstones whose docs are
+    // still PHYSICALLY indexed, which the next adoption would then
+    // serve back into service (a silent un-delete). Adoption makes
+    // the surviving files count exactly like registered tables.
     def idsOf(base: String, c: String): Option[DataFrame] =
-      if (spark.catalog.tableExists(tbl(dir, base)))
+      if (adoptLanded(spark, dir, base, swapParts(base)))
         Some(spark.table(tbl(dir, base)).select(col(c).as("doc_id")))
       else None
     def corpusOf(table: String, c: String): Option[DataFrame] =
@@ -1530,13 +1558,8 @@ object Warehouse {
       swapTable(spark, dir, "graft_tombstones", kept
         .select(col("doc_id"), col("scope"), col("batch_id")),
         Seq("scope", "batch_id"),
-        verify = () => {
-          val now = partitionSet(spark, tbl(dir, "graft_tombstones"))
-          if (now != tombSnap) throw new IllegalStateException(
-            "concurrent deleteDocs landed tombstone partitions " +
-              s"${(now -- tombSnap).mkString(",")} during vacuum — aborted " +
-              "with the tombstone table untouched; re-run at a quiet point")
-        })
+        verify = partitionGuard(spark, dir, "graft_tombstones",
+                                tombSnap0, tombLayerSnap, "deleteDocs"))
     }
     pruned
   }
@@ -1588,13 +1611,15 @@ object Warehouse {
     recoverMaintenance(spark, dir)
     val listsSnap = partitionSet(spark, tbl(dir, "graft_post_lists"))
     val statsSnap = partitionSet(spark, tbl(dir, "graft_post_stats"))
-    def guard(table: String, snap: Set[String]): () => Unit = () => {
-      val now = partitionSet(spark, tbl(dir, table))
-      if (now != snap) throw new IllegalStateException(
-        s"concurrent upsert landed partitions ${(now -- snap).mkString(",")} " +
-          s"in ${tbl(dir, table)} during compaction — aborted with the " +
-          "standing table untouched; re-run at a quiet point")
-    }
+    // the deletion layer is part of the snapshot: a deleteDocs racing
+    // the fold would land a gen-g delta the generation bump then
+    // inerts while its rows were folded in un-purged — catch it at
+    // either swap and abort (both abort points leave a consistent
+    // stats-vs-deltas state; the residue shrinks to the stats-rewrite
+    // window, disclosed above)
+    val tombSnap = tombState(spark, dir)
+    def guard(table: String, snap: Set[String]): () => Unit =
+      partitionGuard(spark, dir, table, snap, tombSnap, "upsert/delete")
     afterSnapshot()
     val (bkey, gen) = postingsIdentity(spark, dir)
     val folded = exceptTombstoned(
@@ -1644,6 +1669,7 @@ object Warehouse {
       "no landed IVF index to compact")
     recoverMaintenance(spark, dir)
     val listsSnap = partitionSet(spark, tbl(dir, "graft_ivf_lists"))
+    val tombSnap = tombState(spark, dir)
     afterSnapshot()
     val folded = exceptTombstoned(
         spark.table(tbl(dir, "graft_ivf_lists")), dir, "vec_id")
@@ -1660,13 +1686,8 @@ object Warehouse {
       pmod(xxhash64(col("vec_id")), lit(4L)))
     swapTable(spark, dir, "graft_ivf_lists", clustered,
               Seq("batch_id", "cent_id"),
-      verify = () => {
-        val now = partitionSet(spark, tbl(dir, "graft_ivf_lists"))
-        if (now != listsSnap) throw new IllegalStateException(
-          s"concurrent upsert landed partitions ${(now -- listsSnap).mkString(",")} " +
-            s"in ${tbl(dir, "graft_ivf_lists")} during compaction — aborted " +
-            "with the standing table untouched; re-run at a quiet point")
-      })
+      verify = partitionGuard(spark, dir, "graft_ivf_lists", listsSnap,
+                              tombSnap, "upsert/delete"))
   }
 
   /** Stage-and-rewrite a partitioned managed table (overwriting a
@@ -1732,6 +1753,18 @@ object Warehouse {
   private val PartTypes: Map[String, String] = Map(
     "batch_id" -> "bigint", "tb" -> "bigint",
     "cent_id" -> "bigint", "scope" -> "string")
+
+  /** Partition columns of a landed store by base name (empty for the
+    * unpartitioned band/sketch stores) — what adoption of an
+    * arbitrary store needs.
+    */
+  private def swapParts(base: String): Seq[String] = base match {
+    case "graft_post_lists" => Seq("batch_id", "tb")
+    case "graft_post_stats" => Seq("batch_id")
+    case "graft_ivf_lists"  => Seq("batch_id", "cent_id")
+    case "graft_tombstones" | "graft_tomb_stats" => Seq("scope", "batch_id")
+    case _ => Nil
+  }
 
   /** Landed tables written bucketed — adoption must re-declare the
     * bucket spec or the bucketed-join property silently degrades to a
@@ -1811,6 +1844,40 @@ object Warehouse {
     */
   private def partitionSet(spark: SparkSession, table: String): Set[String] =
     spark.sql(s"SHOW PARTITIONS $table").collect().map(_.getString(0)).toSet
+
+  /** The deletion-layer state snapshot for the maintenance guards:
+    * the tombstone and tomb-stats partition sets (with table absence
+    * itself part of the state, so a table APPEARING mid-maintenance
+    * trips the guard too). Location-recovered first, so a fresh JVM
+    * snapshots the surviving layer rather than "absent".
+    */
+  private def tombState(spark: SparkSession, dir: String): Set[String] =
+    Seq("graft_tombstones", "graft_tomb_stats").flatMap { b =>
+      if (recoverTombTable(spark, dir, b))
+        partitionSet(spark, tbl(dir, b)).map(p => s"$b/$p")
+      else Seq(s"$b=absent")
+    }.toSet
+
+  /** The partition-set concurrency guard, shared by every maintenance
+    * swap: snapshot at entry, re-verify right before the destructive
+    * step; any drift aborts with the standing table untouched.
+    */
+  private def partitionGuard(spark: SparkSession, dir: String,
+                             table: String, snap: Set[String],
+                             tombSnap: Set[String],
+                             actor: String): () => Unit = () => {
+    val now = partitionSet(spark, tbl(dir, table))
+    val nowTomb = tombState(spark, dir)
+    if (now != snap || nowTomb != tombSnap) {
+      val drift =
+        (now -- snap).map("+" + _) ++ (snap -- now).map("-" + _) ++
+          (nowTomb -- tombSnap).map("+" + _) ++ (tombSnap -- nowTomb).map("-" + _)
+      throw new IllegalStateException(
+        s"concurrent $actor changed ${tbl(dir, table)}/deletion-layer " +
+          s"state during maintenance (${drift.mkString(",")}) — aborted " +
+          "with the standing table untouched; re-run at a quiet point")
+    }
+  }
 
   /** Crash recovery for an interrupted [[swapTable]] swap (compaction
     * or vacuum): the plain-parquet stand-in for a table format's
@@ -1923,7 +1990,10 @@ object Warehouse {
     import spark.implicits._
     stores.flatMap { case (store, base, idCol) =>
       val t = tbl(dir, base)
-      if (!spark.catalog.tableExists(t)) None
+      // adoption, not tableExists: a scheduled autoMaintain in a fresh
+      // JVM must see the surviving stores, or the spiral/purge backlog
+      // it exists to bound grows invisibly until some probe runs first
+      if (!adoptLanded(spark, dir, base, swapParts(base))) None
       else {
         val batches = landedBatchIds(spark, t)
         Some((store, (batches - (-1L)).size.toLong, files(t),

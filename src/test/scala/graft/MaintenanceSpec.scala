@@ -287,6 +287,29 @@ class MaintenanceSpec extends SparkSpec {
       "a stale adopted index must rebuild (corpus fingerprint mismatch)")
   }
 
+  test("vacuum after catalog amnesia adopts the landed surfaces: no silent un-delete") {
+    val dir = corpusCopy(withEmb = false)
+    Warehouse.ensurePostings(spark, dir, excludeMod = 2)
+    // a doc that exists ONLY in the landed index (streamed in, then
+    // hard-deleted upstream by construction): the tombstone is the
+    // only thing keeping it out of service
+    Warehouse.upsertPostingsFrom(
+      syntheticDocs(Seq(999999401L), "zzvacq"), dir, batchKey = 2L)
+    Warehouse.deleteDocIds(spark, dir, Seq(999999401L))
+    assert(strs(RetrievalOps.bm25RankIndexed(
+      spark, dir, qterm("zzvacq"), k = 5, exclSelf = false)).isEmpty)
+    amnesia(dir, Seq("graft_post_meta", "graft_post_lists", "graft_post_stats"))
+    // pre-fix, the forgotten postings dropped out of the re-entry
+    // surfaces, the tombstone was pruned as unreferenced, and the
+    // next adoption served the deleted doc again
+    assert(Warehouse.vacuumTombstones(spark, dir) == 0L,
+      "vacuum pruned a tombstone whose doc is still physically indexed")
+    Warehouse.ensurePostings(spark, dir, excludeMod = 2) // the probe gate
+    assert(strs(RetrievalOps.bm25RankIndexed(
+      spark, dir, qterm("zzvacq"), k = 5, exclSelf = false)).isEmpty,
+      "deleted doc resurfaced after restart + vacuum")
+  }
+
   test("autoMaintain: compacts past maxBatches, purges pending deletes, vacuums, then idles") {
     val dir = corpusCopy(withEmb = true)
     Warehouse.ensurePostings(spark, dir, excludeMod = 2)

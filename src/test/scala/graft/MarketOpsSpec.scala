@@ -482,4 +482,29 @@ class MarketOpsSpec extends SparkSpec {
       .select("l_orderkey").distinct().count()
     assert(byName("lineitem_order_refs") == (nLiOrders, nLiOrders))
   }
+
+  test("b56 emits all four checks even when a fact side is empty") {
+    // empty fact ⇒ no group out of the aggregation — the audit must
+    // still report the check as (0, 0, consistent), never drop the
+    // row (the DuckDB replay and AuditStream.readAudit both emit four
+    // explicit rows)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("graft_b56_").toString
+    Seq("orders.parquet", "customer.parquet", "part.parquet",
+        "supplier.parquet").foreach { f =>
+      Files.copy(Paths.get(sf, f), Paths.get(d, f),
+                 StandardCopyOption.REPLACE_EXISTING)
+    }
+    Tables.lineitem(spark, sf).filter(org.apache.spark.sql.functions.lit(false))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = MarketOps.consistencyAudit(spark, d).collect()
+    assert(got.map(_.getAs[String]("check_name")).toSeq ==
+      Seq("lineitem_order_refs", "lineitem_part_refs",
+          "lineitem_supplier_refs", "orders_customer_refs"))
+    got.filter(_.getAs[String]("check_name") != "orders_customer_refs")
+      .foreach { r =>
+        assert(r.getAs[Long]("lhs_n") == 0L && r.getAs[Long]("rhs_n") == 0L &&
+               r.getAs[Boolean]("consistent"), r.toString)
+      }
+  }
 }
