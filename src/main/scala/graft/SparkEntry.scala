@@ -161,6 +161,12 @@ object SparkEntry {
     // corpus that never held the deleted docs (own what-if scope, so
     // e16b is untouched)
     "e16c_bm25_deleted"         -> ((s: SparkSession, d: String) => RetrievalOps.bm25SearchDeleted(s, d)),
+    // e16z (round 15): the landed BM25 probe over the deterministic
+    // Zipf-vocabulary corpus (sources.ZipfCheck — synthesized, so the
+    // sf dir is unused) — correctness on a NON-degenerate vocabulary
+    // hash-proven through the standard DuckDB gate, whose replay
+    // re-derives the corpus itself in SQL
+    "e16z_bm25_zipf"            -> ((s: SparkSession, _: String) => RetrievalOps.bm25SearchZipf(s)),
     // e17 (round 12): learned NB quality classifier (counts-based
     // training replayed relationally in the oracle, the e3 pattern)
     "e17_quality_classifier"    -> ((s: SparkSession, d: String) => TextOps.qualityClassifier(s, d)),
@@ -1825,6 +1831,33 @@ object SparkEntry {
       val vals = RetrievalOps.Bm25Queries
         .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
       s"""WITH q(query_id, qtext) AS (VALUES $vals),
+         qt AS (SELECT query_id::BIGINT AS query_id,
+                  unnest(list_distinct(list_filter(
+                    string_split(qtext, ' '), w -> w <> ''))) AS term
+                FROM q),
+         $bm25Postings,
+         ${bm25Scoring(exclSelf = false)}
+         SELECT query_id, rnk, doc_id, n_terms, round(score, 6) AS score
+         FROM rb WHERE rnk <= 10 ORDER BY query_id, rnk"""
+    },
+    // e16z: e16's replay over the ZipfCheck corpus — the `documents`
+    // CTE shadows the table name and RE-DERIVES the corpus from the
+    // shared arithmetic construction (sources.ZipfCheck), so the
+    // replay is self-contained and only the corpus construction is
+    // shared (BM25 re-derives independently on both sides)
+    "e16z_bm25_zipf" -> {
+      val vals = sources.ZipfCheck.Queries
+        .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+      s"""WITH documents AS (
+           SELECT doc_id,
+             array_to_string(list_transform(generate_series(0, dl - 1),
+               p -> 'w' || greatest(1,
+                 floor(pow(${sources.ZipfCheck.Vocab}::DOUBLE,
+                   ((doc_id * 2654435761 + p * 40503) % 1048576)
+                     / 1048576.0))::BIGINT)), ' ') AS text
+           FROM (SELECT id AS doc_id, 24 + (id * 48271) % 16 AS dl
+                 FROM range(0, ${sources.ZipfCheck.NDocs}) t(id))),
+         q(query_id, qtext) AS (VALUES $vals),
          qt AS (SELECT query_id::BIGINT AS query_id,
                   unnest(list_distinct(list_filter(
                     string_split(qtext, ' '), w -> w <> ''))) AS term

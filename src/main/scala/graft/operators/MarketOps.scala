@@ -1301,9 +1301,20 @@ object MarketOps {
     val checkNames = Seq(
       0 -> "lineitem_order_refs", 1 -> "orders_customer_refs",
       2 -> "lineitem_part_refs", 3 -> "lineitem_supplier_refs")
+    // integral-key assumption, asserted not silent (round-15 advice
+    // fix): the hot path keys on LONG, so a non-castable key (a string
+    // FK in a variant corpus) must fail the audit loudly — a silent
+    // NULL would drop the row before the distinct and report the check
+    // (0, 0, consistent). raise_error costs nothing on the clean path
+    // (branch never taken, stays inside codegen).
     def pairs(df: DataFrame, keys: Seq[(Int, String)]): DataFrame =
       df.select(explode(array(keys.map { case (id, key) =>
-          struct(lit(id).as("check_id"), col(key).cast("long").as("key"))
+          struct(lit(id).as("check_id"),
+                 when(col(key).isNotNull && col(key).cast("long").isNull,
+                      raise_error(concat(
+                        lit(s"consistencyAudit: non-integral key $key="),
+                        col(key).cast("string"))))
+                   .otherwise(col(key).cast("long")).as("key"))
         }: _*)).as("p"))
         .select(col("p.check_id").as("check_id"), col("p.key").as("key"))
         .filter(col("key").isNotNull)

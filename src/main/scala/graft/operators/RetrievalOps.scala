@@ -216,7 +216,7 @@ object RetrievalOps {
                                    graft.sources.Warehouse.LiveScope)
       : DataFrame = {
     import graft.sources.Warehouse
-    val base = spark.table(Warehouse.tbl(dir, "graft_post_stats"))
+    val base = Warehouse.postStats(spark, dir)
       .select(col("n_docs").cast("long").as("n_docs"),
               col("sum_dl").cast("long").as("sum_dl"))
     val all = Warehouse.tombStats(spark, dir) match {
@@ -264,7 +264,7 @@ object RetrievalOps {
     // and scores equal a physically-purged index's exactly (the
     // no-tombstone case costs nothing — the plan is unchanged)
     val matched = graft.sources.Warehouse.exceptTombstoned(
-        spark.table(graft.sources.Warehouse.tbl(dir, "graft_post_lists"))
+        graft.sources.Warehouse.postLists(spark, dir)
           .join(broadcast(terms), Seq("tb", "term")),
         dir, "doc_id", tombScope)
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
@@ -294,6 +294,27 @@ object RetrievalOps {
                         k: Int = 10): DataFrame = {
     graft.sources.Warehouse.ensurePostings(spark, dir)
     bm25RankIndexed(spark, dir, bm25QueryTerms(spark), k, exclSelf = false)
+  }
+
+  /** e16z (round 15): the landed BM25 probe over the deterministic
+    * Zipf-vocabulary corpus — the driver-checked correctness row for a
+    * NON-degenerate vocabulary (verdict item 5: GenZipf corpora were
+    * bench-only; this one runs through the standard DuckDB hash gate,
+    * whose replay re-derives the corpus in SQL — see
+    * [[graft.sources.ZipfCheck]]). Production path end-to-end:
+    * materialize corpus → ensurePostings (fingerprint-gated, amortized
+    * across runs) → DPP-pruned probe over a rank-spanning workload.
+    */
+  def bm25SearchZipf(spark: SparkSession, k: Int = 10): DataFrame = {
+    import graft.sources.ZipfCheck
+    val dir = ZipfCheck.corpusDir(spark)
+    graft.sources.Warehouse.ensurePostings(spark, dir)
+    import spark.implicits._
+    val qt = ZipfCheck.Queries.toDF("query_id", "qtext")
+      .select(col("query_id").cast("long").as("query_id"),
+              explode(array_distinct(
+                filter(split(col("qtext"), " "), w => w =!= ""))).as("term"))
+    bm25RankIndexed(spark, dir, qt, k, exclSelf = false)
   }
 
   /** e16c: the deletion demo — e16b's landed probe AFTER retracting
@@ -422,7 +443,7 @@ object RetrievalOps {
       .filter(col("term") =!= "")  // DPP eligibility (see bm25RankIndexed)
       .withColumn("tb", termBucket(col("term")))
     val dfs = graft.sources.Warehouse.exceptTombstoned(
-        spark.table(graft.sources.Warehouse.tbl(dir, "graft_post_lists"))
+        graft.sources.Warehouse.postLists(spark, dir)
           .join(broadcast(qdfTerms), Seq("tb", "term")),
         dir, "doc_id", tombScope)
       .groupBy(col("term"))

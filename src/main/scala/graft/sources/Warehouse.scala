@@ -105,6 +105,163 @@ object Warehouse {
       }
     }
 
+  // ---------- atomic manifest commit (round 15) -----------------------------
+  //
+  // The plain-parquet stand-in for a table format's snapshot commit,
+  // closing the two crash windows the round-14 stage/drop/rewrite swap
+  // disclosed (re-check→drop, stats-swap→gen-bump): maintenance swaps
+  // write their output to NEW generation-suffixed tables and commit by
+  // creating ONE manifest version file — an atomic hard link, so the
+  // current (posting lists, posting stats, generation, tombstone set)
+  // tuple changes in a single filesystem metadata operation and a
+  // crash at any point leaves probes on either the old or the new
+  // generation, never a mix. The same file doubles as an optimistic-
+  // concurrency fence (the public Delta/Iceberg commit idea): every
+  // MUTATOR (upsert/delete) bumps the manifest version BEFORE writing,
+  // and a swap commits only at snapshot-version+1 — so a compaction
+  // that raced ANY writer fails its commit and aborts with the
+  // standing generation untouched, instead of dropping files a writer
+  // just landed. Single-warehouse scope: concurrent PROCESSES sharing
+  // one warehouse serialize through the same atomic link (the
+  // adoption story); readers resolve names per query, so a reader
+  // mid-plan across a commit can still see a dropped superseded
+  // generation — the one residue a real format's snapshot retention
+  // would close (disclosed; GC runs at maintenance cadence).
+
+  /** The resolved current state of a corpus namespace's landed
+    * swap-managed tables: `tabs` maps logical base → physical base
+    * (absent = the plain logical name), `postGen` is the posting
+    * index's generation when a manifest has recorded one (else the
+    * legacy post_meta column governs).
+    */
+  private[graft] case class Manifest(version: Long,
+                                     tabs: Map[String, String],
+                                     postGen: Option[Long])
+
+  private def manifestDir(spark: SparkSession, dir: String): java.io.File = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, s"_graft_manifest_${ns(dir)}")
+  }
+
+  private val ManifestV = "v(\\d{10})".r
+
+  private[graft] def readManifest(spark: SparkSession, dir: String): Manifest = {
+    val d = manifestDir(spark, dir)
+    val versions = Option(d.listFiles()).toSeq.flatten
+      .flatMap(f => f.getName match {
+        case ManifestV(n) => Some((n.toLong, f))
+        case _            => None
+      })
+    if (versions.isEmpty) Manifest(0L, Map.empty, None)
+    else {
+      val (v, f) = versions.maxBy(_._1)
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .split("\n").filter(_.contains("="))
+      val kv = lines.map { l =>
+        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+      }.toMap
+      Manifest(v,
+        kv.collect { case (k, pv) if k.startsWith("tab.") =>
+          (k.stripPrefix("tab."), pv)
+        },
+        kv.get("post_gen").map(_.toLong))
+    }
+  }
+
+  /** One atomic publish attempt of `m` AT its version number: the
+    * content is fully written to a temp file first, then hard-linked
+    * to the version name — link creation is the atomic claim+publish
+    * (fails iff the version was already taken). Returns false on a
+    * lost race.
+    */
+  private def writeManifestAttempt(spark: SparkSession, dir: String,
+                                   m: Manifest): Boolean = {
+    val d = manifestDir(spark, dir)
+    d.mkdirs()
+    val content = (m.tabs.toSeq.sorted.map { case (k, v) => s"tab.$k=$v" } ++
+      m.postGen.map(g => s"post_gen=$g").toSeq).mkString("\n") + "\n"
+    val tmp = java.io.File.createTempFile("commit_", ".tmp", d)
+    try {
+      java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
+      java.nio.file.Files.createLink(
+        new java.io.File(d, f"v${m.version}%010d").toPath, tmp.toPath)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally { tmp.delete(); () }
+  }
+
+  /** Mutator fence: bump the manifest version (content otherwise
+    * unchanged unless `mutate` says so), retrying on collision, and
+    * return the COMMITTED manifest — callers must resolve the tables
+    * they write from the returned state, so a writer that raced a
+    * compaction lands in the new generation, and the compaction that
+    * raced this writer fails its own commit (its snapshot version is
+    * stale). Write-side cost: one tiny file per mutation batch —
+    * curation cadence, never probe cost.
+    */
+  private def bumpManifest(spark: SparkSession, dir: String,
+                           mutate: Manifest => Manifest = identity)
+      : Manifest = {
+    var committed: Option[Manifest] = None
+    while (committed.isEmpty) {
+      val cur = readManifest(spark, dir)
+      val next = mutate(cur).copy(version = cur.version + 1)
+      if (writeManifestAttempt(spark, dir, next)) committed = Some(next)
+    }
+    committed.get
+  }
+
+  /** Swap commit: ONE attempt at `expect.version + 1` — the single
+    * atomic commit point of compaction/vacuum/undelete. False iff any
+    * writer committed since `expect` was read; the caller aborts and
+    * drops its staged generation (the standing one was never touched).
+    */
+  private def tryCommitManifest(spark: SparkSession, dir: String,
+                                expect: Manifest, next: Manifest): Boolean =
+    writeManifestAttempt(spark, dir,
+      next.copy(version = expect.version + 1))
+
+  /** The physical base name currently serving a logical swap-managed
+    * table. */
+  private def physBase(m: Manifest, logical: String): String =
+    m.tabs.getOrElse(logical, logical)
+
+  /** Rebuild preamble for stores whose current generation may live
+    * under a versioned physical name: drop that superseded physical
+    * and point the manifest back at the plain logical names the build
+    * is about to write (plus the new posting generation when given).
+    */
+  private def resetSwapTabs(spark: SparkSession, dir: String,
+                            logicals: Seq[String],
+                            postGen: Option[Long] = None): Unit = {
+    val m = readManifest(spark, dir)
+    logicals.foreach { l =>
+      val p = physBase(m, l)
+      if (p != l) dropManaged(spark, Seq(tbl(dir, p)))
+    }
+    if (logicals.exists(m.tabs.contains) || postGen.isDefined) {
+      bumpManifest(spark, dir, cur => cur.copy(
+        tabs = cur.tabs -- logicals,
+        postGen = postGen.orElse(cur.postGen)))
+      ()
+    }
+  }
+
+  /** The logical base of a (possibly generation-suffixed) physical
+    * base. */
+  private def logicalOf(physical: String): String =
+    physical.replaceAll("__v\\d+$", "")
+
+  /** Public resolver: the full physical table name currently serving
+    * `logical` for this corpus dir — what specs, tools and external
+    * readers must use for any table a maintenance swap may have
+    * re-addressed (post/ivf lists, post stats, tombstones).
+    */
+  def currentTable(spark: SparkSession, dir: String, logical: String): String =
+    tbl(dir, physBase(readManifest(spark, dir), logical))
+
   def build(spark: SparkSession, dir: String): Unit = {
     dropManaged(spark, Seq(tbl(dir, "graft_orders_b"), tbl(dir, "graft_lineitem_b")))
     Tables.orders(spark, dir)
@@ -256,6 +413,7 @@ object Warehouse {
     import graft.operators.SimOps
     dropManaged(spark, Seq(tbl(dir, "graft_ivf_lists"), tbl(dir, "graft_ivf_cents"),
                            tbl(dir, "graft_ivf_book"), tbl(dir, "graft_ivf_meta")))
+    resetSwapTabs(spark, dir, Seq("graft_ivf_lists"))
     // excludeMod > 0 builds the STANDING index of the incremental
     // story: vectors with vec_id % excludeMod == 0 are the
     // yet-to-arrive batch and take the upsertIvf path later.
@@ -340,10 +498,11 @@ object Warehouse {
                 subDim: Int = 8, kmeansIters: Int = 4,
                 excludeMod: Int = 0, nlistRule: String = "fixed"): Unit = {
     recoverMaintenance(spark, dir)
+    val ivfListsPhys = physBase(readManifest(spark, dir), "graft_ivf_lists")
     adoptLanded(spark, dir, "graft_ivf_meta")
     adoptLanded(spark, dir, "graft_ivf_cents")
     adoptLanded(spark, dir, "graft_ivf_book")
-    adoptLanded(spark, dir, "graft_ivf_lists", Seq("batch_id", "cent_id"))
+    adoptLanded(spark, dir, ivfListsPhys, Seq("batch_id", "cent_id"))
     val (resolved, ruleTag) =
       if (nlistRule == "fixed") (nlist, s"fixed:$nlist")
       else (resolveNlist(nlistRule, ruledCount(spark, dir, excludeMod)),
@@ -351,7 +510,7 @@ object Warehouse {
     val key = ivfBuildKey(dir, resolved, nAssign, ks, m, subDim,
                           kmeansIters, excludeMod, ruleTag)
     val fresh = spark.catalog.tableExists(tbl(dir, "graft_ivf_meta")) &&
-      spark.catalog.tableExists(tbl(dir, "graft_ivf_lists")) && {
+      spark.catalog.tableExists(tbl(dir, ivfListsPhys)) && {
         val r = spark.table(tbl(dir, "graft_ivf_meta")).collect()
         r.length == 1 && r(0).getString(0) == key
       } &&
@@ -360,7 +519,7 @@ object Warehouse {
       // vectors' postings (round-13 advice) — detect and rebuild
       // instead of serving the corrupted index as fresh forever
       (excludeMod != 0 ||
-        landedBatchIds(spark, tbl(dir, "graft_ivf_lists")) == Set(-1L))
+        landedBatchIds(spark, tbl(dir, ivfListsPhys)) == Set(-1L))
     if (!fresh)
       buildIvf(spark, dir, nlist, nAssign, ks, m, subDim, kmeansIters,
                excludeMod, nlistRule)
@@ -546,10 +705,16 @@ object Warehouse {
     val rows = lists.join(codes, "vec_id")
       .select(col("vec_id"), col("sub_j"), col("ce"), col("cn"),
               lit(batchKey).as("batch_id"), col("cent_id"))
+    // manifest fence BEFORE the write: a compaction snapshotted before
+    // this bump can no longer commit (its version is stale), so the
+    // batch can never be silently folded away; the write targets the
+    // generation the bumped manifest names
+    val mf = bumpManifest(spark, dir)
     val owKey = "spark.sql.sources.partitionOverwriteMode"
     val prior = spark.conf.get(owKey)
     spark.conf.set(owKey, "dynamic")
-    try rows.write.mode(SaveMode.Overwrite).insertInto(tbl(dir, "graft_ivf_lists"))
+    try rows.write.mode(SaveMode.Overwrite)
+      .insertInto(tbl(dir, physBase(mf, "graft_ivf_lists")))
     finally spark.conf.set(owKey, prior)
   }
 
@@ -576,7 +741,7 @@ object Warehouse {
   }
 
   def ivfLists(spark: SparkSession, dir: String): DataFrame =
-    spark.table(tbl(dir, "graft_ivf_lists"))
+    spark.table(currentTable(spark, dir, "graft_ivf_lists"))
   def ivfCents(spark: SparkSession, dir: String): DataFrame =
     spark.table(tbl(dir, "graft_ivf_cents"))
 
@@ -1012,6 +1177,11 @@ object Warehouse {
       else 0L
     dropManaged(spark, Seq(tbl(dir, "graft_post_lists"), tbl(dir, "graft_post_stats"),
                            tbl(dir, "graft_post_meta")))
+    // a rebuild supersedes any compacted generation: GC its versioned
+    // physicals and move the authoritative generation (manifest-first,
+    // see postingsIdentity) to this build's in one commit
+    resetSwapTabs(spark, dir, Seq("graft_post_lists", "graft_post_stats"),
+                  postGen = Some(nextGen))
     // rebuilds physically exclude live-tombstoned docs (the new
     // generation is born clean — the right-to-be-forgotten contract);
     // what-if scopes stay logical-only
@@ -1054,13 +1224,16 @@ object Warehouse {
   def ensurePostings(spark: SparkSession, dir: String,
                      excludeMod: Int = 0): Unit = {
     recoverMaintenance(spark, dir)
+    val m0 = readManifest(spark, dir)
+    val listsPhys = physBase(m0, "graft_post_lists")
+    val statsPhys = physBase(m0, "graft_post_stats")
     adoptLanded(spark, dir, "graft_post_meta")
-    adoptLanded(spark, dir, "graft_post_lists", Seq("batch_id", "tb"))
-    adoptLanded(spark, dir, "graft_post_stats", Seq("batch_id"))
+    adoptLanded(spark, dir, listsPhys, Seq("batch_id", "tb"))
+    adoptLanded(spark, dir, statsPhys, Seq("batch_id"))
     val key = postingsBuildKey(dir, excludeMod)
     val fresh = spark.catalog.tableExists(tbl(dir, "graft_post_meta")) &&
-      spark.catalog.tableExists(tbl(dir, "graft_post_lists")) &&
-      spark.catalog.tableExists(tbl(dir, "graft_post_stats")) && {
+      spark.catalog.tableExists(tbl(dir, listsPhys)) &&
+      spark.catalog.tableExists(tbl(dir, statsPhys)) && {
         val m = spark.table(tbl(dir, "graft_post_meta"))
         // a pre-round-14 meta (no gen column) is a stale physical
         // format: rebuild rather than guessing a generation
@@ -1075,14 +1248,14 @@ object Warehouse {
       // reporting the corrupted index fresh forever. The stats table
       // has one row per batch, so this check is O(batches).
       (excludeMod != 0 ||
-        landedBatchIds(spark, tbl(dir, "graft_post_stats")) == Set(-1L))
+        landedBatchIds(spark, tbl(dir, statsPhys)) == Set(-1L))
     if (!fresh) buildPostings(spark, dir, excludeMod)
   }
 
   def postLists(spark: SparkSession, dir: String): DataFrame =
-    spark.table(tbl(dir, "graft_post_lists"))
+    spark.table(currentTable(spark, dir, "graft_post_lists"))
   def postStats(spark: SparkSession, dir: String): DataFrame =
-    spark.table(tbl(dir, "graft_post_stats"))
+    spark.table(currentTable(spark, dir, "graft_post_stats"))
 
   /** Incremental posting maintenance — the text twin of [[upsertIvf]]:
     * the arriving batch (`doc_id % batchMod == 0`) tokenizes itself,
@@ -1117,6 +1290,10 @@ object Warehouse {
     // of a recrawl
     val (lists, stats) = RetrievalOps.postingPartsFrom(
       exceptTombstoned(batchDocs, dir, "doc_id"))
+    // manifest fence BEFORE the write (the upsertIvfFrom contract): a
+    // compaction snapshotted before this bump fails its commit instead
+    // of folding-and-dropping a batch it never saw
+    val mf = bumpManifest(spark, dir)
     val owKey = "spark.sql.sources.partitionOverwriteMode"
     val prior = spark.conf.get(owKey)
     spark.conf.set(owKey, "dynamic")
@@ -1125,10 +1302,12 @@ object Warehouse {
         .select(col("term"), col("doc_id"), col("dl"), col("tf"),
                 lit(batchKey).as("batch_id"), col("tb"))
         .repartition(col("tb"))
-        .write.mode(SaveMode.Overwrite).insertInto(tbl(dir, "graft_post_lists"))
+        .write.mode(SaveMode.Overwrite)
+        .insertInto(tbl(dir, physBase(mf, "graft_post_lists")))
       stats
         .select(col("n_docs"), col("sum_dl"), lit(batchKey).as("batch_id"))
-        .write.mode(SaveMode.Overwrite).insertInto(tbl(dir, "graft_post_stats"))
+        .write.mode(SaveMode.Overwrite)
+        .insertInto(tbl(dir, physBase(mf, "graft_post_stats")))
     } finally spark.conf.set(owKey, prior)
   }
 
@@ -1240,6 +1419,11 @@ object Warehouse {
     // overwrite each other's tomb_stats partitions
     require(batchKey < 1000000L, s"delete batchKey must be < 1e6: $batchKey")
     recoverMaintenance(spark, dir)
+    // manifest fence BEFORE any write: a compaction/vacuum snapshotted
+    // before this bump fails its commit — its fold can neither absorb
+    // this batch's rows without purging them nor erase the tombstone
+    // rewrite below
+    val mf = bumpManifest(spark, dir)
     val idsDf = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
       .distinct()
     // exclude ids already tombstoned in this scope by OTHER batches
@@ -1248,7 +1432,7 @@ object Warehouse {
     // replay overwrites rather than empties its partition
     val newIds = (if (recoverTombTable(spark, dir, "graft_tombstones"))
       idsDf.join(
-        spark.table(tbl(dir, "graft_tombstones"))
+        spark.table(tbl(dir, physBase(mf, "graft_tombstones")))
           .filter(col("scope") === scope && col("batch_id") =!= batchKey)
           .select(col("doc_id")),
         Seq("doc_id"), "left_anti")
@@ -1269,9 +1453,10 @@ object Warehouse {
     // into the next compaction's folded stats (pre-adoption this
     // self-healed because a restart forced a born-clean rebuild)
     if (adoptLanded(spark, dir, "graft_post_meta") &&
-        adoptLanded(spark, dir, "graft_post_lists", Seq("batch_id", "tb"))) {
+        adoptLanded(spark, dir, physBase(mf, "graft_post_lists"),
+                    Seq("batch_id", "tb"))) {
       val (bkey, gen) = postingsIdentity(spark, dir)
-      val d = spark.table(tbl(dir, "graft_post_lists"))
+      val d = spark.table(tbl(dir, physBase(mf, "graft_post_lists")))
         .join(broadcast(newIds), "doc_id")
         .select(col("doc_id"), col("dl")).distinct()
         .agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
@@ -1310,18 +1495,30 @@ object Warehouse {
     * its partitions recovered instead).
     */
   private def recoverTombTable(spark: SparkSession, dir: String,
-                               base: String): Boolean =
-    spark.catalog.tableExists(tbl(dir, base)) || {
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val loc = new java.io.File(wh, tbl(dir, base))
+                               base: String): Boolean = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    // stage-awareness (round-15 advice fix): a crash inside a LEGACY
+    // stage-and-rewrite swap of this table leaves its only committed
+    // copy in <base>_stage — roll the maintenance layer forward before
+    // concluding "no tombstones" (which would silently un-delete);
+    // manifest-committed swaps never enter this branch (the standing
+    // generation is immutable until the commit)
+    if (new java.io.File(wh, tbl(dir, s"${base}_stage")).exists()) {
+      recoverMaintenance(spark, dir)
+      ()
+    }
+    val phys = physBase(readManifest(spark, dir), base)
+    spark.catalog.tableExists(tbl(dir, phys)) || {
+      val loc = new java.io.File(wh, tbl(dir, phys))
       loc.exists() && {
         val (cols, parts) = tombSchemas(base)
-        spark.sql(s"CREATE TABLE ${tbl(dir, base)} ($cols) USING parquet " +
+        spark.sql(s"CREATE TABLE ${tbl(dir, phys)} ($cols) USING parquet " +
           s"PARTITIONED BY ($parts) LOCATION '${loc.getAbsolutePath}'")
-        spark.catalog.recoverPartitions(tbl(dir, base))
+        spark.catalog.recoverPartitions(tbl(dir, phys))
         true
       }
     }
+  }
 
   /** Create-or-dynamic-overwrite a (scope, batch_id)-partitioned
     * maintenance table: first write creates it partitioned; later
@@ -1330,19 +1527,21 @@ object Warehouse {
     */
   private def writePartitioned(spark: SparkSession, dir: String,
                                base: String, rows: DataFrame,
-                               parts: Seq[String]): Unit =
+                               parts: Seq[String]): Unit = {
+    val phys = physBase(readManifest(spark, dir), base)
     if (!recoverTombTable(spark, dir, base)) {
       rows.write.mode(SaveMode.Overwrite)
         .partitionBy(parts: _*)
         .format("parquet")
-        .saveAsTable(tbl(dir, base))
+        .saveAsTable(tbl(dir, phys))
     } else {
       val owKey = "spark.sql.sources.partitionOverwriteMode"
       val prior = spark.conf.get(owKey)
       spark.conf.set(owKey, "dynamic")
-      try rows.write.mode(SaveMode.Overwrite).insertInto(tbl(dir, base))
+      try rows.write.mode(SaveMode.Overwrite).insertInto(tbl(dir, phys))
       finally spark.conf.set(owKey, prior)
     }
+  }
 
   /** The landed posting index's identity: (build_key, gen). gen counts
     * physical generations — 0 at build, +1 per compaction — so stats
@@ -1356,7 +1555,12 @@ object Warehouse {
     val r = m.select(col("build_key"),
                      (if (m.columns.contains("gen")) col("gen")
                       else lit(0L)).as("gen")).collect()(0)
-    (r.getString(0), r.getLong(1))
+    // manifest-first generation: a compaction bumps gen IN THE SAME
+    // atomic commit that swaps the folded stats, so readers can never
+    // pair new stats with an old gen (the round-14 two-write window);
+    // post_meta's column governs only pre-manifest (legacy) stores
+    (r.getString(0),
+     readManifest(spark, dir).postGen.getOrElse(r.getLong(1)))
   }
 
   /** The scope-filtered deletion stats deltas, recovered across JVMs
@@ -1365,7 +1569,7 @@ object Warehouse {
     */
   private[graft] def tombStats(spark: SparkSession, dir: String): Option[DataFrame] =
     if (recoverTombTable(spark, dir, "graft_tomb_stats"))
-      Some(spark.table(tbl(dir, "graft_tomb_stats")))
+      Some(spark.table(currentTable(spark, dir, "graft_tomb_stats")))
     else None
 
   /** The tombstoned id set of one scope — empty frame when nothing was
@@ -1375,24 +1579,68 @@ object Warehouse {
   private[graft] def tombstoneIds(spark: SparkSession, dir: String,
                                   scope: String): Option[DataFrame] =
     if (recoverTombTable(spark, dir, "graft_tombstones"))
-      Some(spark.table(tbl(dir, "graft_tombstones"))
+      Some(spark.table(currentTable(spark, dir, "graft_tombstones"))
         .filter(col("scope") === scope).select(col("doc_id")))
     else None
+
+  /** Conf key bounding the tombstone anti-join's broadcast side (bytes
+    * of the scope's live partition files). Defaults to Spark's own
+    * autoBroadcastJoinThreshold; set lower/higher to move the
+    * broadcast→shuffle crossover, or -1 to always shuffle.
+    */
+  val TombBroadcastKey = "spark.graft.tombstoneBroadcastBytes"
+
+  /** On-disk bytes of one scope's tombstone partition — the broadcast-
+    * decision estimate (driver-side file metadata, the same
+    * size-from-files basis Spark's own broadcast threshold uses).
+    */
+  private def tombScopeBytes(spark: SparkSession, dir: String,
+                             scope: String): Long = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(
+      new java.io.File(wh, currentTable(spark, dir, "graft_tombstones")),
+      s"scope=$scope")
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+      else if (f.getName.endsWith(".parquet")) f.length() else 0L
+    walk(loc)
+  }
+
+  private def tombBroadcastLimit(spark: SparkSession): Long =
+    spark.conf.getOption(TombBroadcastKey)
+      .orElse(spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        .map(_.stripSuffix("b").stripSuffix("B")))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(10L * 1024 * 1024)
 
   /** Anti-join `df` against the scope's tombstone set on `idCol` — the
     * one hook every landed probe routes through. A never-deleted
     * corpus (no tombstone table) costs NOTHING: the plan is returned
-    * unchanged. With tombstones the cost is one broadcast hash
-    * anti-join of the deletion-sized id set — the standing side never
-    * re-shards.
+    * unchanged. While the scope's set is below [[TombBroadcastKey]]
+    * the cost is one broadcast hash anti-join of the deletion-sized id
+    * set — the standing side never re-shards. PAST the threshold
+    * (round-15 verdict item 3: crawl churn + right-to-be-forgotten can
+    * grow live tombstones to 10⁸ rows, where a forced broadcast OOMs
+    * the driver) the hint is withheld and the anti-join shuffles both
+    * sides on the id key — for the landed probes the probe side is
+    * already partition-pruned/query-bounded, so the shuffle is
+    * per-query-sized, never corpus-sized. The standing remedy at that
+    * scale is the purge itself: autoMaintain's pending-purge arm
+    * compacts the physical rows away and vacuumTombstones prunes the
+    * set back under the threshold.
     */
   private[graft] def exceptTombstoned(df: DataFrame, dir: String,
                                       idCol: String,
                                       scope: String = LiveScope): DataFrame =
     tombstoneIds(df.sparkSession, dir, scope) match {
       case Some(t) =>
-        df.join(broadcast(t.withColumnRenamed("doc_id", idCol)),
-                Seq(idCol), "left_anti")
+        val spark = df.sparkSession
+        val ids = t.withColumnRenamed("doc_id", idCol)
+        val side =
+          if (tombScopeBytes(spark, dir, scope) <=
+                tombBroadcastLimit(spark)) broadcast(ids)
+          else ids
+        df.join(side, Seq(idCol), "left_anti")
       case None => df
     }
 
@@ -1406,8 +1654,9 @@ object Warehouse {
   private[graft] def tombstoneFingerprint(spark: SparkSession,
                                           dir: String): String = {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val loc = new java.io.File(new java.io.File(wh, tbl(dir, "graft_tombstones")),
-                               s"scope=$LiveScope")
+    val loc = new java.io.File(
+      new java.io.File(wh, currentTable(spark, dir, "graft_tombstones")),
+      s"scope=$LiveScope")
     if (loc.exists()) manifestHash(loc) else "none"
   }
 
@@ -1435,65 +1684,105 @@ object Warehouse {
     */
   def undeleteDocs(spark: SparkSession, dir: String, ids: DataFrame,
                    scope: String = LiveScope,
-                   batchKey: Long = 0L): (Long, Long) = {
+                   batchKey: Long = 0L): (Long, Long) =
+    undeleteDocsHooked(spark, dir, ids, scope, batchKey, _ => ())
+
+  /** [[undeleteDocs]] with the kill-point seam (the crash-matrix
+    * spec's injection hook). */
+  private[graft] def undeleteDocsHooked(spark: SparkSession, dir: String,
+                                        ids: DataFrame, scope: String,
+                                        batchKey: Long,
+                                        killAt: String => Unit)
+      : (Long, Long) = {
     recoverMaintenance(spark, dir)
     if (!recoverTombTable(spark, dir, "graft_tombstones")) return (0L, 0L)
-    // guard snapshot BEFORE any read: the tombstone rewrite below
-    // must not erase a deleteDocs batch that lands mid-function (its
-    // rows would vanish while its stats delta stayed — an un-delete
-    // plus a stats under-count). A racing delete writes graft_tombstones
-    // FIRST, so comparing this set at swap time catches it; the layer
-    // snapshot is taken after this function's own delta write.
-    val tombSnap0 = partitionSet(spark, tbl(dir, "graft_tombstones"))
+    // manifest snapshot BEFORE any read: the single commit below fails
+    // if ANYTHING (a racing deleteDocs, an upsert, a compaction)
+    // committed after this point — the rewrite can never erase a
+    // tombstone batch it didn't read (round-14's disclosed residue)
+    val m0 = readManifest(spark, dir)
+    val tombPhys = physBase(m0, "graft_tombstones")
+    val tombSnap0 = partitionSet(spark, tbl(dir, tombPhys))
+    val tombLayerSnap = tombState(spark, dir)
     val idsDf = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
       .distinct()
-    val tomb = spark.table(tbl(dir, "graft_tombstones"))
+    val tomb = spark.table(tbl(dir, tombPhys))
     val hit = idsDf.join(
         tomb.filter(col("scope") === scope).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
       .localCheckpoint(false)
     val nHit = hit.count()
     if (nHit == 0L) return (0L, 0L)
-    // compensating delta BEFORE the tombstone rewrite (same identity,
-    // same source — the landed posting rows — as the delete's)
+    // compensating delta — COMPUTED here, but committed atomically
+    // WITH the tombstone rewrite below (pre-round-15 the delta landed
+    // first, so a swap abort left stats compensated while the rows
+    // still hid the docs until a retry)
     var restored = 0L
     // adoption, not tableExists: after a JVM restart the landed
     // posting index survives only as files — skipping the stats delta
     // because the catalog forgot the table would bake an over-count
     // into the next compaction's folded stats (pre-adoption this
     // self-healed because a restart forced a born-clean rebuild)
-    if (adoptLanded(spark, dir, "graft_post_meta") &&
-        adoptLanded(spark, dir, "graft_post_lists", Seq("batch_id", "tb"))) {
-      val (bkey, gen) = postingsIdentity(spark, dir)
-      val phys = spark.table(tbl(dir, "graft_post_lists"))
-        .join(broadcast(hit), "doc_id")
-        .select(col("doc_id"), col("dl")).distinct()
-        .localCheckpoint(false)
-      restored = phys.count()
-      // deltas are stored as amounts-to-SUBTRACT (landedStats negates
-      // every row at read) — so the compensation lands NEGATED, and
-      // compaction's fold likewise nets it against the delete's row
-      val d = phys
-        .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
-             coalesce(sum(col("dl").cast("long")), lit(0L)).as("s"))
-        .filter(col("n") > 0)
-        .select((-col("n")).as("n_docs"), (-col("s")).as("sum_dl"),
-                lit(bkey).as("bkey"), lit(gen).as("gen"),
-                lit(scope).as("scope"),
-                lit(1000000L + batchKey).as("batch_id"))
-      writePartitioned(spark, dir, "graft_tomb_stats", d,
-                       Seq("scope", "batch_id"))
-    }
+    val postPhys = physBase(m0, "graft_post_lists")
+    val delta: Option[DataFrame] =
+      if (adoptLanded(spark, dir, "graft_post_meta") &&
+          adoptLanded(spark, dir, postPhys, Seq("batch_id", "tb"))) {
+        val (bkey, gen) = postingsIdentity(spark, dir)
+        val phys = spark.table(tbl(dir, postPhys))
+          .join(broadcast(hit), "doc_id")
+          .select(col("doc_id"), col("dl")).distinct()
+          .localCheckpoint(false)
+        restored = phys.count()
+        // deltas are stored as amounts-to-SUBTRACT (landedStats negates
+        // every row at read) — so the compensation lands NEGATED, and
+        // compaction's fold likewise nets it against the delete's row
+        Some(phys
+          .agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+               coalesce(sum(col("dl").cast("long")), lit(0L)).as("s"))
+          .filter(col("n") > 0)
+          .select((-col("n")).as("n_docs"), (-col("s")).as("sum_dl"),
+                  lit(bkey).as("bkey"), lit(gen).as("gen"),
+                  lit(scope).as("scope"),
+                  lit(1000000L + batchKey).as("batch_id")))
+      } else None
     val kept = tomb.join(
       broadcast(hit.select(col("doc_id").as("p_id"))),
       col("scope") === scope && col("doc_id") === col("p_id"),
       "left_anti")
-    val tombLayerSnap = tombState(spark, dir)
-    swapTable(spark, dir, "graft_tombstones",
-              kept.select(col("doc_id"), col("scope"), col("batch_id")),
-              Seq("scope", "batch_id"),
-              verify = partitionGuard(spark, dir, "graft_tombstones",
-                                      tombSnap0, tombLayerSnap, "deleteDocs"))
+    var moves = Map("graft_tombstones" ->
+      stageGeneration(spark, dir, m0, "graft_tombstones",
+        kept.select(col("doc_id"), col("scope"), col("batch_id")),
+        Seq("scope", "batch_id")))
+    killAt("staged-tombstones")
+    delta.foreach { d =>
+      // the new tomb_stats generation = current rows (minus any prior
+      // landing of THIS undelete batch's partition — replay overwrites,
+      // the writePartitioned contract) ∪ the compensation; the table is
+      // O(delete batches), so the rewrite is metadata-cheap
+      val curStats: DataFrame =
+        if (recoverTombTable(spark, dir, "graft_tomb_stats"))
+          spark.table(tbl(dir, physBase(m0, "graft_tomb_stats")))
+            .filter(!(col("scope") === scope &&
+                      col("batch_id") === (1000000L + batchKey)))
+        else d.limit(0)
+      moves += ("graft_tomb_stats" ->
+        stageGeneration(spark, dir, m0, "graft_tomb_stats",
+          curStats.select(col("n_docs"), col("sum_dl"), col("bkey"),
+                          col("gen"), col("scope"), col("batch_id"))
+            .unionAll(d),
+          Seq("scope", "batch_id")))
+    }
+    killAt("staged-stats")
+    try partitionGuard(spark, dir, tombPhys, tombSnap0, tombLayerSnap,
+                       "writer")()
+    catch {
+      case e: Throwable =>
+        dropManaged(spark, moves.values.toSeq.map(tbl(dir, _)))
+        throw e
+    }
+    killAt("pre-commit")
+    commitGenerations(spark, dir, m0, moves, None, "writer", killAt)
+    killAt("post-gc")
     (restored, nHit - restored)
   }
 
@@ -1515,12 +1804,19 @@ object Warehouse {
     * content-identical, since pruned ids are in neither corpus nor
     * training slice.
     */
-  def vacuumTombstones(spark: SparkSession, dir: String): Long = {
+  def vacuumTombstones(spark: SparkSession, dir: String): Long =
+    vacuumTombstonesHooked(spark, dir, _ => ())
+
+  /** [[vacuumTombstones]] with the kill-point seam. */
+  private[graft] def vacuumTombstonesHooked(spark: SparkSession, dir: String,
+                                            killAt: String => Unit): Long = {
     recoverMaintenance(spark, dir)
     if (!recoverTombTable(spark, dir, "graft_tombstones")) return 0L
-    val tombSnap0 = partitionSet(spark, tbl(dir, "graft_tombstones"))
+    val m0 = readManifest(spark, dir)
+    val tombPhys = physBase(m0, "graft_tombstones")
+    val tombSnap0 = partitionSet(spark, tbl(dir, tombPhys))
     val tombLayerSnap = tombState(spark, dir)
-    val tomb = spark.table(tbl(dir, "graft_tombstones"))
+    val tomb = spark.table(tbl(dir, tombPhys))
     val live = tomb.filter(col("scope") === LiveScope)
       .select(col("doc_id")).distinct().localCheckpoint(false)
     if (live.isEmpty) return 0L
@@ -1531,10 +1827,12 @@ object Warehouse {
     // still PHYSICALLY indexed, which the next adoption would then
     // serve back into service (a silent un-delete). Adoption makes
     // the surviving files count exactly like registered tables.
-    def idsOf(base: String, c: String): Option[DataFrame] =
-      if (adoptLanded(spark, dir, base, swapParts(base)))
-        Some(spark.table(tbl(dir, base)).select(col(c).as("doc_id")))
+    def idsOf(base: String, c: String): Option[DataFrame] = {
+      val phys = physBase(m0, base)
+      if (adoptLanded(spark, dir, phys, swapParts(base)))
+        Some(spark.table(tbl(dir, phys)).select(col(c).as("doc_id")))
       else None
+    }
     def corpusOf(table: String, c: String): Option[DataFrame] =
       if (new java.io.File(dir, s"$table.parquet").exists())
         Some(Tables.table(spark, dir, table).select(col(c).as("doc_id")))
@@ -1555,11 +1853,21 @@ object Warehouse {
         broadcast(pruneIds.select(col("doc_id").as("p_id"))),
         col("scope") === LiveScope && col("doc_id") === col("p_id"),
         "left_anti")
-      swapTable(spark, dir, "graft_tombstones", kept
-        .select(col("doc_id"), col("scope"), col("batch_id")),
-        Seq("scope", "batch_id"),
-        verify = partitionGuard(spark, dir, "graft_tombstones",
-                                tombSnap0, tombLayerSnap, "deleteDocs"))
+      val moves = Map("graft_tombstones" ->
+        stageGeneration(spark, dir, m0, "graft_tombstones",
+          kept.select(col("doc_id"), col("scope"), col("batch_id")),
+          Seq("scope", "batch_id")))
+      killAt("staged-tombstones")
+      try partitionGuard(spark, dir, tombPhys, tombSnap0, tombLayerSnap,
+                         "writer")()
+      catch {
+        case e: Throwable =>
+          dropManaged(spark, moves.values.toSeq.map(tbl(dir, _)))
+          throw e
+      }
+      killAt("pre-commit")
+      commitGenerations(spark, dir, m0, moves, None, "writer", killAt)
+      killAt("post-gc")
     }
     pruned
   }
@@ -1582,52 +1890,60 @@ object Warehouse {
     *
     * Run at a maintenance quiet point (the contract of any checkpoint
     * compaction): a micro-batch replayed with a PRE-compaction
-    * batchKey would re-append rows the fold already absorbed. A
-    * production deployment would swap generations via a table-format
-    * snapshot commit; the plain-parquet stand-in here stages to a temp
-    * table and rewrites (double write, disclosed). The quiet-point
-    * contract is ENFORCED, not assumed: each swap snapshots its
-    * table's partition set at entry and re-checks it after the fold
-    * executes but before anything is dropped — an upsert that landed
-    * mid-fold aborts the compaction with the standing table (and the
-    * new batch) untouched. Two disclosed residues a table format's
-    * atomic commit would close: an upsert landing in the instant
-    * between the re-check and the drop is still lost, and a crash
-    * between the stats swap and the generation bump double-subtracts
-    * the live deltas until the next compaction (both windows are one
-    * driver-side metadata operation wide).
+    * batchKey would re-append rows the fold already absorbed. The
+    * quiet-point contract is ENFORCED, not assumed, and the commit is
+    * ATOMIC (round 15): the folded lists and stats are staged as a NEW
+    * generation under version-suffixed names — the standing tables are
+    * never touched — and become current only through ONE manifest link
+    * ([[commitGenerations]]) that also carries the generation bump, so
+    * a crash at any step leaves probes on the old or the new
+    * generation in full (never folded lists with unfolded stats, never
+    * new stats with an old gen — the two round-14 windows), and a
+    * racing upsert/delete (which bumps the manifest before writing)
+    * makes the commit fail with everything it wrote intact.
     */
   def compactPostings(spark: SparkSession, dir: String): Unit =
     compactPostingsHooked(spark, dir, () => ())
 
-  /** [[compactPostings]] with a test seam run between the entry
-    * snapshot and the fold — lets the spec interleave a concurrent
-    * upsert and prove the guard aborts without data loss.
+  /** [[compactPostings]] with test seams: `afterSnapshot` runs between
+    * the entry snapshot and the fold (the spec interleaves a
+    * concurrent upsert and proves the abort loses nothing); `killAt`
+    * is invoked with a step label at every distinct crash point (the
+    * kill-point matrix spec throws there and proves recovery serves
+    * old-or-new, never a mix).
     */
   private[graft] def compactPostingsHooked(spark: SparkSession, dir: String,
-                                           afterSnapshot: () => Unit): Unit = {
-    require(spark.catalog.tableExists(tbl(dir, "graft_post_meta")),
-      "no landed posting index to compact")
+                                           afterSnapshot: () => Unit,
+                                           killAt: String => Unit =
+                                             _ => ()): Unit = {
     recoverMaintenance(spark, dir)
-    val listsSnap = partitionSet(spark, tbl(dir, "graft_post_lists"))
-    val statsSnap = partitionSet(spark, tbl(dir, "graft_post_stats"))
-    // the deletion layer is part of the snapshot: a deleteDocs racing
-    // the fold would land a gen-g delta the generation bump then
-    // inerts while its rows were folded in un-purged — catch it at
-    // either swap and abort (both abort points leave a consistent
-    // stats-vs-deltas state; the residue shrinks to the stats-rewrite
-    // window, disclosed above)
+    val m0 = readManifest(spark, dir)
+    val listsPhys = physBase(m0, "graft_post_lists")
+    val statsPhys = physBase(m0, "graft_post_stats")
+    // adopt the FULL store family (round-15 advice fix): a scheduled
+    // maintenance run in a fresh JVM must compact the surviving files,
+    // not crash on the catalog's amnesia
+    require(adoptLanded(spark, dir, "graft_post_meta") &&
+            adoptLanded(spark, dir, listsPhys, Seq("batch_id", "tb")) &&
+            adoptLanded(spark, dir, statsPhys, Seq("batch_id")),
+      "no landed posting index to compact")
+    val listsSnap = partitionSet(spark, tbl(dir, listsPhys))
+    val statsSnap = partitionSet(spark, tbl(dir, statsPhys))
+    // the deletion layer is part of the snapshot (belt) and of the
+    // manifest fence (suspenders): a deleteDocs racing the fold would
+    // land a gen-g delta the generation bump then inerts while its
+    // rows were folded in un-purged — it bumps the manifest first, so
+    // the commit below fails even if it lands between the re-check and
+    // the link
     val tombSnap = tombState(spark, dir)
-    def guard(table: String, snap: Set[String]): () => Unit =
-      partitionGuard(spark, dir, table, snap, tombSnap, "upsert/delete")
     afterSnapshot()
     val (bkey, gen) = postingsIdentity(spark, dir)
     val folded = exceptTombstoned(
-        spark.table(tbl(dir, "graft_post_lists")), dir, "doc_id")
+        spark.table(tbl(dir, listsPhys)), dir, "doc_id")
       .select(col("term"), col("doc_id"), col("dl"), col("tf"),
               lit(-1L).as("batch_id"), col("tb"))
     val newStats = {
-      val base = spark.table(tbl(dir, "graft_post_stats"))
+      val base = spark.table(tbl(dir, statsPhys))
         .select(col("n_docs").cast("long").as("n_docs"),
                 col("sum_dl").cast("long").as("sum_dl"))
       val negs = tombStats(spark, dir) match {
@@ -1642,15 +1958,31 @@ object Warehouse {
              coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
         .select(col("n_docs"), col("sum_dl"), lit(-1L).as("batch_id"))
     }
-    swapTable(spark, dir, "graft_post_lists", folded,
-              Seq("batch_id", "tb"), bucketCol = Some("tb"),
-              verify = guard("graft_post_lists", listsSnap))
-    swapTable(spark, dir, "graft_post_stats", newStats, Seq("batch_id"),
-              verify = guard("graft_post_stats", statsSnap))
-    import spark.implicits._
-    Seq((bkey, gen + 1L)).toDF("build_key", "gen")
-      .write.mode(SaveMode.Overwrite).format("parquet")
-      .saveAsTable(tbl(dir, "graft_post_meta"))
+    val moves = Map(
+      "graft_post_lists" -> {
+        val b = stageGeneration(spark, dir, m0, "graft_post_lists", folded,
+                                Seq("batch_id", "tb"), bucketCol = Some("tb"))
+        killAt("staged-lists"); b
+      },
+      "graft_post_stats" -> {
+        val b = stageGeneration(spark, dir, m0, "graft_post_stats", newStats,
+                                Seq("batch_id"))
+        killAt("staged-stats"); b
+      })
+    try {
+      partitionGuard(spark, dir, listsPhys, listsSnap, tombSnap,
+                     "upsert/delete")()
+      partitionGuard(spark, dir, statsPhys, statsSnap, tombSnap,
+                     "upsert/delete")()
+    } catch {
+      case e: Throwable =>
+        dropManaged(spark, moves.values.toSeq.map(tbl(dir, _)))
+        throw e
+    }
+    killAt("pre-commit")
+    commitGenerations(spark, dir, m0, moves, postGen = Some(gen + 1L),
+                      actor = "upsert/delete", killAt = killAt)
+    killAt("post-gc")
   }
 
   /** [[compactPostings]] for the IVF posting lists: fold every
@@ -1664,15 +1996,22 @@ object Warehouse {
     compactIvfHooked(spark, dir, () => ())
 
   private[graft] def compactIvfHooked(spark: SparkSession, dir: String,
-                                      afterSnapshot: () => Unit): Unit = {
-    require(spark.catalog.tableExists(tbl(dir, "graft_ivf_meta")),
-      "no landed IVF index to compact")
+                                      afterSnapshot: () => Unit,
+                                      killAt: String => Unit =
+                                        _ => ()): Unit = {
     recoverMaintenance(spark, dir)
-    val listsSnap = partitionSet(spark, tbl(dir, "graft_ivf_lists"))
+    val m0 = readManifest(spark, dir)
+    val listsPhys = physBase(m0, "graft_ivf_lists")
+    // full-family adoption (round-15 advice fix): fresh-JVM scheduled
+    // maintenance must see the surviving store, not crash
+    require(adoptLanded(spark, dir, "graft_ivf_meta") &&
+            adoptLanded(spark, dir, listsPhys, Seq("batch_id", "cent_id")),
+      "no landed IVF index to compact")
+    val listsSnap = partitionSet(spark, tbl(dir, listsPhys))
     val tombSnap = tombState(spark, dir)
     afterSnapshot()
     val folded = exceptTombstoned(
-        spark.table(tbl(dir, "graft_ivf_lists")), dir, "vec_id")
+        spark.table(tbl(dir, listsPhys)), dir, "vec_id")
       .select(col("vec_id"), col("sub_j"), col("ce"), col("cn"),
               lit(-1L).as("batch_id"), col("cent_id"))
     // cluster by (cell, id-slice): without clustering every write task
@@ -1684,33 +2023,37 @@ object Warehouse {
     // probe's per-cell parallelism.
     val clustered = folded.repartition(256, col("cent_id"),
       pmod(xxhash64(col("vec_id")), lit(4L)))
-    swapTable(spark, dir, "graft_ivf_lists", clustered,
-              Seq("batch_id", "cent_id"),
-      verify = partitionGuard(spark, dir, "graft_ivf_lists", listsSnap,
-                              tombSnap, "upsert/delete"))
+    val moves = Map("graft_ivf_lists" ->
+      stageGeneration(spark, dir, m0, "graft_ivf_lists", clustered,
+                      Seq("batch_id", "cent_id")))
+    killAt("staged-lists")
+    try partitionGuard(spark, dir, listsPhys, listsSnap, tombSnap,
+                       "upsert/delete")()
+    catch {
+      case e: Throwable =>
+        dropManaged(spark, moves.values.toSeq.map(tbl(dir, _)))
+        throw e
+    }
+    killAt("pre-commit")
+    commitGenerations(spark, dir, m0, moves, None, "upsert/delete", killAt)
+    killAt("post-gc")
   }
 
-  /** Stage-and-rewrite a partitioned managed table (overwriting a
-    * table being read is illegal, and a catalog rename does not move
-    * partition locations reliably on the plain-parquet catalog): write
-    * the folded rows to a temp table, drop the original, rewrite from
-    * the stage, drop the stage.
-    *
-    * `verify` runs AFTER the stage write (which is when the fold's
-    * read actually executes) and BEFORE the destructive drop — the
-    * concurrency guard's seam: a maintenance fold that raced a
-    * concurrent upsert can still abort here with the standing table
-    * untouched (the stage is dropped, the exception propagates).
-    * A crash between the drop and the rewrite is recovered by
-    * [[recoverMaintenance]] (the stage holds the only committed copy
-    * and is rolled forward).
+  /** Write `rows` as the CANDIDATE next generation of `logical` under
+    * a version-suffixed physical name derived from the manifest
+    * snapshot `m0` — the standing generation is never read-modified,
+    * dropped, or rewritten (the round-14 stage/drop/rewrite swap and
+    * both its crash windows are gone). A leftover candidate from a
+    * crashed earlier attempt at the same version is cleared first
+    * (versions only advance on commit, so the name is deterministic).
+    * Visibility comes only from [[commitGenerations]].
     */
-  private def swapTable(spark: SparkSession, dir: String, base: String,
-                        rows: DataFrame, parts: Seq[String],
-                        bucketCol: Option[String] = None,
-                        verify: () => Unit = () => ()): Unit = {
-    val stage = s"${base}_stage"
-    dropManaged(spark, Seq(tbl(dir, stage)))
+  private def stageGeneration(spark: SparkSession, dir: String,
+                              m0: Manifest, logical: String,
+                              rows: DataFrame, parts: Seq[String],
+                              bucketCol: Option[String] = None): String = {
+    val newBase = s"${logical}__v${m0.version + 1}"
+    dropManaged(spark, Seq(tbl(dir, newBase)))
     val staged = bucketCol match {
       case Some(c) => rows.repartition(col(c))
       case None    => rows
@@ -1718,21 +2061,43 @@ object Warehouse {
     staged.write.mode(SaveMode.Overwrite)
       .partitionBy(parts: _*)
       .format("parquet")
-      .saveAsTable(tbl(dir, stage))
-    try verify()
-    catch {
-      case e: Throwable =>
-        dropManaged(spark, Seq(tbl(dir, stage)))
-        throw e
+      .saveAsTable(tbl(dir, newBase))
+    newBase
+  }
+
+  /** THE commit point of every maintenance swap: one atomic manifest
+    * link re-points every staged logical→physical move — and, for
+    * posting compactions, the generation bump — TOGETHER, so readers
+    * can never observe folded lists with unfolded stats, new stats
+    * with an old generation, or any other mix (the round-14 verdict's
+    * two one-write-wide windows). Fails — dropping the staged tables
+    * and leaving the standing generation untouched — iff ANY writer
+    * bumped the manifest after `m0` was read: the optimistic-
+    * concurrency fence that closes the re-check→drop window (a racing
+    * upsert/delete always bumps before writing, so it either aborts
+    * this commit or lands in the new generation it resolves).
+    * Superseded physical tables are GC'd after the commit; a crash
+    * mid-GC leaves orphans [[recoverMaintenance]] collects.
+    */
+  private def commitGenerations(spark: SparkSession, dir: String,
+                                m0: Manifest, moves: Map[String, String],
+                                postGen: Option[Long],
+                                actor: String,
+                                killAt: String => Unit = _ => ()): Unit = {
+    val next = m0.copy(tabs = m0.tabs ++ moves,
+                       postGen = postGen.orElse(m0.postGen))
+    if (!tryCommitManifest(spark, dir, m0, next)) {
+      dropManaged(spark, moves.values.toSeq.map(tbl(dir, _)))
+      throw new IllegalStateException(
+        s"concurrent $actor committed during maintenance of " +
+          s"${moves.keys.mkString(",")} — aborted with the standing " +
+          "generation untouched; re-run at a quiet point")
     }
-    dropManaged(spark, Seq(tbl(dir, base)))
-    spark.table(tbl(dir, stage))
-      .select(rows.columns.map(col): _*)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy(parts: _*)
-      .format("parquet")
-      .saveAsTable(tbl(dir, base))
-    dropManaged(spark, Seq(tbl(dir, stage)))
+    killAt("committed")
+    moves.foreach { case (l, p) =>
+      val old = physBase(m0, l)
+      if (old != p) dropManaged(spark, Seq(tbl(dir, old)))
+    }
   }
 
   // ---------- maintenance: crash recovery + auto policy (round 14) ----------
@@ -1854,7 +2219,7 @@ object Warehouse {
   private def tombState(spark: SparkSession, dir: String): Set[String] =
     Seq("graft_tombstones", "graft_tomb_stats").flatMap { b =>
       if (recoverTombTable(spark, dir, b))
-        partitionSet(spark, tbl(dir, b)).map(p => s"$b/$p")
+        partitionSet(spark, currentTable(spark, dir, b)).map(p => s"$b/$p")
       else Seq(s"$b=absent")
     }.toSet
 
@@ -1899,17 +2264,55 @@ object Warehouse {
     *    column and break upsert insertInto positionality), then drop
     *    the stage.
     *
+    * Round 15: maintenance swaps now commit through the atomic
+    * manifest ([[commitGenerations]]) and never stage-drop-rewrite, so
+    * the roll-forward/back arms below serve only LEGACY crash states
+    * (a pre-manifest deployment's stage surviving an upgrade). What
+    * the manifest protocol leaves behind on a crash is bounded
+    * garbage, collected here: staged generation tables never
+    * committed (crash before the link) and superseded generations
+    * never dropped (crash between the link and the GC) — both
+    * identified as version-suffixed physicals the manifest does not
+    * currently name; probes are correct throughout either way.
+    *
     * Called by every maintenance entrypoint and the ensure* gates;
-    * costs one File.exists per managed table when nothing crashed.
-    * Returns the actions taken. The one residue a real table format
-    * would also close: compactPostings' stats fold and its generation
-    * bump are two writes — a crash BETWEEN them double-subtracts the
-    * live deltas until the next compaction (window = one metadata
-    * write; disclosed in [[compactPostings]]).
+    * costs one directory listing when nothing crashed. Returns the
+    * actions taken.
     */
   def recoverMaintenance(spark: SparkSession, dir: String): Seq[String] = {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    SwapManaged.flatMap { case (base, parts, bucketCol) =>
+    // orphaned-generation GC (manifest protocol): a version-suffixed
+    // physical the manifest does not name, at a version the manifest
+    // has already passed, is a crash leftover — staged-but-never-
+    // committed, or superseded-but-never-dropped. A candidate at
+    // version+1 is left alone: it may be an IN-FLIGHT stager's (its
+    // own next attempt clears it, and any later commit ages it into
+    // this rule).
+    val m = readManifest(spark, dir)
+    val suffix = s"_${ns(dir)}"
+    val Versioned = ("(graft_[a-z_]+__v(\\d+))" +
+      java.util.regex.Pattern.quote(suffix)).r
+    val gced = Option(new java.io.File(wh).listFiles()).toSeq.flatten
+      .flatMap(f => f.getName match {
+        case Versioned(physBaseName, v)
+            if v.toLong <= m.version &&
+              !m.tabs.values.toSet.contains(physBaseName) =>
+          dropManaged(spark, Seq(tbl(dir, physBaseName)))
+          Some(s"gc-orphan ${tbl(dir, physBaseName)}")
+        case _ => None
+      }) ++
+      // a superseded PLAIN-named generation (the store's first
+      // compaction crashed between its commit and its GC) — the
+      // manifest maps the logical elsewhere, so the plain location is
+      // the old generation
+      m.tabs.toSeq.flatMap { case (logical, phys) =>
+        if (phys != logical &&
+            new java.io.File(wh, tbl(dir, logical)).exists()) {
+          dropManaged(spark, Seq(tbl(dir, logical)))
+          Some(s"gc-superseded ${tbl(dir, logical)}")
+        } else None
+      }
+    gced ++ SwapManaged.flatMap { case (base, parts, bucketCol) =>
       val stageT = tbl(dir, s"${base}_stage")
       val stageLoc = new java.io.File(wh, stageT)
       if (!stageLoc.exists()) None
@@ -1988,12 +2391,13 @@ object Warehouse {
       ("postings", "graft_post_lists", "doc_id"),
       ("ivf", "graft_ivf_lists", "vec_id"))
     import spark.implicits._
+    val m = readManifest(spark, dir)
     stores.flatMap { case (store, base, idCol) =>
-      val t = tbl(dir, base)
+      val t = tbl(dir, physBase(m, base))
       // adoption, not tableExists: a scheduled autoMaintain in a fresh
       // JVM must see the surviving stores, or the spiral/purge backlog
       // it exists to bound grows invisibly until some probe runs first
-      if (!adoptLanded(spark, dir, base, swapParts(base))) None
+      if (!adoptLanded(spark, dir, physBase(m, base), swapParts(base))) None
       else {
         val batches = landedBatchIds(spark, t)
         Some((store, (batches - (-1L)).size.toLong, files(t),
@@ -2012,23 +2416,61 @@ object Warehouse {
     * curation cadence (the reference's cron shape); every step is
     * probe-identity-preserving, so scheduling it is an ops decision,
     * not a correctness one. Returns the actions taken.
+    *
+    * Abort handling (round-15, verdict item 4): a compaction or
+    * vacuum that loses its commit race to an interleaved writer
+    * aborts idempotently — but a busy store would starve maintenance
+    * forever if the cron just skipped, so each step re-attempts up to
+    * `retries` times (the work is recomputed from the post-writer
+    * state each time); a step still losing after that is reported as
+    * `aborted-*` for the next cycle rather than thrown.
     */
   def autoMaintain(spark: SparkSession, dir: String, maxBatches: Int = 8,
-                   minPurge: Long = 1L): Seq[String] = {
+                   minPurge: Long = 1L, retries: Int = 2): Seq[String] =
+    autoMaintainHooked(spark, dir, maxBatches, minPurge, retries, () => ())
+
+  /** [[autoMaintain]] with a test seam run inside each compaction
+    * attempt's fold window (the compactPostingsHooked seam) — lets the
+    * spec interleave writers per-attempt and prove the bounded retry
+    * lands once quiet.
+    */
+  private[graft] def autoMaintainHooked(spark: SparkSession, dir: String,
+                                        maxBatches: Int, minPurge: Long,
+                                        retries: Int,
+                                        attemptSeam: () => Unit)
+      : Seq[String] = {
+    def attempt(what: String)(body: () => Unit): String = {
+      var left = retries
+      var done = false
+      while (!done) {
+        try { body(); done = true }
+        catch {
+          case _: IllegalStateException if left > 0 =>
+            left -= 1
+          case _: IllegalStateException =>
+            return s"aborted-$what"
+        }
+      }
+      what
+    }
     val recovered = recoverMaintenance(spark, dir)
     val status = maintenanceStatus(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
     val compacted = status.toSeq.sortBy(_._1).flatMap {
       case (store, (batches, purge)) =>
         if (batches <= maxBatches && purge < minPurge) None
-        else {
-          if (store == "postings") compactPostings(spark, dir)
-          else compactIvf(spark, dir)
-          Some(s"compacted-$store")
-        }
+        else Some(attempt(s"compacted-$store") { () =>
+          if (store == "postings")
+            compactPostingsHooked(spark, dir, attemptSeam)
+          else compactIvfHooked(spark, dir, attemptSeam)
+        })
     }
-    val pruned = vacuumTombstones(spark, dir)
+    var pruned = 0L
+    val vac = attempt("vacuumed") { () =>
+      pruned = vacuumTombstones(spark, dir)
+    }
     recovered ++ compacted ++
-      (if (pruned > 0) Seq(s"vacuumed-$pruned") else Nil)
+      (if (vac != "vacuumed") Seq(vac)
+       else if (pruned > 0) Seq(s"vacuumed-$pruned") else Nil)
   }
 }

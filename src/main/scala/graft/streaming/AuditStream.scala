@@ -47,7 +47,14 @@ object AuditStream {
 
   private def keyed(df: DataFrame, name: String, key: String): DataFrame =
     df.filter(col(key).isNotNull)
-      .select(lit(name).as("check_name"), col(key).cast("long").as("key"))
+      // non-integral keys fail loudly, like the batch twin's raise_error
+      // (a silent NULL cast would under-count the fact side)
+      .select(lit(name).as("check_name"),
+              when(col(key).cast("long").isNull,
+                   raise_error(concat(
+                     lit(s"auditStream: non-integral key $key="),
+                     col(key).cast("string"))))
+                .otherwise(col(key).cast("long")).as("key"))
 
   /** The unioned (check_name, key) stream over the corpus dir's fact
     * tables (lineitem carries three audited keys, orders one).

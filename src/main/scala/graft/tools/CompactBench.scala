@@ -32,7 +32,8 @@ object CompactBench {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
         else Seq(f)
-      walk(new java.io.File(wh, Warehouse.tbl(dir, "graft_post_lists")))
+      walk(new java.io.File(wh,
+        Warehouse.currentTable(spark, dir, "graft_post_lists")))
         .count(_.getName.endsWith(".parquet"))
     }
     def probeSec(): Double = (1 to repeats).map { _ =>
@@ -80,7 +81,7 @@ object CompactBench {
     points += (("after_delete_1pct", listFiles(), probeSec()))
     Warehouse.compactPostings(spark, dir)
     Seq("graft_post_lists", "graft_post_stats", "graft_post_meta").foreach(
-      t => spark.catalog.refreshTable(Warehouse.tbl(dir, t)))
+      t => spark.catalog.refreshTable(Warehouse.currentTable(spark, dir, t)))
     require(probeRows() == rowsDel,
       "compaction changed probe results — abort, numbers meaningless")
     points += (("after_compact", listFiles(), probeSec()))
@@ -92,7 +93,8 @@ object CompactBench {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
         else Seq(f)
-      walk(new java.io.File(wh, Warehouse.tbl(dir, "graft_ivf_lists")))
+      walk(new java.io.File(wh,
+        Warehouse.currentTable(spark, dir, "graft_ivf_lists")))
         .count(_.getName.endsWith(".parquet"))
     }
     def ivfProbeSec(): Double = (1 to repeats).map { _ =>
@@ -117,7 +119,8 @@ object CompactBench {
     val ivfRows = ivfProbeRows()
     ivfPoints += ((s"after_${nBatches}_batches", ivfFiles(), ivfProbeSec()))
     Warehouse.compactIvf(spark, dir)
-    spark.catalog.refreshTable(Warehouse.tbl(dir, "graft_ivf_lists"))
+    spark.catalog.refreshTable(
+      Warehouse.currentTable(spark, dir, "graft_ivf_lists"))
     require(ivfProbeRows() == ivfRows,
       "compactIvf changed probe results — abort, numbers meaningless")
     ivfPoints += (("after_compact", ivfFiles(), ivfProbeSec()))

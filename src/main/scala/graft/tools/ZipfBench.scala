@@ -67,11 +67,11 @@ object ZipfBench {
     def dfStats(dir: String): String = {
       val terms = qterms(spark).select(col("term")).distinct()
         .withColumn("tb", RetrievalOps.termBucket(col("term")))
-      val dfs = spark.table(Warehouse.tbl(dir, "graft_post_lists"))
+      val dfs = Warehouse.postLists(spark, dir)
         .join(broadcast(terms), Seq("tb", "term"))
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
         .orderBy(col("term")).collect()
-      val n = spark.table(Warehouse.tbl(dir, "graft_post_stats"))
+      val n = Warehouse.postStats(spark, dir)
         .agg(sum(col("n_docs"))).collect()(0).getLong(0)
       val m = dfs.map(r => s""""${r.getString(0)}":${r.getLong(1)}""")
         .mkString("{", ",", "}")

@@ -50,7 +50,7 @@ class DeletionSpec extends SparkSpec {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
       else Seq(f)
-    walk(new java.io.File(wh, Warehouse.tbl(tmpDir, base)))
+    walk(new java.io.File(wh, Warehouse.currentTable(spark, tmpDir, base)))
       .filter(_.getName.endsWith(".parquet"))
       .map(f => f.getPath -> ((f.length(), f.lastModified().toString))).toMap
   }
@@ -84,7 +84,7 @@ class DeletionSpec extends SparkSpec {
     // replayed delete batch (same batchKey): content no-op
     Warehouse.deleteDocIds(spark, tmpDir, victims)
     assert(strs(Warehouse.bm25Indexed(spark, tmpDir)) == strs(post))
-    assert(spark.table(Warehouse.tbl(tmpDir, "graft_tombstones"))
+    assert(spark.table(Warehouse.currentTable(spark, tmpDir, "graft_tombstones"))
              .filter(col("scope") === Warehouse.LiveScope).count() ==
            victims.size.toLong)
     // overlapping SECOND batch must not double-subtract stats: the
@@ -112,10 +112,10 @@ class DeletionSpec extends SparkSpec {
     val pqRows = strs(pq)
     // physical purge: identical probe results, victims gone from disk
     Warehouse.compactIvf(spark, tmpDir)
-    spark.catalog.refreshTable(Warehouse.tbl(tmpDir, "graft_ivf_lists"))
+    spark.catalog.refreshTable(Warehouse.currentTable(spark, tmpDir, "graft_ivf_lists"))
     assert(strs(Warehouse.annIndexed(spark, tmpDir)) == pqRows,
       "compactIvf changed probe results")
-    assert(spark.table(Warehouse.tbl(tmpDir, "graft_ivf_lists"))
+    assert(spark.table(Warehouse.currentTable(spark, tmpDir, "graft_ivf_lists"))
              .filter(col("vec_id").isin(victims: _*)).count() == 0,
       "compactIvf left tombstoned vectors on disk")
   }
@@ -168,7 +168,7 @@ class DeletionSpec extends SparkSpec {
     // identity with the never-held-them world (weights AND scored
     // set): the reference filters EVERY live tombstone, since the
     // model excludes them all
-    val allLive = spark.table(Warehouse.tbl(tmpDir, "graft_tombstones"))
+    val allLive = spark.table(Warehouse.currentTable(spark, tmpDir, "graft_tombstones"))
       .filter(col("scope") === Warehouse.LiveScope)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
     val ref = filteredCorpus(allLive)
@@ -226,7 +226,7 @@ class DeletionSpec extends SparkSpec {
     val rows = strs(post)
     drain()
     assert(strs(Warehouse.bm25Indexed(spark, dir)) == rows)
-    assert(spark.table(Warehouse.tbl(dir, "graft_tombstones")).count() ==
+    assert(spark.table(Warehouse.currentTable(spark, dir, "graft_tombstones")).count() ==
            victims.size.toLong)
   }
 
@@ -251,7 +251,7 @@ class DeletionSpec extends SparkSpec {
     // come back exactly (the compensating delta nets the delete's out)
     assert(Warehouse.undeleteDocs(spark, dir, victims.toDF("doc_id")) ==
            ((victims.size.toLong, 0L)))
-    spark.catalog.refreshTable(Warehouse.tbl(dir, "graft_tombstones"))
+    spark.catalog.refreshTable(Warehouse.currentTable(spark, dir, "graft_tombstones"))
     assert(strs(Warehouse.bm25Indexed(spark, dir)) == pre,
       "undelete did not restore the exact pre-delete state")
     // replay / never-deleted: no-ops, state still exact
@@ -263,18 +263,18 @@ class DeletionSpec extends SparkSpec {
     Warehouse.deleteDocIds(spark, dir, victims, batchKey = 2L)
     Warehouse.compactPostings(spark, dir)
     Seq("graft_post_lists", "graft_post_stats", "graft_post_meta").foreach(
-      t => spark.catalog.refreshTable(Warehouse.tbl(dir, t)))
+      t => spark.catalog.refreshTable(Warehouse.currentTable(spark, dir, t)))
     assert(Warehouse.undeleteDocs(spark, dir, victims.toDF("doc_id"), batchKey = 1L) ==
            ((0L, victims.size.toLong)))
-    spark.catalog.refreshTable(Warehouse.tbl(dir, "graft_tombstones"))
+    spark.catalog.refreshTable(Warehouse.currentTable(spark, dir, "graft_tombstones"))
     val gone = RetrievalOps.bm25SearchIndexedUnchecked(spark, dir)
     assert(gone.filter(col("doc_id").isin(victims: _*)).count() == 0,
       "undelete fabricated physically-purged rows")
     Warehouse.upsertPostingsFrom(
       Tables.documents(spark, dir).filter(col("doc_id").isin(victims: _*)),
       dir, batchKey = 77L)
-    spark.catalog.refreshTable(Warehouse.tbl(dir, "graft_post_lists"))
-    spark.catalog.refreshTable(Warehouse.tbl(dir, "graft_post_stats"))
+    spark.catalog.refreshTable(Warehouse.currentTable(spark, dir, "graft_post_lists"))
+    spark.catalog.refreshTable(Warehouse.currentTable(spark, dir, "graft_post_stats"))
     assert(strs(RetrievalOps.bm25SearchIndexedUnchecked(spark, dir)) == pre,
       "re-ingest after undelete did not restore the exact original state")
   }
@@ -305,7 +305,7 @@ class DeletionSpec extends SparkSpec {
     Warehouse.compactIvf(spark, dir)
     Seq("graft_post_lists", "graft_post_stats", "graft_post_meta",
         "graft_ivf_lists").foreach(
-      t => spark.catalog.refreshTable(Warehouse.tbl(dir, t)))
+      t => spark.catalog.refreshTable(Warehouse.currentTable(spark, dir, t)))
     assert(Warehouse.vacuumTombstones(spark, dir) == 0L)
     val probeBefore = strs(RetrievalOps.bm25SearchIndexedUnchecked(spark, dir))
     // upstream hard-deletes the raw data (retention): now the
@@ -319,8 +319,8 @@ class DeletionSpec extends SparkSpec {
         Files.move(Paths.get(stage), Paths.get(dir, s"$t.parquet"))
     }
     assert(Warehouse.vacuumTombstones(spark, dir) == 1L)
-    spark.catalog.refreshTable(Warehouse.tbl(dir, "graft_tombstones"))
-    val tomb = spark.table(Warehouse.tbl(dir, "graft_tombstones"))
+    spark.catalog.refreshTable(Warehouse.currentTable(spark, dir, "graft_tombstones"))
+    val tomb = spark.table(Warehouse.currentTable(spark, dir, "graft_tombstones"))
     assert(tomb.filter(col("scope") === Warehouse.LiveScope).count() == 0L,
       "live tombstone not pruned")
     assert(tomb.filter(col("scope") === "whatif").count() == 1L,
@@ -330,6 +330,50 @@ class DeletionSpec extends SparkSpec {
            probeBefore)
     // idempotent
     assert(Warehouse.vacuumTombstones(spark, dir) == 0L)
+  }
+
+  test("tombstone anti-join: broadcast under the size threshold, shuffle-sane past it, identical results") {
+    import java.nio.file.{Files, Paths}
+    val dir = {
+      val d = Files.createTempDirectory("graft_tthr_").toString
+      Files.copy(Paths.get(sf, "documents.parquet"),
+                 Paths.get(d, "documents.parquet"))
+      d
+    }
+    Warehouse.ensurePostings(spark, dir)
+    val victims = Warehouse.bm25Indexed(spark, dir)
+      .select(col("doc_id")).distinct().orderBy(col("doc_id")).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    Warehouse.deleteDocIds(spark, dir, victims)
+    def antiJoin(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.sparkPlan.toString.linesIterator
+        .filter(_.contains("LeftAnti")).mkString("|")
+    val pre = strs(RetrievalOps.bm25SearchIndexedUnchecked(spark, dir))
+    // under the threshold: the deletion-sized set broadcasts (hinted,
+    // independent of Spark's own auto threshold)
+    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+    val autoPrior = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "-1") // so only the graft hint can broadcast
+    try {
+      spark.conf.set(Warehouse.TombBroadcastKey, (10L << 20).toString)
+      val hinted = RetrievalOps.bm25SearchIndexedUnchecked(spark, dir)
+      assert(antiJoin(hinted).contains("Broadcast"),
+        s"under-threshold tombstone set did not broadcast: ${antiJoin(hinted)}")
+      // past the threshold: the hint is withheld — the anti-join
+      // becomes a shuffle join of the (partition-pruned, query-bounded)
+      // probe side instead of a driver-sized broadcast, and results
+      // are identical
+      spark.conf.set(Warehouse.TombBroadcastKey, "0")
+      val shuffled = RetrievalOps.bm25SearchIndexedUnchecked(spark, dir)
+      val line = antiJoin(shuffled)
+      assert(line.nonEmpty && !line.contains("Broadcast"),
+        s"over-threshold tombstone set still broadcasts: $line")
+      assert(strs(shuffled) == pre,
+        "shuffle-fallback anti-join changed probe results")
+    } finally {
+      spark.conf.unset(Warehouse.TombBroadcastKey)
+      spark.conf.set(autoKey, autoPrior)
+    }
   }
 
   test("compactPostings folds batches + purges tombstones with probe identity") {
@@ -344,17 +388,17 @@ class DeletionSpec extends SparkSpec {
     val filesBefore = tableFiles("graft_post_lists").size
     Warehouse.compactPostings(spark, tmpDir)
     Seq("graft_post_lists", "graft_post_stats", "graft_post_meta").foreach(
-      t => spark.catalog.refreshTable(Warehouse.tbl(tmpDir, t)))
+      t => spark.catalog.refreshTable(Warehouse.currentTable(spark, tmpDir, t)))
     // one base generation survives
     val parts = spark.sql(
-        s"SHOW PARTITIONS ${Warehouse.tbl(tmpDir, "graft_post_stats")}")
+        s"SHOW PARTITIONS ${Warehouse.currentTable(spark, tmpDir, "graft_post_stats")}")
       .collect().map(_.getString(0)).toSeq
     assert(parts == Seq("batch_id=-1"),
       s"compaction left batch partitions: $parts")
     assert(tableFiles("graft_post_lists").size < filesBefore,
       "compaction did not reduce the file count")
     // tombstoned rows are physically gone; probe rows identical
-    assert(spark.table(Warehouse.tbl(tmpDir, "graft_post_lists"))
+    assert(spark.table(Warehouse.currentTable(spark, tmpDir, "graft_post_lists"))
              .filter(col("doc_id").isin(victims: _*)).count() == 0,
       "compaction left tombstoned postings on disk")
     assert(strs(RetrievalOps.bm25SearchIndexedUnchecked(spark, tmpDir)) == pre,

@@ -43,7 +43,7 @@ class MaintenanceSpec extends SparkSpec {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
       else Seq(f)
-    walk(new java.io.File(wh, Warehouse.tbl(dir, base)))
+    walk(new java.io.File(wh, Warehouse.currentTable(spark, dir, base)))
       .filter(_.getName.endsWith(".parquet"))
       .map(f => s"${f.getPath}|${f.length()}").toSet
   }
@@ -63,7 +63,7 @@ class MaintenanceSpec extends SparkSpec {
   }
 
   private def partitions(dir: String, base: String): Set[String] =
-    spark.sql(s"SHOW PARTITIONS ${Warehouse.tbl(dir, base)}")
+    spark.sql(s"SHOW PARTITIONS ${Warehouse.currentTable(spark, dir, base)}")
       .collect().map(_.getString(0)).toSet
 
   test("interrupted swap rolls forward: upserted batches survive where a rebuild would lose them") {

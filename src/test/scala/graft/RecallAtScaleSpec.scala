@@ -243,6 +243,113 @@ class RecallAtScaleSpec extends SparkSpec {
     assert(recSized >= recDefault, "raising the cap must not lose pairs")
   }
 
+  // ---- Zipf-vocabulary arm (round 15, verdict item 1) ------------------
+
+  /** A GenZipf-shaped corpus (inverse-CDF Zipf s=1 token ranks) with
+    * `nPlant` one-token-replaced twins AND `nPlant` doubled-text twins
+    * planted — real text's stopword-dominated shingle sets are exactly
+    * the mechanism that concentrates band buckets toward the
+    * CappedDistinctAgg cap (the f6 silent-recall-collapse class from
+    * round 11), and the degenerate GenScale vocabulary the other arms
+    * inherit from the sf corpus never exercises it.
+    */
+  private val zipfN = 20000L
+  private val zipfVocab = 4000L // Heaps: 2000·√(N/5000)
+
+  private lazy val zipfDir: String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_zipfrec_")
+      .toString
+    val dl = (pmod(xxhash64(col("id"), lit("dl")), lit(16L)) + lit(24L))
+      .cast("int")
+    val docs = spark.range(0L, zipfN, 1L, 8).select(
+      col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), dl - lit(1)), i => {
+        val ui = pmod(xxhash64(col("id"), i), lit(1048576L))
+          .cast("double") / lit(1048576.0d)
+        concat(lit("w"), greatest(lit(1L),
+          floor(pow(lit(zipfVocab.toDouble), ui)).cast("long")))
+      }), " ").as("text"),
+      lit("en").as("lang"),
+      concat(lit("src"), pmod(col("id"), lit(20L))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+    val bases = docs.orderBy("doc_id").limit(nPlant).collect()
+    val spark2 = spark; import spark2.implicits._
+    val replaced = bases.zipWithIndex.map { case (r, i) =>
+      val toks = r.getString(1).split(" ")
+      toks(toks.length / 2) = "graftzipfdup"
+      (zipfN + 1 + i, toks.mkString(" "), "en", r.getString(3))
+    }
+    val doubled = bases.zipWithIndex.map { case (r, i) =>
+      (zipfN + 500 + i, r.getString(1) + " " + r.getString(1),
+       "en", r.getString(3))
+    }
+    val planted = (replaced ++ doubled).toSeq
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    docs.unionByName(planted)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out
+  }
+
+  private def zipfTruth(offset: Long): Set[(Long, Long)] =
+    (0 until nPlant).map(i => (i.toLong, zipfN + offset + i)).toSet
+
+  test("c2 on a Zipf vocabulary: planted twins surface at the measured band-bucket occupancy") {
+    // the banding layer's occupancy truth (pre-cap): how hard does a
+    // Zipf vocabulary actually push buckets toward the cap?
+    val sizes = DedupOps.bandKeys(DedupOps.minhashSigs(
+        DedupOps.shingleSetsFrom(
+          spark.read.parquet(s"$zipfDir/documents.parquet"))))
+      .groupBy(col("band"), col("bkey")).count()
+      .select(col("count")).collect().map(_.getLong(0))
+    val total = sizes.length
+    val over64 = sizes.count(_ > 64)
+    val maxB = sizes.max
+    info(s"zipf band buckets: $total, >cap64: $over64, max: $maxB")
+    def rec(cap: Int) = recallOf(
+      DedupOps.dedupMinhash(spark, zipfDir, bucketCap = cap, limit = all)
+        .collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet,
+      zipfTruth(1))
+    val recDefault = rec(64)
+    info(f"c2 zipf planted-twin recall: cap64 $recDefault%.2f")
+    // one replaced token in a ≥24-token doc kills ≤ 3 of ≥ 22 shingles
+    // (Jaccard ≥ 0.87) — every twin must surface through SOME uncapped
+    // band at the measured occupancy
+    assert(recDefault >= 0.95,
+      s"c2 zipf recall $recDefault below floor (occupancy: $over64/$total buckets over cap)")
+    // THE measured finding this arm exists to pin (round 15): Zipf
+    // stopword shingles do NOT concentrate c2's band buckets — the
+    // band key is an md5 over FOUR minhash minima, so even heavily
+    // correlated shingle sets yield near-unique keys (measured max
+    // bucket: 3 of ~640k at 20k docs). The cap-collapse mechanism that
+    // hit f6 needs byte-width keys (see the c3 arm below, where it IS
+    // measured) or true duplicate clusters (the hot-bucket arm above).
+    // If this ever trips, Zipf corpora started saturating c2's banding
+    // and the default cap needs corpus-sizing — re-measure before
+    // raising the cap blindly.
+    assert(maxB <= 64,
+      s"Zipf band buckets now exceed c2's default cap (max $maxB) — " +
+        "the round-15 occupancy finding no longer holds; re-measure recall")
+  }
+
+  test("c3 on a Zipf vocabulary: hamming-0 twins vs byte-band concentration, measured") {
+    def rec(cap: Int) = recallOf(
+      DedupOps.dedupSimhash(spark, zipfDir, bucketCap = cap, limit = all)
+        .collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet,
+      zipfTruth(500))
+    // 8-bit band keys give only 8×256 buckets, and Zipf concentrates
+    // simhash bits — the default cap is a measured occupancy point
+    // (reported); a corpus-sized cap restores the pigeonhole floor
+    val recDefault = rec(64)
+    val recSized = rec(4096)
+    info(f"c3 zipf recall: cap64 $recDefault%.2f, cap4096 $recSized%.2f")
+    assert(recSized >= 0.9,
+      s"c3 zipf recall $recSized below pigeonhole floor under an adequate cap")
+    assert(recSized >= recDefault, "raising the cap must not lose pairs")
+  }
+
   test("f6 phash banding finds planted doubled-payload image near-dups at scale") {
     val out = graft.operators.MultimodalOps.imageNearDup(spark, s"$work/img")
       .collect()
