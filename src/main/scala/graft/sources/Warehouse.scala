@@ -186,6 +186,16 @@ object Warehouse {
       java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
       java.nio.file.Files.createLink(
         new java.io.File(d, f"v${m.version}%010d").toPath, tmp.toPath)
+      // log truncation (every streamed micro-batch bumps a version, so
+      // the log must not grow with stream length): superseded version
+      // files are never read — readers take the max — so pruning
+      // strictly below max−16 is safe against any in-flight reader
+      Option(d.listFiles()).toSeq.flatten.foreach { f =>
+        f.getName match {
+          case ManifestV(n) if n.toLong < m.version - 16 => f.delete(); ()
+          case _ => ()
+        }
+      }
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
@@ -1190,12 +1200,17 @@ object Warehouse {
       else baseDocs.filter(pmod(col("doc_id"), lit(excludeMod)) =!= 0)
     val (lists, stats) =
       RetrievalOps.postingPartsFrom(exceptTombstoned(sliced, dir, "doc_id"))
-    // repartition by bucket so each task writes whole tb directories
-    // (64 files total, not tasks×64 small ones)
+    // cluster by (bucket, id-slice): whole-tb tasks keep directories at
+    // O(1) files (never tasks×64 small ones), and FOUR id-slices per
+    // bucket keep the probe's per-bucket parallelism — on a Zipf corpus
+    // a stopword's tb bucket holds ~N/lnV rows, and one-file-per-bucket
+    // serialized that scan into a straggler (round-15 SkewAudit at
+    // ×1000: dominant-stage max/p50 = 5.5× before, see BASELINE; the
+    // compactIvf cell layout decision applied to text)
     lists
       .select(col("term"), col("doc_id"), col("dl"), col("tf"),
               lit(-1L).as("batch_id"), col("tb"))
-      .repartition(col("tb"))
+      .repartition(col("tb"), pmod(xxhash64(col("doc_id")), lit(4L)))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("batch_id", "tb")
       .format("parquet")
@@ -1301,7 +1316,7 @@ object Warehouse {
       lists
         .select(col("term"), col("doc_id"), col("dl"), col("tf"),
                 lit(batchKey).as("batch_id"), col("tb"))
-        .repartition(col("tb"))
+        .repartition(col("tb"), pmod(xxhash64(col("doc_id")), lit(4L)))
         .write.mode(SaveMode.Overwrite)
         .insertInto(tbl(dir, physBase(mf, "graft_post_lists")))
       stats
@@ -1958,10 +1973,15 @@ object Warehouse {
              coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
         .select(col("n_docs"), col("sum_dl"), lit(-1L).as("batch_id"))
     }
+    // (tb, id-slice) clustering — the buildPostings layout, so a
+    // compacted store keeps the hot-bucket parallelism the round-15
+    // skew audit bought (see buildPostings)
+    val clustered = folded.repartition(col("tb"),
+      pmod(xxhash64(col("doc_id")), lit(4L)))
     val moves = Map(
       "graft_post_lists" -> {
-        val b = stageGeneration(spark, dir, m0, "graft_post_lists", folded,
-                                Seq("batch_id", "tb"), bucketCol = Some("tb"))
+        val b = stageGeneration(spark, dir, m0, "graft_post_lists",
+                                clustered, Seq("batch_id", "tb"))
         killAt("staged-lists"); b
       },
       "graft_post_stats" -> {
@@ -2102,7 +2122,7 @@ object Warehouse {
 
   // ---------- maintenance: crash recovery + auto policy (round 14) ----------
 
-  /** The [[swapTable]]-managed tables: base name → (partition columns,
+  /** LEGACY stage-swap registry: base name → (partition columns,
     * bucket column) — the registry [[recoverMaintenance]] needs to
     * finish an interrupted swap. Partition-column types are pinned in
     * [[PartTypes]] (directory-name inference would narrow `batch_id=-1`
@@ -2244,7 +2264,7 @@ object Warehouse {
     }
   }
 
-  /** Crash recovery for an interrupted [[swapTable]] swap (compaction
+  /** Crash recovery for an interrupted LEGACY stage swap (compaction
     * or vacuum): the plain-parquet stand-in for a table format's
     * atomic snapshot commit stages the folded rows to `<base>_stage`,
     * drops the base, rewrites it, drops the stage — so a crash between

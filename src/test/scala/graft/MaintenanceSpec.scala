@@ -7,7 +7,7 @@ import graft.sources.{Tables, Warehouse}
 /** Round-14 maintenance-hardening contract (the residue the compaction
   * work left open):
   *
-  *  - an interrupted swapTable (compaction/vacuum crash between the
+  *  - an interrupted LEGACY stage swap (pre-round-15 crash between the
   *    drop and the rewrite) is rolled FORWARD from the surviving stage
   *    — the stage holds the ONLY copy of upserted/streamed batches,
   *    which a rebuild-from-corpus could never recover (they were never

@@ -42,6 +42,7 @@ class PlanAuditSpec extends SparkSpec {
     "e16_bm25_search",         // 1-row (N, avgdl) corpus-stats broadcast
     "e16b_bm25_indexed",       // 1-row LANDED (N, avgdl) stats broadcast
     "e16c_bm25_deleted",       // e16b's probe behind the tombstone layer
+    "e16z_bm25_zipf",          // e16b's probe over the ZipfCheck corpus
     "e17_quality_classifier",  // 1-row totals/priors broadcasts
     "e17b_quality_indexed",    // 1-row LANDED priors broadcast
     "c9_semdedup",             // broadcast centroid routing (d5's sample)
