@@ -259,11 +259,6 @@ object Warehouse {
     }
   }
 
-  /** The logical base of a (possibly generation-suffixed) physical
-    * base. */
-  private def logicalOf(physical: String): String =
-    physical.replaceAll("__v\\d+$", "")
-
   /** Public resolver: the full physical table name currently serving
     * `logical` for this corpus dir — what specs, tools and external
     * readers must use for any table a maintenance swap may have
