@@ -211,6 +211,31 @@ class CrashMatrixSpec extends SparkSpec {
       }
   }
 
+  test("manifest log stays bounded under streamed mutation cadence and keeps resolving") {
+    val dir = corpusCopy(withEmb = false)
+    Warehouse.ensurePostings(spark, dir, excludeMod = 2)
+    // 24 mutation batches > the 16-version retention margin: every
+    // deleteDocs bumps the manifest (the streamed micro-batch shape),
+    // so without truncation the log would grow with stream length
+    (1 to 24).foreach { i =>
+      Warehouse.deleteDocIds(spark, dir, Seq(888800000L + i),
+                             batchKey = 100L + i)
+    }
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val logDir = new java.io.File(wh,
+      s"_graft_manifest_${Warehouse.ns(dir)}")
+    val vfiles = Option(logDir.listFiles()).toSeq.flatten
+      .count(_.getName.matches("v\\d{10}"))
+    assert(vfiles <= 18, s"manifest log grew unboundedly: $vfiles files")
+    // resolution still exact after truncation: a compaction commits
+    // through the truncated log and probes serve the new generation
+    val pre = strs(RetrievalOps.bm25SearchIndexedUnchecked(spark, dir))
+    Warehouse.compactPostings(spark, dir)
+    assert(strs(RetrievalOps.bm25SearchIndexedUnchecked(spark, dir)) == pre,
+      "compaction through the truncated log changed probe results")
+    statsConsistent(dir, "post-truncation compaction")
+  }
+
   test("closed concurrency window: a writer between re-check and commit aborts the compaction, batch intact") {
     val dir = corpusCopy(withEmb = false)
     Warehouse.ensurePostings(spark, dir, excludeMod = 2)
