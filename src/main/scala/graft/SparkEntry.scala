@@ -805,10 +805,11 @@ object SparkEntry {
     // (hex digit parsed via strpos over the lowercase alphabet, bit b
     // living in digit (63-b)/4 at bit b%4); per-bit ±1 votes summed,
     // sig packed via bit_or (bit 63 as the min-long literal — DuckDB
-    // errors on 1<<63); 8×8-bit pigeonhole bands from the same
-    // arithmetic-shift-and-mask both engines share; bucket cap 64,
-    // distinct pairs, hamming = bit_count(xor), top-100 on the full
-    // deterministic (hamming, a, b) key.
+    // errors on 1<<63); 4×16-bit pigeonhole bands (round 16 — the
+    // f6 layout; was 8×8, whose 256-key bands cap-collapsed on Zipf
+    // text) from the same arithmetic-shift-and-mask both engines
+    // share; bucket cap 64, distinct pairs, hamming = bit_count(xor),
+    // top-100 on the full deterministic (hamming, a, b) key.
     "c3_dedup_simhash" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
            FROM documents WHERE text IS NOT NULL),
@@ -825,8 +826,9 @@ object SparkEntry {
                     ELSE 1::BIGINT << b::INT END
                ELSE 0 END) AS sig
            FROM s GROUP BY 1),
-         e AS (SELECT doc_id, sig, band, (sig >> (band * 8)::INT) & 255 AS bkey
-           FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band)),
+         e AS (SELECT doc_id, sig, band,
+             (sig >> (band * 16)::INT) & 65535 AS bkey
+           FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
          cap AS (SELECT * FROM (
              SELECT e.*, count(*) OVER (PARTITION BY band, bkey) AS n FROM e)
            WHERE n <= 64),

@@ -65,9 +65,9 @@ class DedupOpsSpec extends SparkSpec {
       val (a, b) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
       val ham = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
       assert(r.getAs[Int]("hamming") == ham)
-      val shares = (0 until 8).exists(i =>
-        ((sigs(a) >>> (8 * i)) & 0xFF) == ((sigs(b) >>> (8 * i)) & 0xFF))
-      assert(shares, s"pair $a,$b shares no 8-bit band")
+      val shares = (0 until 4).exists(i =>
+        ((sigs(a) >>> (16 * i)) & 0xFFFF) == ((sigs(b) >>> (16 * i)) & 0xFFFF))
+      assert(shares, s"pair $a,$b shares no 16-bit band")
     }
     val hams = got.map(_.getAs[Int]("hamming"))
     assert(hams.sameElements(hams.sorted))
@@ -124,6 +124,13 @@ class DedupOpsSpec extends SparkSpec {
       "guard precondition not met — corpus has <50 pairs at τ")
     assert(pre.sameElements(exh),
       s"prefix arm diverges from exhaustive: ${pre.toSeq.diff(exh.toSeq)}")
+    // the banded arm (round 16's registered fast path) must agree
+    // byte-for-byte on a corpus where its guard passes: 60 planted
+    // J≈0.9 pairs, no mega-cluster, so LSH surfaces every top-50 pair
+    // and no band bucket exceeds the cap
+    val banded = rowsOf(DedupOps.ngramJaccardBanded(spark, dir))
+    assert(banded.sameElements(exh),
+      s"banded arm diverges from exhaustive: ${banded.toSeq.diff(exh.toSeq)}")
     // the auto path must return the identical rows (fast path taken)
     val auto = rowsOf(DedupOps.ngramJaccard(spark, dir))
     assert(auto.sameElements(exh))

