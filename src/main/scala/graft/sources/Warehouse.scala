@@ -145,28 +145,70 @@ object Warehouse {
 
   private val ManifestV = "v(\\d{10})".r
 
-  private[graft] def readManifest(spark: SparkSession, dir: String): Manifest = {
+  private def parseManifest(v: Long, content: String): Manifest = {
+    val lines = content.split("\n").filter(_.contains("="))
+    val kv = lines.map { l =>
+      val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+    }.toMap
+    Manifest(v,
+      kv.collect { case (k, pv) if k.startsWith("tab.") =>
+        (k.stripPrefix("tab."), pv)
+      },
+      kv.get("post_gen").map(_.toLong))
+  }
+
+  /** All surviving manifest versions, parsed, ascending — the
+    * snapshot-retention window ([[recoverMaintenance]]'s superseded-
+    * generation GC keeps every physical any surviving version still
+    * references, so a reader resolved against any version in the log
+    * window stays servable).
+    */
+  private def readManifestLog(spark: SparkSession, dir: String)
+      : Seq[Manifest] = {
     val d = manifestDir(spark, dir)
-    val versions = Option(d.listFiles()).toSeq.flatten
+    Option(d.listFiles()).toSeq.flatten
       .flatMap(f => f.getName match {
         case ManifestV(n) => Some((n.toLong, f))
         case _            => None
       })
-    if (versions.isEmpty) Manifest(0L, Map.empty, None)
-    else {
+      .sortBy(_._1)
+      .flatMap { case (v, f) =>
+        // cross-process tolerance (round-16 advice fix): the
+        // truncation arm of a concurrent commit may delete a version
+        // file between our listing and our read — a vanished file was
+        // by definition below the concurrent writer's max−16, so it
+        // is never the version a correct read returns; skip it
+        try Some(parseManifest(v, new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
+        catch {
+          case _: java.nio.file.NoSuchFileException => None
+          case _: java.io.FileNotFoundException     => None
+        }
+      }
+  }
+
+  private[graft] def readManifest(spark: SparkSession, dir: String): Manifest = {
+    val d = manifestDir(spark, dir)
+    // read only the max version; on a cross-process race (a concurrent
+    // commit's truncation arm deleted our listed max — possible only
+    // when 17+ commits landed since the listing) re-list and retry
+    // rather than crash (round-16 advice fix)
+    while (true) {
+      val versions = Option(d.listFiles()).toSeq.flatten
+        .flatMap(f => f.getName match {
+          case ManifestV(n) => Some((n.toLong, f))
+          case _            => None
+        })
+      if (versions.isEmpty) return Manifest(0L, Map.empty, None)
       val (v, f) = versions.maxBy(_._1)
-      val lines = new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        .split("\n").filter(_.contains("="))
-      val kv = lines.map { l =>
-        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
-      }.toMap
-      Manifest(v,
-        kv.collect { case (k, pv) if k.startsWith("tab.") =>
-          (k.stripPrefix("tab."), pv)
-        },
-        kv.get("post_gen").map(_.toLong))
+      try return parseManifest(v, new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      catch {
+        case _: java.nio.file.NoSuchFileException => ()
+        case _: java.io.FileNotFoundException     => ()
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** One atomic publish attempt of `m` AT its version number: the
@@ -182,10 +224,28 @@ object Warehouse {
     val content = (m.tabs.toSeq.sorted.map { case (k, v) => s"tab.$k=$v" } ++
       m.postGen.map(g => s"post_gen=$g").toSeq).mkString("\n") + "\n"
     val tmp = java.io.File.createTempFile("commit_", ".tmp", d)
+    val target = new java.io.File(d, f"v${m.version}%010d").toPath
     try {
       java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
-      java.nio.file.Files.createLink(
-        new java.io.File(d, f"v${m.version}%010d").toPath, tmp.toPath)
+      try java.nio.file.Files.createLink(target, tmp.toPath)
+      catch {
+        // filesystems without hard links (overlayfs, some network
+        // mounts; round-16 advice fix): degrade to an atomic rename.
+        // POSIX rename overwrites silently, so the fail-if-exists
+        // claim becomes check-then-rename — a TOCTOU residue bounded
+        // to link-less filesystems; on them two same-version racers
+        // can last-writer-win the FILE but both "win" the claim, and
+        // the retry loops re-read before acting, so the damage is one
+        // lost mutate-closure application per astronomically-unlikely
+        // same-millisecond race (disclosed; real HDFS deployments get
+        // fail-if-exists rename natively — see the SURVEY portability
+        // note).
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException
+            if !java.nio.file.Files.exists(target) =>
+          java.nio.file.Files.move(tmp.toPath, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
       // log truncation (every streamed micro-batch bumps a version, so
       // the log must not grow with stream length): superseded version
       // files are never read — readers take the max — so pruning
@@ -223,6 +283,56 @@ object Warehouse {
     committed.get
   }
 
+  /** Mutator re-land fence (round-16 advice fix — the residual
+    * lost-batch window): the version bump BEFORE a mutator's data
+    * write makes any maintenance swap that snapshotted earlier fail
+    * its commit, but a swap that read its snapshot AFTER the bump and
+    * committed while the data write was still in flight could fold a
+    * generation that never saw the batch — the partition guard
+    * catches a batch that lands before the guard's re-check, and this
+    * closes the remaining post-guard sliver: after the data write
+    * completes, re-read the manifest, and if a swap re-addressed any
+    * of the mutator's tables (or moved the posting generation) since
+    * our bump, re-land the batch against the new current state. The
+    * writes are dynamic overwrites of the batch's own partitions, so
+    * a re-land is idempotent. One interleaving needs care: a swap that
+    * began entirely AFTER the batch landed ABSORBS it (its snapshot
+    * and guard both saw the partitions) and commits fine — a blind
+    * re-land would then double the folded rows. So when movement is
+    * detected, the caller's `absorbed` probe checks the new current
+    * generation for the batch's content first: present → the swap
+    * carried it, nothing to do; absent → the swap snapshotted before
+    * the write and the batch must re-land. (Mutators whose re-land is
+    * inherently idempotent under absorption — deleteDocs, whose
+    * tombstone rewrite is content-identical and whose stats delta is
+    * recomputed against the CURRENT physical index — leave the
+    * default always-re-land.) Bounded retries — a mutator that keeps
+    * losing to back-to-back swaps fails loudly rather than ever
+    * dropping a batch silently.
+    */
+  private[graft] def mutatorFenced(spark: SparkSession, dir: String,
+                                   logicals: Seq[String],
+                                   absorbed: Manifest => Boolean = _ => false)
+                                  (write: Manifest => Unit): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val mf = bumpManifest(spark, dir)
+      write(mf)
+      val now = readManifest(spark, dir)
+      val moved = (logicals.exists(l => physBase(now, l) != physBase(mf, l)) ||
+        (logicals.contains("graft_post_lists") && now.postGen != mf.postGen)) &&
+        !absorbed(now)
+      if (!moved) done = true
+      else if (attempts >= 3)
+        throw new IllegalStateException(
+          s"batch on ${logicals.mkString(",")} re-landed $attempts times " +
+            "against concurrent maintenance swaps and the state moved " +
+            "again — stop the maintenance loop and re-run this batch")
+      else attempts += 1
+    }
+  }
+
   /** Swap commit: ONE attempt at `expect.version + 1` — the single
     * atomic commit point of compaction/vacuum/undelete. False iff any
     * writer committed since `expect` was read; the caller aborts and
@@ -247,15 +357,21 @@ object Warehouse {
                             logicals: Seq[String],
                             postGen: Option[Long] = None): Unit = {
     val m = readManifest(spark, dir)
-    logicals.foreach { l =>
-      val p = physBase(m, l)
-      if (p != l) dropManaged(spark, Seq(tbl(dir, p)))
-    }
+    // manifest first, THEN drop (round-16 advice fix): dropping the
+    // superseded versioned physical before the bump left a crash
+    // window where the manifest named a dropped table and every probe
+    // failed until the rebuild was re-run; committing the bump first
+    // means a crash leaves only an orphaned versioned table the
+    // superseded-generation GC collects
     if (logicals.exists(m.tabs.contains) || postGen.isDefined) {
       bumpManifest(spark, dir, cur => cur.copy(
         tabs = cur.tabs -- logicals,
         postGen = postGen.orElse(cur.postGen)))
       ()
+    }
+    logicals.foreach { l =>
+      val p = physBase(m, l)
+      if (p != l) dropManaged(spark, Seq(tbl(dir, p)))
     }
   }
 
@@ -710,17 +826,22 @@ object Warehouse {
     val rows = lists.join(codes, "vec_id")
       .select(col("vec_id"), col("sub_j"), col("ce"), col("cn"),
               lit(batchKey).as("batch_id"), col("cent_id"))
-    // manifest fence BEFORE the write: a compaction snapshotted before
-    // this bump can no longer commit (its version is stale), so the
-    // batch can never be silently folded away; the write targets the
-    // generation the bumped manifest names
-    val mf = bumpManifest(spark, dir)
-    val owKey = "spark.sql.sources.partitionOverwriteMode"
-    val prior = spark.conf.get(owKey)
-    spark.conf.set(owKey, "dynamic")
-    try rows.write.mode(SaveMode.Overwrite)
-      .insertInto(tbl(dir, physBase(mf, "graft_ivf_lists")))
-    finally spark.conf.set(owKey, prior)
+    // manifest fence BEFORE the write + re-land re-check AFTER it
+    // (see [[mutatorFenced]]); absorption probe as in
+    // upsertPostingsFrom
+    val absorbed = (now: Manifest) =>
+      rows.select(col("vec_id")).limit(1).collect().headOption.forall { r =>
+        !spark.table(tbl(dir, physBase(now, "graft_ivf_lists")))
+          .filter(col("vec_id") === r.getLong(0)).isEmpty
+      }
+    mutatorFenced(spark, dir, Seq("graft_ivf_lists"), absorbed) { mf =>
+      val owKey = "spark.sql.sources.partitionOverwriteMode"
+      val prior = spark.conf.get(owKey)
+      spark.conf.set(owKey, "dynamic")
+      try rows.write.mode(SaveMode.Overwrite)
+        .insertInto(tbl(dir, physBase(mf, "graft_ivf_lists")))
+      finally spark.conf.set(owKey, prior)
+    }
   }
 
   private def writeBook(spark: SparkSession, dir: String,
@@ -1300,25 +1421,38 @@ object Warehouse {
     // of a recrawl
     val (lists, stats) = RetrievalOps.postingPartsFrom(
       exceptTombstoned(batchDocs, dir, "doc_id"))
-    // manifest fence BEFORE the write (the upsertIvfFrom contract): a
-    // compaction snapshotted before this bump fails its commit instead
-    // of folding-and-dropping a batch it never saw
-    val mf = bumpManifest(spark, dir)
-    val owKey = "spark.sql.sources.partitionOverwriteMode"
-    val prior = spark.conf.get(owKey)
-    spark.conf.set(owKey, "dynamic")
-    try {
-      lists
-        .select(col("term"), col("doc_id"), col("dl"), col("tf"),
-                lit(batchKey).as("batch_id"), col("tb"))
-        .repartition(col("tb"), pmod(xxhash64(col("doc_id")), lit(4L)))
-        .write.mode(SaveMode.Overwrite)
-        .insertInto(tbl(dir, physBase(mf, "graft_post_lists")))
-      stats
-        .select(col("n_docs"), col("sum_dl"), lit(batchKey).as("batch_id"))
-        .write.mode(SaveMode.Overwrite)
-        .insertInto(tbl(dir, physBase(mf, "graft_post_stats")))
-    } finally spark.conf.set(owKey, prior)
+    // manifest fence BEFORE the write + re-land re-check AFTER it
+    // (see [[mutatorFenced]]): a compaction snapshotted before the
+    // bump fails its commit instead of folding-and-dropping a batch
+    // it never saw; one that snapshotted after the bump but committed
+    // mid-write triggers a re-land against the new generation
+    // absorption probe: the batch's first surviving doc present in the
+    // NEW generation means the racing fold carried the batch (its
+    // snapshot postdated our write) — re-landing would double it
+    val absorbed = (now: Manifest) =>
+      lists.select(col("doc_id")).limit(1).collect().headOption.forall { r =>
+        !spark.table(tbl(dir, physBase(now, "graft_post_lists")))
+          .filter(col("doc_id") === r.getLong(0)).isEmpty
+      }
+    mutatorFenced(spark, dir,
+                  Seq("graft_post_lists", "graft_post_stats"),
+                  absorbed) { mf =>
+      val owKey = "spark.sql.sources.partitionOverwriteMode"
+      val prior = spark.conf.get(owKey)
+      spark.conf.set(owKey, "dynamic")
+      try {
+        lists
+          .select(col("term"), col("doc_id"), col("dl"), col("tf"),
+                  lit(batchKey).as("batch_id"), col("tb"))
+          .repartition(col("tb"), pmod(xxhash64(col("doc_id")), lit(4L)))
+          .write.mode(SaveMode.Overwrite)
+          .insertInto(tbl(dir, physBase(mf, "graft_post_lists")))
+        stats
+          .select(col("n_docs"), col("sum_dl"), lit(batchKey).as("batch_id"))
+          .write.mode(SaveMode.Overwrite)
+          .insertInto(tbl(dir, physBase(mf, "graft_post_stats")))
+      } finally spark.conf.set(owKey, prior)
+    }
   }
 
   /** e16b: BM25 over the landed posting index — delegate kept next to
@@ -1429,13 +1563,18 @@ object Warehouse {
     // overwrite each other's tomb_stats partitions
     require(batchKey < 1000000L, s"delete batchKey must be < 1e6: $batchKey")
     recoverMaintenance(spark, dir)
-    // manifest fence BEFORE any write: a compaction/vacuum snapshotted
-    // before this bump fails its commit — its fold can neither absorb
-    // this batch's rows without purging them nor erase the tombstone
-    // rewrite below
-    val mf = bumpManifest(spark, dir)
     val idsDf = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
       .distinct()
+    // manifest fence BEFORE any write + re-land re-check AFTER (see
+    // [[mutatorFenced]]): a compaction/vacuum snapshotted before the
+    // bump fails its commit — its fold can neither absorb this batch's
+    // rows without purging them nor erase the tombstone rewrite below;
+    // one that committed mid-write triggers a re-land, recomputing the
+    // stats delta at the new posting identity
+    mutatorFenced(spark, dir,
+                  Seq("graft_tombstones", "graft_tomb_stats",
+                      "graft_post_lists", "graft_post_stats")) { mf =>
+    {
     // exclude ids already tombstoned in this scope by OTHER batches
     // (their stats delta is already landed — re-landing would
     // double-subtract); the batch's own prior rows are fair game so a
@@ -1476,6 +1615,8 @@ object Warehouse {
                 lit(batchKey).as("batch_id"))
       writePartitioned(spark, dir, "graft_tomb_stats", d,
                        Seq("scope", "batch_id"))
+    }
+    }
     }
   }
 
@@ -1600,6 +1741,18 @@ object Warehouse {
     */
   val TombBroadcastKey = "spark.graft.tombstoneBroadcastBytes"
 
+  /** Conf key: how many manifest versions a superseded generation
+    * stays readable for after a maintenance swap (snapshot retention,
+    * round 16). A reader that resolved physical table names within
+    * the last N manifest versions is guaranteed its tables survive
+    * [[recoverMaintenance]]'s GC; raise it for long-running readers,
+    * lower it to reclaim space faster. Bounded either way: every
+    * mutation bumps a version, so retired generations age out at
+    * curation cadence (manifest log truncation keeps ~17 versions, so
+    * values above that are clamped by the log itself).
+    */
+  val SnapshotRetainKey = "spark.graft.snapshotRetainVersions"
+
   /** On-disk bytes of one scope's tombstone partition — the broadcast-
     * decision estimate (driver-side file metadata, the same
     * size-from-files basis Spark's own broadcast threshold uses).
@@ -1616,11 +1769,16 @@ object Warehouse {
     walk(loc)
   }
 
+  // byte-string parsing via Spark's own machinery (round-16 advice
+  // fix: a bare toLong silently fell back to the default on every
+  // human-readable form Spark itself accepts, '10MB'/'20m'/...)
   private def tombBroadcastLimit(spark: SparkSession): Long =
     spark.conf.getOption(TombBroadcastKey)
-      .orElse(spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-        .map(_.stripSuffix("b").stripSuffix("B")))
-      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .orElse(spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption // bare numbers incl. -1
+        .orElse(scala.util.Try(
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s.trim))
+          .toOption))
       .getOrElse(10L * 1024 * 1024)
 
   /** Anti-join `df` against the scope's tombstone set on `idCol` — the
@@ -2091,8 +2249,15 @@ object Warehouse {
     * concurrency fence that closes the re-check→drop window (a racing
     * upsert/delete always bumps before writing, so it either aborts
     * this commit or lands in the new generation it resolves).
-    * Superseded physical tables are GC'd after the commit; a crash
-    * mid-GC leaves orphans [[recoverMaintenance]] collects.
+    * Superseded physical tables are NOT dropped here (round 16 —
+    * snapshot retention): a reader that resolved its physical names
+    * against the pre-swap manifest may still be executing its plan,
+    * and same-instant GC was the one disclosed reader-correctness
+    * residue. They age out through [[recoverMaintenance]]'s
+    * superseded-generation GC once no manifest version inside the
+    * retention window ([[SnapshotRetainKey]], default 8 versions)
+    * references them — the plain-parquet equivalent of a table
+    * format's snapshot retention/VACUUM horizon.
     */
   private def commitGenerations(spark: SparkSession, dir: String,
                                 m0: Manifest, moves: Map[String, String],
@@ -2109,10 +2274,6 @@ object Warehouse {
           "generation untouched; re-run at a quiet point")
     }
     killAt("committed")
-    moves.foreach { case (l, p) =>
-      val old = physBase(m0, l)
-      if (old != p) dropManaged(spark, Seq(tbl(dir, old)))
-    }
   }
 
   // ---------- maintenance: crash recovery + auto policy (round 14) ----------
@@ -2296,14 +2457,29 @@ object Warehouse {
     */
   def recoverMaintenance(spark: SparkSession, dir: String): Seq[String] = {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    // orphaned-generation GC (manifest protocol): a version-suffixed
-    // physical the manifest does not name, at a version the manifest
-    // has already passed, is a crash leftover — staged-but-never-
-    // committed, or superseded-but-never-dropped. A candidate at
-    // version+1 is left alone: it may be an IN-FLIGHT stager's (its
-    // own next attempt clears it, and any later commit ages it into
-    // this rule).
-    val m = readManifest(spark, dir)
+    // generation GC under SNAPSHOT RETENTION (round 16): a version-
+    // suffixed physical is dropped only when NO manifest version
+    // inside the retention window still references it —
+    //  - staged-but-never-committed crash leftovers are referenced by
+    //    no version file at all, so they age into the rule as soon as
+    //    the manifest passes their version (same as before);
+    //  - SUPERSEDED generations stay readable for `SnapshotRetainKey`
+    //    further manifest versions (default 8), so a reader that
+    //    resolved its physical names against a recent manifest keeps
+    //    a live table under its plan even while maintenance commits
+    //    and this GC runs (the round-15 disclosed residue, closed);
+    //    storage stays bounded — every mutation bumps a version, so
+    //    retired generations age out at curation cadence.
+    // A candidate at version+1 is left alone: it may be an IN-FLIGHT
+    // stager's (its own next attempt clears it, and any later commit
+    // ages it into this rule).
+    val log = readManifestLog(spark, dir)
+    val m = log.lastOption.getOrElse(Manifest(0L, Map.empty, None))
+    val retain = spark.conf.getOption(SnapshotRetainKey)
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(8L)
+    val window = log.filter(_.version >= m.version - retain)
+    val keepVersioned: Set[String] =
+      (window.flatMap(_.tabs.values) ++ m.tabs.values).toSet
     val suffix = s"_${ns(dir)}"
     val Versioned = ("(graft_[a-z_]+__v(\\d+))" +
       java.util.regex.Pattern.quote(suffix)).r
@@ -2311,22 +2487,32 @@ object Warehouse {
       .flatMap(f => f.getName match {
         case Versioned(physBaseName, v)
             if v.toLong <= m.version &&
-              !m.tabs.values.toSet.contains(physBaseName) =>
+              !keepVersioned.contains(physBaseName) =>
           dropManaged(spark, Seq(tbl(dir, physBaseName)))
           Some(s"gc-orphan ${tbl(dir, physBaseName)}")
         case _ => None
       }) ++
-      // a superseded PLAIN-named generation (the store's first
-      // compaction crashed between its commit and its GC) — the
-      // manifest maps the logical elsewhere, so the plain location is
-      // the old generation
+      // a superseded PLAIN-named generation (the store's first swap
+      // re-addressed the logical): versions WITHOUT a tab entry for
+      // the logical reference the plain name implicitly, so it is
+      // retained while any window version lacks the mapping and
+      // collected once the whole window maps the logical elsewhere
       m.tabs.toSeq.flatMap { case (logical, phys) =>
-        if (phys != logical &&
+        val windowRefsPlain = window.exists(v => !v.tabs.contains(logical))
+        if (phys != logical && !windowRefsPlain &&
             new java.io.File(wh, tbl(dir, logical)).exists()) {
           dropManaged(spark, Seq(tbl(dir, logical)))
           Some(s"gc-superseded ${tbl(dir, logical)}")
         } else None
-      }
+      } ++
+      // stale manifest commit temp files (round-16 advice fix): a
+      // crash between the temp write and the link leaks commit_*.tmp;
+      // age-guarded so an in-flight writer's fresh temp is never swept
+      Option(manifestDir(spark, dir).listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("commit_") &&
+          f.getName.endsWith(".tmp") &&
+          f.lastModified() < System.currentTimeMillis() - 600000L)
+        .map { f => f.delete(); s"gc-commit-tmp ${f.getName}" }
     gced ++ SwapManaged.flatMap { case (base, parts, bucketCol) =>
       val stageT = tbl(dir, s"${base}_stage")
       val stageLoc = new java.io.File(wh, stageT)

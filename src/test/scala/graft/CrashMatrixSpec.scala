@@ -281,4 +281,85 @@ class CrashMatrixSpec extends SparkSpec {
       "autoMaintain retry lost a batch")
     statsConsistent(dir, "post-automaintain")
   }
+
+  test("mutator re-land fence: a swap committing mid-write triggers exactly one re-land; an absorbed batch none") {
+    val dir = corpusCopy(withEmb = false)
+    Warehouse.ensurePostings(spark, dir, excludeMod = 2)
+    Warehouse.upsertPostingsFrom(
+      syntheticDocs(Seq(999960001L), "zzfence"), dir, batchKey = 1L)
+    // the round-15 residual window, made deterministic: the fenced
+    // write's FIRST attempt lets a full compaction snapshot + commit
+    // while it is "in flight" (nothing landed yet → the fold saw
+    // nothing of this batch, and the compaction's own guard passed).
+    // The fence must detect the moved generation and re-land once.
+    var calls = 0
+    Warehouse.mutatorFenced(spark, dir,
+        Seq("graft_post_lists", "graft_post_stats")) { _ =>
+      calls += 1
+      if (calls == 1) Warehouse.compactPostings(spark, dir)
+    }
+    assert(calls == 2,
+      s"expected exactly one re-land after the mid-write swap, got $calls calls")
+    // absorption short-circuit: same interleaving, but the probe says
+    // the new generation already carries the batch — no re-land (a
+    // blind one would double the folded rows)
+    var calls2 = 0
+    Warehouse.mutatorFenced(spark, dir,
+        Seq("graft_post_lists", "graft_post_stats"), _ => true) { _ =>
+      calls2 += 1
+      if (calls2 == 1) Warehouse.compactPostings(spark, dir)
+    }
+    assert(calls2 == 1,
+      s"absorbed batch must not re-land, got $calls2 calls")
+    // and the end-to-end form: a real upsert whose data write races a
+    // real compaction still serves every batch afterwards
+    statsConsistent(dir, "post-fence")
+  }
+
+  test("snapshot retention: a reader pinned on generation G stays row-correct through a G+1 commit and GC") {
+    val dir = corpusCopy(withEmb = false)
+    Warehouse.ensurePostings(spark, dir, excludeMod = 2)
+    Warehouse.upsertPostingsFrom(
+      syntheticDocs(Seq(999950001L), "zzpin"), dir, batchKey = 1L)
+    Warehouse.compactPostings(spark, dir) // ensure a VERSIONED physical serves G
+    // the pinned reader: physical names resolve ONCE, here, at plan
+    // construction (spark.table(currentTable(...)) inside the probe
+    // builders) — generation G
+    val pinned = RetrievalOps.bm25RankIndexed(spark, dir,
+      qterms(Seq("zzpin")), k = 20, exclSelf = false)
+    val before = strs(pinned)
+    assert(before.exists(_.contains("999950001")), "fixture: probe misses the doc")
+    val gTable = Warehouse.currentTable(spark, dir, "graft_post_lists")
+    // maintenance commits G+1 (new work to fold) and the GC pass runs
+    Warehouse.upsertPostingsFrom(
+      syntheticDocs(Seq(999950002L), "zzpin"), dir, batchKey = 2L)
+    Warehouse.compactPostings(spark, dir)
+    Warehouse.recoverMaintenance(spark, dir)
+    assert(Warehouse.currentTable(spark, dir, "graft_post_lists") != gTable,
+      "fixture: the swap must re-address the lists")
+    // retention keeps G's physical alive inside the version window, so
+    // the pinned plan re-executes row-correct — the round-15 disclosed
+    // reader residue, closed
+    assert(spark.catalog.tableExists(gTable),
+      "superseded generation GC'd inside the retention window")
+    assert(strs(pinned) == before,
+      "pinned reader drifted while maintenance committed G+1")
+    // a FRESH resolution serves the new generation (both docs)
+    val fresh = strs(RetrievalOps.bm25RankIndexed(spark, dir,
+      qterms(Seq("zzpin")), k = 20, exclSelf = false))
+    assert(fresh.exists(_.contains("999950002")),
+      "fresh reader must see the post-swap world")
+    // aging out: with retention 0 the next GC collects the superseded
+    // generation (bounded storage — the other half of the contract)
+    spark.conf.set(Warehouse.SnapshotRetainKey, "0")
+    try {
+      (1 to 2).foreach { i =>
+        Warehouse.deleteDocIds(spark, dir, Seq(888850000L + i),
+                               batchKey = 200L + i)
+      }
+      Warehouse.recoverMaintenance(spark, dir)
+      assert(!spark.catalog.tableExists(gTable),
+        "superseded generation survived past the retention horizon")
+    } finally spark.conf.unset(Warehouse.SnapshotRetainKey)
+  }
 }
