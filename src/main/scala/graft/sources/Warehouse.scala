@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Bucketed-warehouse path — the co-located-join strategy for 100 TB.
   *
@@ -30,7 +31,12 @@ object Warehouse {
     * the corpus dir and resolves names through [[tbl]].
     */
   def ns(dir: String): String = {
-    val canon = new java.io.File(dir).getCanonicalPath
+    // scheme-qualified corpus dirs (hdfs://…, s3a://…) are already
+    // absolute identities; local paths canonicalize so relative paths
+    // and symlinks to one corpus share a namespace
+    val canon =
+      if (dir.contains("://")) new Path(dir).toUri.toString
+      else new java.io.File(dir).getCanonicalPath
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes("UTF-8"))
     md.take(4).map(b => f"$b%02x").mkString
@@ -38,6 +44,41 @@ object Warehouse {
 
   /** The namespaced physical name of a landed table for a corpus dir. */
   def tbl(dir: String, base: String): String = s"${base}_${ns(dir)}"
+
+  // ---------- Hadoop FileSystem seam (round 16 — portability) ---------------
+  //
+  // Every filesystem touch of the identity / commit / GC layer —
+  // corpus fingerprints, the manifest log, tombstone size probes,
+  // committed-location walks, generation GC — goes through the Hadoop
+  // FileSystem API resolved from the path's own scheme, so the
+  // warehouse layer runs wherever Spark itself reads (file://,
+  // hdfs://; a path without a scheme resolves against
+  // fs.defaultFS). The one filesystem-SPECIFIC primitive is the
+  // manifest commit's atomic fail-if-exists claim — see
+  // [[writeManifestAttempt]] for the per-scheme strategy and the S3
+  // caveat.
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def warehousePath(spark: SparkSession): Path =
+    new Path(spark.conf.get("spark.sql.warehouse.dir"))
+
+  /** List a directory's immediate children, empty when absent. */
+  private def listDir(fs: FileSystem, p: Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    try fs.listStatus(p).toSeq
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+
+  /** All regular FILES under `p` (recursive), empty when absent. */
+  private def listFilesRec(fs: FileSystem, p: Path)
+      : Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+    if (!fs.exists(p)) return Seq.empty
+    val out = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) out += it.next()
+    out.result()
+  }
 
   /** Content fingerprint of one corpus table's parquet files — the
     * data-version component of every ensure* freshness key (round-14):
@@ -52,36 +93,41 @@ object Warehouse {
     * under a byte-identical re-land (mtime is deliberately excluded),
     * so re-copying the same corpus never forces a rebuild.
     */
-  def corpusFingerprint(dir: String, table: String): String =
-    manifestHash(new java.io.File(dir, s"$table.parquet"))
+  def corpusFingerprint(dir: String, table: String): String = {
+    // plain-Configuration resolution (no session at hand in the pure
+    // build-key helpers): file:// and fully-qualified hdfs:// URIs
+    // both resolve without site config
+    val p = new Path(dir, s"$table.parquet")
+    manifestHash(p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+  }
 
   /** The manifest-hash body of [[corpusFingerprint]], reusable over
     * any file tree (the tombstone-state fingerprint hashes a warehouse
     * table directory with it).
     */
-  private def manifestHash(root: java.io.File): String = {
+  private def manifestHash(fs: FileSystem, root: Path): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    def eat(f: java.io.File, rel: String): Unit =
-      if (f.isDirectory) {
-        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName)
-          .foreach(c => eat(c, s"$rel/${c.getName}"))
-      } else if (f.isFile) {
+    def eat(st: org.apache.hadoop.fs.FileStatus, rel: String): Unit =
+      if (st.isDirectory) {
+        listDir(fs, st.getPath).sortBy(_.getPath.getName)
+          .foreach(c => eat(c, s"$rel/${c.getPath.getName}"))
+      } else if (st.isFile) {
+        val len = st.getLen
         md.update(rel.getBytes("UTF-8"))
-        md.update(java.nio.ByteBuffer.allocate(8).putLong(f.length()).array())
-        val in = new java.io.RandomAccessFile(f, "r")
+        md.update(java.nio.ByteBuffer.allocate(8).putLong(len).array())
+        val in = fs.open(st.getPath)
         try {
-          val head = new Array[Byte](math.min(4096L, f.length()).toInt)
-          in.readFully(head)
+          val head = new Array[Byte](math.min(4096L, len).toInt)
+          in.readFully(0L, head)
           md.update(head)
-          if (f.length() > 4096L) {
-            val tail = new Array[Byte](math.min(4096L, f.length() - 4096L).toInt)
-            in.seek(f.length() - tail.length)
-            in.readFully(tail)
+          if (len > 4096L) {
+            val tail = new Array[Byte](math.min(4096L, len - 4096L).toInt)
+            in.readFully(len - tail.length, tail)
             md.update(tail)
           }
         } finally in.close()
       }
-    eat(root, root.getName)
+    if (fs.exists(root)) eat(fs.getFileStatus(root), root.getName)
     md.digest().map(b => f"$b%02x").mkString
   }
 
@@ -95,14 +141,9 @@ object Warehouse {
   private def dropManaged(spark: SparkSession, tables: Seq[String]): Unit =
     tables.foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val loc = new java.io.File(wh, t)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(loc)
-      }
+      val loc = new Path(warehousePath(spark), t)
+      val fs = fsOf(spark, loc)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
     }
 
   // ---------- atomic manifest commit (round 15) -----------------------------
@@ -138,10 +179,8 @@ object Warehouse {
                                      tabs: Map[String, String],
                                      postGen: Option[Long])
 
-  private def manifestDir(spark: SparkSession, dir: String): java.io.File = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    new java.io.File(wh, s"_graft_manifest_${ns(dir)}")
-  }
+  private def manifestDir(spark: SparkSession, dir: String): Path =
+    new Path(warehousePath(spark), s"_graft_manifest_${ns(dir)}")
 
   private val ManifestV = "v(\\d{10})".r
 
@@ -163,103 +202,138 @@ object Warehouse {
     * references, so a reader resolved against any version in the log
     * window stays servable).
     */
+  private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
+    val st = fs.getFileStatus(p)
+    val buf = new Array[Byte](st.getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0L, buf) finally in.close()
+    buf
+  }
+
   private def readManifestLog(spark: SparkSession, dir: String)
       : Seq[Manifest] = {
     val d = manifestDir(spark, dir)
-    Option(d.listFiles()).toSeq.flatten
-      .flatMap(f => f.getName match {
-        case ManifestV(n) => Some((n.toLong, f))
+    val fs = fsOf(spark, d)
+    listDir(fs, d)
+      .flatMap(f => f.getPath.getName match {
+        case ManifestV(n) => Some((n.toLong, f.getPath))
         case _            => None
       })
       .sortBy(_._1)
-      .flatMap { case (v, f) =>
+      .flatMap { case (v, p) =>
         // cross-process tolerance (round-16 advice fix): the
         // truncation arm of a concurrent commit may delete a version
         // file between our listing and our read — a vanished file was
         // by definition below the concurrent writer's max−16, so it
         // is never the version a correct read returns; skip it
-        try Some(parseManifest(v, new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")))
+        try Some(parseManifest(v, new String(readBytes(fs, p), "UTF-8")))
         catch {
-          case _: java.nio.file.NoSuchFileException => None
-          case _: java.io.FileNotFoundException     => None
+          case _: java.io.FileNotFoundException => None
         }
       }
   }
 
   private[graft] def readManifest(spark: SparkSession, dir: String): Manifest = {
     val d = manifestDir(spark, dir)
+    val fs = fsOf(spark, d)
     // read only the max version; on a cross-process race (a concurrent
     // commit's truncation arm deleted our listed max — possible only
     // when 17+ commits landed since the listing) re-list and retry
     // rather than crash (round-16 advice fix)
     while (true) {
-      val versions = Option(d.listFiles()).toSeq.flatten
-        .flatMap(f => f.getName match {
-          case ManifestV(n) => Some((n.toLong, f))
+      val versions = listDir(fs, d)
+        .flatMap(f => f.getPath.getName match {
+          case ManifestV(n) => Some((n.toLong, f.getPath))
           case _            => None
         })
       if (versions.isEmpty) return Manifest(0L, Map.empty, None)
-      val (v, f) = versions.maxBy(_._1)
-      try return parseManifest(v, new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      val (v, p) = versions.maxBy(_._1)
+      try return parseManifest(v, new String(readBytes(fs, p), "UTF-8"))
       catch {
-        case _: java.nio.file.NoSuchFileException => ()
-        case _: java.io.FileNotFoundException     => ()
+        case _: java.io.FileNotFoundException => ()
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
-  /** One atomic publish attempt of `m` AT its version number: the
-    * content is fully written to a temp file first, then hard-linked
-    * to the version name — link creation is the atomic claim+publish
-    * (fails iff the version was already taken). Returns false on a
-    * lost race.
+  /** One atomic publish attempt of `m` AT its version number. The
+    * content is fully written to a temp file first, then CLAIMED at
+    * the version name with the strongest fail-if-exists primitive the
+    * filesystem offers; returns false on a lost race. Per scheme:
+    *
+    *  - local (file://): hard link — POSIX link(2) is atomic and
+    *    fails iff the name exists. Filesystems without hard links
+    *    (overlayfs, some network mounts) degrade to exists-check +
+    *    atomic rename: POSIX rename overwrites silently, so the claim
+    *    becomes check-then-rename — a TOCTOU residue bounded to
+    *    link-less LOCAL filesystems, where two same-version racers
+    *    can both "win" the claim (content last-writer-wins; the retry
+    *    loops re-read before acting, so the damage is one lost
+    *    mutate-closure application per same-instant race; disclosed).
+    *  - HDFS (and any FileSystem whose rename is atomic
+    *    fail-if-exists, which the HDFS contract guarantees): write
+    *    temp, `fs.rename(tmp, target)` — the same commit primitive
+    *    every HDFS-backed table format uses.
+    *  - S3/object stores: "rename" is copy+delete and NOT
+    *    fail-if-exists — running the warehouse mutation layer against
+    *    s3a:// requires an external claim service (the position
+    *    Delta Lake/Iceberg take with their commit services); this
+    *    layer does not silently degrade there, it simply inherits
+    *    whatever fs.rename provides. Documented in SURVEY §4.
     */
   private def writeManifestAttempt(spark: SparkSession, dir: String,
                                    m: Manifest): Boolean = {
     val d = manifestDir(spark, dir)
-    d.mkdirs()
+    val fs = fsOf(spark, d)
+    fs.mkdirs(d)
     val content = (m.tabs.toSeq.sorted.map { case (k, v) => s"tab.$k=$v" } ++
       m.postGen.map(g => s"post_gen=$g").toSeq).mkString("\n") + "\n"
-    val tmp = java.io.File.createTempFile("commit_", ".tmp", d)
-    val target = new java.io.File(d, f"v${m.version}%010d").toPath
-    try {
-      java.nio.file.Files.write(tmp.toPath, content.getBytes("UTF-8"))
-      try java.nio.file.Files.createLink(target, tmp.toPath)
-      catch {
-        // filesystems without hard links (overlayfs, some network
-        // mounts; round-16 advice fix): degrade to an atomic rename.
-        // POSIX rename overwrites silently, so the fail-if-exists
-        // claim becomes check-then-rename — a TOCTOU residue bounded
-        // to link-less filesystems; on them two same-version racers
-        // can last-writer-win the FILE but both "win" the claim, and
-        // the retry loops re-read before acting, so the damage is one
-        // lost mutate-closure application per astronomically-unlikely
-        // same-millisecond race (disclosed; real HDFS deployments get
-        // fail-if-exists rename natively — see the SURVEY portability
-        // note).
-        case _: UnsupportedOperationException |
-             _: java.nio.file.FileSystemException
-            if !java.nio.file.Files.exists(target) =>
-          java.nio.file.Files.move(tmp.toPath, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val target = new Path(d, f"v${m.version}%010d")
+    val won =
+      if ("file" == fs.getUri.getScheme) {
+        val ld = java.nio.file.Paths.get(
+          fs.makeQualified(d).toUri.getPath)
+        val tgt = ld.resolve(target.getName)
+        val tmp = java.nio.file.Files.createTempFile(ld, "commit_", ".tmp")
+        try {
+          java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+          try { java.nio.file.Files.createLink(tgt, tmp); true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: UnsupportedOperationException |
+                 _: java.nio.file.FileSystemException
+                if !java.nio.file.Files.exists(tgt) =>
+              java.nio.file.Files.move(tmp, tgt,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              true
+          }
+        } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+      } else {
+        val tmp = new Path(d, s"commit_${java.util.UUID.randomUUID}.tmp")
+        val out = fs.create(tmp, false)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        val ok =
+          try fs.rename(tmp, target)
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          }
+        if (!ok) fs.delete(tmp, false)
+        ok
       }
+    if (won) {
       // log truncation (every streamed micro-batch bumps a version, so
-      // the log must not grow with stream length): superseded version
-      // files are never read — readers take the max — so pruning
-      // strictly below max−16 is safe against any in-flight reader
-      Option(d.listFiles()).toSeq.flatten.foreach { f =>
-        f.getName match {
-          case ManifestV(n) if n.toLong < m.version - 16 => f.delete(); ()
+      // the log must not grow with stream length): pruning strictly
+      // below max−16 keeps the snapshot-retention window AND any
+      // in-flight reader's listed max alive
+      listDir(fs, d).foreach { f =>
+        f.getPath.getName match {
+          case ManifestV(n) if n.toLong < m.version - 16 =>
+            fs.delete(f.getPath, false); ()
           case _ => ()
         }
       }
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally { tmp.delete(); () }
+    }
+    won
   }
 
   /** Mutator fence: bump the manifest version (content otherwise
@@ -1647,24 +1721,25 @@ object Warehouse {
     */
   private def recoverTombTable(spark: SparkSession, dir: String,
                                base: String): Boolean = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val wh = warehousePath(spark)
+    val fs = fsOf(spark, wh)
     // stage-awareness (round-15 advice fix): a crash inside a LEGACY
     // stage-and-rewrite swap of this table leaves its only committed
     // copy in <base>_stage — roll the maintenance layer forward before
     // concluding "no tombstones" (which would silently un-delete);
     // manifest-committed swaps never enter this branch (the standing
     // generation is immutable until the commit)
-    if (new java.io.File(wh, tbl(dir, s"${base}_stage")).exists()) {
+    if (fs.exists(new Path(wh, tbl(dir, s"${base}_stage")))) {
       recoverMaintenance(spark, dir)
       ()
     }
     val phys = physBase(readManifest(spark, dir), base)
     spark.catalog.tableExists(tbl(dir, phys)) || {
-      val loc = new java.io.File(wh, tbl(dir, phys))
-      loc.exists() && {
+      val loc = new Path(wh, tbl(dir, phys))
+      fs.exists(loc) && {
         val (cols, parts) = tombSchemas(base)
         spark.sql(s"CREATE TABLE ${tbl(dir, phys)} ($cols) USING parquet " +
-          s"PARTITIONED BY ($parts) LOCATION '${loc.getAbsolutePath}'")
+          s"PARTITIONED BY ($parts) LOCATION '${fs.makeQualified(loc)}'")
         spark.catalog.recoverPartitions(tbl(dir, phys))
         true
       }
@@ -1759,14 +1834,11 @@ object Warehouse {
     */
   private def tombScopeBytes(spark: SparkSession, dir: String,
                              scope: String): Long = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val loc = new java.io.File(
-      new java.io.File(wh, currentTable(spark, dir, "graft_tombstones")),
+    val loc = new Path(
+      new Path(warehousePath(spark), currentTable(spark, dir, "graft_tombstones")),
       s"scope=$scope")
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
-      else if (f.getName.endsWith(".parquet")) f.length() else 0L
-    walk(loc)
+    listFilesRec(fsOf(spark, loc), loc)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
   }
 
   // byte-string parsing via Spark's own machinery (round-16 advice
@@ -1821,11 +1893,11 @@ object Warehouse {
     */
   private[graft] def tombstoneFingerprint(spark: SparkSession,
                                           dir: String): String = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val loc = new java.io.File(
-      new java.io.File(wh, currentTable(spark, dir, "graft_tombstones")),
+    val loc = new Path(
+      new Path(warehousePath(spark), currentTable(spark, dir, "graft_tombstones")),
       s"scope=$LiveScope")
-    if (loc.exists()) manifestHash(loc) else "none"
+    val fs = fsOf(spark, loc)
+    if (fs.exists(loc)) manifestHash(fs, loc) else "none"
   }
 
   /** Explicit re-admission — the inverse of [[deleteDocs]] (a
@@ -2001,10 +2073,12 @@ object Warehouse {
         Some(spark.table(tbl(dir, phys)).select(col(c).as("doc_id")))
       else None
     }
-    def corpusOf(table: String, c: String): Option[DataFrame] =
-      if (new java.io.File(dir, s"$table.parquet").exists())
+    def corpusOf(table: String, c: String): Option[DataFrame] = {
+      val p = new Path(dir, s"$table.parquet")
+      if (fsOf(spark, p).exists(p))
         Some(Tables.table(spark, dir, table).select(col(c).as("doc_id")))
       else None
+    }
     val surfaces: Seq[DataFrame] = Seq(
       corpusOf("documents", "doc_id"), corpusOf("embeddings", "vec_id"),
       idsOf("graft_post_lists", "doc_id"), idsOf("graft_ivf_lists", "vec_id"),
@@ -2335,13 +2409,13 @@ object Warehouse {
                           parts: Seq[String] = Nil): Boolean = {
     val t = tbl(dir, base)
     spark.catalog.tableExists(t) || {
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val loc = new java.io.File(wh, t)
-      committedLoc(loc) && {
+      val loc = new Path(warehousePath(spark), t)
+      val fs = fsOf(spark, loc)
+      committedLoc(fs, loc) && {
         // a committed-but-empty location (only _SUCCESS survives) has
         // no footers to infer from — unadoptable, let the gate rebuild
         val inferredOpt =
-          scala.util.Try(spark.read.parquet(loc.getAbsolutePath).schema)
+          scala.util.Try(spark.read.parquet(loc.toString).schema)
         inferredOpt.isSuccess && {
         val inferred = inferredOpt.get
         val dataDdl = inferred.fields.filterNot(f => parts.contains(f.name))
@@ -2356,7 +2430,7 @@ object Warehouse {
           case None => ""
         }
         spark.sql(s"CREATE TABLE $t ($cols) USING parquet" +
-          s"$partClause$bucketClause LOCATION '${loc.getAbsolutePath}'")
+          s"$partClause$bucketClause LOCATION '${fs.makeQualified(loc)}'")
         if (parts.nonEmpty) spark.catalog.recoverPartitions(t)
         true
         }
@@ -2370,14 +2444,11 @@ object Warehouse {
     * parquet file exists), `_temporary` exists only while a write job
     * is in flight.
     */
-  private def committedLoc(loc: java.io.File): Boolean =
-    loc.exists() && !new java.io.File(loc, "_temporary").exists() && {
-      def walk(f: java.io.File): Boolean =
-        if (f.isDirectory)
-          Option(f.listFiles()).toSeq.flatten.exists(walk)
-        else f.getName == "_SUCCESS" || f.getName.endsWith(".parquet")
-      walk(loc)
-    }
+  private def committedLoc(fs: FileSystem, loc: Path): Boolean =
+    fs.exists(loc) && !fs.exists(new Path(loc, "_temporary")) &&
+      listFilesRec(fs, loc).exists(f =>
+        f.getPath.getName == "_SUCCESS" ||
+          f.getPath.getName.endsWith(".parquet"))
 
   /** The full partition-value strings of a partitioned table (e.g.
     * `batch_id=3/tb=7`) — the concurrency guard's snapshot unit: a
@@ -2456,7 +2527,8 @@ object Warehouse {
     * actions taken.
     */
   def recoverMaintenance(spark: SparkSession, dir: String): Seq[String] = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val wh = warehousePath(spark)
+    val fs = fsOf(spark, wh)
     // generation GC under SNAPSHOT RETENTION (round 16): a version-
     // suffixed physical is dropped only when NO manifest version
     // inside the retention window still references it —
@@ -2483,8 +2555,8 @@ object Warehouse {
     val suffix = s"_${ns(dir)}"
     val Versioned = ("(graft_[a-z_]+__v(\\d+))" +
       java.util.regex.Pattern.quote(suffix)).r
-    val gced = Option(new java.io.File(wh).listFiles()).toSeq.flatten
-      .flatMap(f => f.getName match {
+    val gced = listDir(fs, wh)
+      .flatMap(f => f.getPath.getName match {
         case Versioned(physBaseName, v)
             if v.toLong <= m.version &&
               !keepVersioned.contains(physBaseName) =>
@@ -2500,7 +2572,7 @@ object Warehouse {
       m.tabs.toSeq.flatMap { case (logical, phys) =>
         val windowRefsPlain = window.exists(v => !v.tabs.contains(logical))
         if (phys != logical && !windowRefsPlain &&
-            new java.io.File(wh, tbl(dir, logical)).exists()) {
+            fs.exists(new Path(wh, tbl(dir, logical)))) {
           dropManaged(spark, Seq(tbl(dir, logical)))
           Some(s"gc-superseded ${tbl(dir, logical)}")
         } else None
@@ -2508,24 +2580,27 @@ object Warehouse {
       // stale manifest commit temp files (round-16 advice fix): a
       // crash between the temp write and the link leaks commit_*.tmp;
       // age-guarded so an in-flight writer's fresh temp is never swept
-      Option(manifestDir(spark, dir).listFiles()).toSeq.flatten
-        .filter(f => f.getName.startsWith("commit_") &&
-          f.getName.endsWith(".tmp") &&
-          f.lastModified() < System.currentTimeMillis() - 600000L)
-        .map { f => f.delete(); s"gc-commit-tmp ${f.getName}" }
+      listDir(fs, manifestDir(spark, dir))
+        .filter(f => f.getPath.getName.startsWith("commit_") &&
+          f.getPath.getName.endsWith(".tmp") &&
+          f.getModificationTime < System.currentTimeMillis() - 600000L)
+        .map { f =>
+          fs.delete(f.getPath, false)
+          s"gc-commit-tmp ${f.getPath.getName}"
+        }
     gced ++ SwapManaged.flatMap { case (base, parts, bucketCol) =>
       val stageT = tbl(dir, s"${base}_stage")
-      val stageLoc = new java.io.File(wh, stageT)
-      if (!stageLoc.exists()) None
+      val stageLoc = new Path(wh, stageT)
+      if (!fs.exists(stageLoc)) None
       else {
         val baseT = tbl(dir, base)
-        val baseLoc = new java.io.File(wh, baseT)
-        if (committedLoc(baseLoc)) {
+        val baseLoc = new Path(wh, baseT)
+        if (committedLoc(fs, baseLoc)) {
           dropManaged(spark, Seq(stageT))
           Some(s"dropped-stage $baseT")
-        } else if (committedLoc(stageLoc)) {
+        } else if (committedLoc(fs, stageLoc)) {
           dropManaged(spark, Seq(baseT)) // partial rewrite / catalog ghost
-          scala.util.Try(spark.read.parquet(stageLoc.getAbsolutePath)) match {
+          scala.util.Try(spark.read.parquet(stageLoc.toString)) match {
             case scala.util.Success(raw) =>
               val typed = parts.foldLeft(raw) { (df, p) =>
                 df.withColumn(p, col(p).cast(PartTypes(p)))
@@ -2572,13 +2647,11 @@ object Warehouse {
     * 64 → 2,112 files = +45% probe latency), not data size.
     */
   def maintenanceStatus(spark: SparkSession, dir: String): DataFrame = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val wh = warehousePath(spark)
     def files(table: String): Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory)
-          Option(f.listFiles()).toSeq.flatten.map(walk).sum
-        else if (f.getName.endsWith(".parquet")) 1L else 0L
-      walk(new java.io.File(wh, table))
+      val p = new Path(wh, table)
+      listFilesRec(fsOf(spark, p), p)
+        .count(_.getPath.getName.endsWith(".parquet")).toLong
     }
     val live = tombstoneIds(spark, dir, LiveScope)
     def purgeable(table: String, idCol: String): Long = live match {
