@@ -805,9 +805,11 @@ object SparkEntry {
     // (hex digit parsed via strpos over the lowercase alphabet, bit b
     // living in digit (63-b)/4 at bit b%4); per-bit ±1 votes summed,
     // sig packed via bit_or (bit 63 as the min-long literal — DuckDB
-    // errors on 1<<63); 4×16-bit pigeonhole bands (round 16 — the
-    // f6 layout; was 8×8, whose 256-key bands cap-collapsed on Zipf
-    // text) from the same arithmetic-shift-and-mask both engines
+    // errors on 1<<63); Manku C(6,3) block-combination pigeonhole
+    // bands (round 16 — was 4×16 contiguous, whose 65,536-key bands
+    // still cap-collapse at ~4M docs): 6 blocks of 11/11/11/11/10/10
+    // bits, 20 bands keyed by 3 block values packed into fixed 11-bit
+    // slots — the identical shift-and-mask arithmetic both engines
     // share; bucket cap 64, distinct pairs, hamming = bit_count(xor),
     // top-100 on the full deterministic (hamming, a, b) key.
     "c3_dedup_simhash" ->
@@ -826,9 +828,19 @@ object SparkEntry {
                     ELSE 1::BIGINT << b::INT END
                ELSE 0 END) AS sig
            FROM s GROUP BY 1),
+         blk AS (SELECT doc_id, sig,
+             [(sig >> 0) & 2047, (sig >> 11) & 2047, (sig >> 22) & 2047,
+              (sig >> 33) & 2047, (sig >> 44) & 1023, (sig >> 54) & 1023]
+               AS b6
+           FROM sg),
+         combos(band, i, j, k) AS (VALUES
+           (0,1,2,3), (1,1,2,4), (2,1,2,5), (3,1,2,6), (4,1,3,4),
+           (5,1,3,5), (6,1,3,6), (7,1,4,5), (8,1,4,6), (9,1,5,6),
+           (10,2,3,4), (11,2,3,5), (12,2,3,6), (13,2,4,5), (14,2,4,6),
+           (15,2,5,6), (16,3,4,5), (17,3,4,6), (18,3,5,6), (19,4,5,6)),
          e AS (SELECT doc_id, sig, band,
-             (sig >> (band * 16)::INT) & 65535 AS bkey
-           FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+             (b6[i] << 22) | (b6[j] << 11) | b6[k] AS bkey
+           FROM blk CROSS JOIN combos),
          cap AS (SELECT * FROM (
              SELECT e.*, count(*) OVER (PARTITION BY band, bkey) AS n FROM e)
            WHERE n <= 64),

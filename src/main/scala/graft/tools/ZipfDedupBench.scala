@@ -38,10 +38,11 @@ object ZipfDedupBench {
       // p11b's standing index lands untimed (the ScaleBench prep
       // convention) — the probe is the measured production path
       Warehouse.ensureMinhash(spark, dir)
-      // round 16: c3 default is now 4×16-bit bands and c4's auto path
-      // is the banded-candidate arm — the registered rows measured
-      // here ARE the scale-true forms. The retired defaults (c3 8×8,
-      // c4 prefix/PPJoin) stay measurable as foils behind
+      // round 16: c3 default is now the Manku C(6,3) block-combination
+      // banding and c4's auto path is the banded-candidate arm — the
+      // registered rows measured here ARE the scale-true forms. The
+      // retired defaults (c3 8×8 and 4×16 contiguous, c4
+      // prefix/PPJoin) stay measurable as foils behind
       // SPARK_GRAFT_ZIPF_FOILS=1 so the curves they were retired for
       // remain reproducible without paying their super-linear cost on
       // every run.
@@ -51,6 +52,8 @@ object ZipfDedupBench {
         else Map(
           "c3_8x8_zipf"    -> time(DedupOps.dedupSimhash(spark, dir,
                                      bands = 8, bits = 8)),
+          "c3_4x16_zipf"   -> time(DedupOps.dedupSimhash(spark, dir,
+                                     bands = 4, bits = 16)),
           "c4_prefix_zipf" -> time(DedupOps.ngramJaccardPrefix(spark, dir)))
       foils ++ Map(
         "c2_zipf"   -> time(DedupOps.dedupMinhash(spark, dir)),

@@ -65,9 +65,11 @@ class DedupOpsSpec extends SparkSpec {
       val (a, b) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
       val ham = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
       assert(r.getAs[Int]("hamming") == ham)
-      val shares = (0 until 4).exists(i =>
-        ((sigs(a) >>> (16 * i)) & 0xFFFF) == ((sigs(b) >>> (16 * i)) & 0xFFFF))
-      assert(shares, s"pair $a,$b shares no 16-bit band")
+      // default layout: a pair shares a C(6,3) block-combination band
+      // iff at least 3 of the 6 signature blocks are equal
+      val equalBlocks = (0 until 6).count(i =>
+        DedupOps.simhashBlockOf(sigs(a), i) == DedupOps.simhashBlockOf(sigs(b), i))
+      assert(equalBlocks >= 3, s"pair $a,$b shares no block-combination band")
     }
     val hams = got.map(_.getAs[Int]("hamming"))
     assert(hams.sameElements(hams.sorted))

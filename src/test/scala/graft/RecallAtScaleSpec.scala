@@ -223,7 +223,7 @@ class RecallAtScaleSpec extends SparkSpec {
       .agg(max("doc_id")).head.getLong(0)
     val truth = plantedTextPairs.toSeq.sortBy(_._1).zipWithIndex
       .map { case ((b, _), i) => (b, maxId + 500 + i) }.toSet
-    def rec(cap: Int, bands: Int = 4, bits: Int = 16) = recallOf(
+    def rec(cap: Int, bands: Int = 0, bits: Int = 0) = recallOf(
       DedupOps.dedupSimhash(spark, s"$work/text", bucketCap = cap, limit = all,
           bands = bands, bits = bits)
         .collect()
@@ -231,17 +231,21 @@ class RecallAtScaleSpec extends SparkSpec {
       truth)
     // The planted pairs are hamming-0 by construction (doubled text),
     // so the pigeonhole GUARANTEES a shared band — any loss is
-    // cap-dropping. Round 16: the DEFAULT layout is now 4×16-bit
-    // bands (65,536 keys/band), whose occupancy holds under the
-    // default cap even on this template-heavy corpus — recall at the
-    // default config is FLOORED, not just reported. The retired 8×8
-    // layout stays as an explicit-argument foil: its 256-key bands
-    // cap-collapse here, which is exactly why it was retired.
+    // cap-dropping. Round 16: the DEFAULT layout is now the Manku
+    // C(6,3) block-combination banding (20 bands, ≤33-bit keys),
+    // whose occupancy stays ~0 under the default cap at ANY corpus
+    // size — recall at the default config is FLOORED, not just
+    // reported. Both retired contiguous layouts stay as
+    // explicit-argument foils: 8×8's 256-key bands cap-collapse
+    // right here; 4×16 holds here but collapses again at ~4M docs —
+    // each measured for exactly the reason it was retired.
     val recDefault = rec(64)
     val recSized = rec(256)
+    val recFoil416 = rec(64, bands = 4, bits = 16)
     val recFoil88 = rec(64, bands = 8, bits = 8)
-    info(f"c3 doubled-text recall at $sfDir: default(4x16,cap64) $recDefault%.2f, " +
-      f"cap256 $recSized%.2f, foil(8x8,cap64) $recFoil88%.2f")
+    info(f"c3 doubled-text recall at $sfDir: default(C(6,3),cap64) $recDefault%.2f, " +
+      f"cap256 $recSized%.2f, foil(4x16,cap64) $recFoil416%.2f, " +
+      f"foil(8x8,cap64) $recFoil88%.2f")
     assert(recDefault >= 0.9,
       s"c3 recall $recDefault below pigeonhole floor at the DEFAULT config")
     assert(recSized >= recDefault, "raising the cap must not lose pairs")
@@ -338,24 +342,26 @@ class RecallAtScaleSpec extends SparkSpec {
   }
 
   test("c3 on a Zipf vocabulary: hamming-0 twins vs byte-band concentration, measured") {
-    def rec(cap: Int, bands: Int = 4, bits: Int = 16) = recallOf(
+    def rec(cap: Int, bands: Int = 0, bits: Int = 0) = recallOf(
       DedupOps.dedupSimhash(spark, zipfDir, bucketCap = cap, limit = all,
           bands = bands, bits = bits)
         .collect()
         .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet,
       zipfTruth(500))
     // THE round-16 pin: the hamming-0 planted twins must ALL surface
-    // at the DEFAULT config (4×16-bit bands, cap 64) — this was the
-    // round-15 weak mark (recall 0.35 at the then-default 8×8 layout,
-    // whose 256-key bands Zipf bit-concentration pushed past the cap).
-    // 16-bit bands give 65,536 keys/band, so the same corpus leaves
-    // bucket occupancy far under the cap and the pigeonhole guarantee
-    // is live again. The 8×8 foil is kept measured so the collapse
-    // this layout was retired for stays visible.
+    // at the DEFAULT config (Manku C(6,3) block-combination bands,
+    // cap 64) — this was the round-15 weak mark (recall 0.35 at the
+    // then-default 8×8 layout, whose 256-key bands Zipf
+    // bit-concentration pushed past the cap). ≤33-bit combination
+    // keys leave bucket occupancy ~0 at any corpus size, so the
+    // pigeonhole guarantee is live with no corpus-size-dependent cap
+    // tuning. Both retired contiguous layouts are kept measured so
+    // the collapses they were retired for stay visible.
     val recDefault = rec(64)
+    val recFoil416 = rec(64, bands = 4, bits = 16)
     val recFoil88 = rec(64, bands = 8, bits = 8)
-    info(f"c3 zipf recall: default(4x16,cap64) $recDefault%.2f, " +
-      f"foil(8x8,cap64) $recFoil88%.2f")
+    info(f"c3 zipf recall: default(C(6,3),cap64) $recDefault%.2f, " +
+      f"foil(4x16,cap64) $recFoil416%.2f, foil(8x8,cap64) $recFoil88%.2f")
     assert(recDefault >= 0.999,
       s"c3 zipf planted-twin recall $recDefault below 1.0 at the DEFAULT config")
   }
