@@ -372,6 +372,29 @@ object SparkEntry {
                      wn.n::INT AS n_windows
               FROM wn LEFT JOIN bits USING (doc_id))"""
 
+  /** The Manku C(6,3) block-combination banding replay shared by the
+    * c3/f6/f7/f8-family oracles — GENERATED from
+    * [[operators.DedupOps.simhashBlocks]]/[[operators.DedupOps.simhashCombos]]
+    * so both engines band from one definition (drift between the Spark
+    * layout and the replay is a compile-time impossibility, the
+    * bm25Postings convention). `combosSql` is a derived VALUES table
+    * (band, i, j, k) carrying 1-based positions into the 6-element
+    * block list; `b6Sql` extracts the blocks off a packed 64-bit
+    * signature column (DuckDB's `>>` on BIGINT is arithmetic, the mask
+    * strips the sign fill — same as Spark's shiftright+bitwiseAND);
+    * `blockKeySql` packs a combination's 3 block values into fixed
+    * 11-bit slots, identical arithmetic to `simhashBandCols`.
+    */
+  private val combosSql: String =
+    operators.DedupOps.simhashCombos.zipWithIndex
+      .map { case (c, b) => s"($b, ${c(0) + 1}, ${c(1) + 1}, ${c(2) + 1})" }
+      .mkString("(VALUES ", ", ", ") AS combos(band, i, j, k)")
+  private def b6Sql(sig: String): String =
+    operators.DedupOps.simhashBlocks
+      .map { case (st, w) => s"($sig >> $st) & ${(1L << w) - 1}" }
+      .mkString("[", ", ", "]")
+  private val blockKeySql: String = "(b6[i] << 22) | (b6[j] << 11) | b6[k]"
+
   /** The dir-aware oracle map Verify/VerifyOne actually dump: the
     * static `oracleSql` plus entries whose SQL interpolates
     * DATA-DERIVED constants (e14's trained merge table — training is
@@ -813,7 +836,7 @@ object SparkEntry {
     // share; bucket cap 64, distinct pairs, hamming = bit_count(xor),
     // top-100 on the full deterministic (hamming, a, b) key.
     "c3_dedup_simhash" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
            FROM documents WHERE text IS NOT NULL),
          h AS (SELECT doc_id, md5(tok) AS m FROM t),
          bv AS (SELECT doc_id, b,
@@ -828,19 +851,9 @@ object SparkEntry {
                     ELSE 1::BIGINT << b::INT END
                ELSE 0 END) AS sig
            FROM s GROUP BY 1),
-         blk AS (SELECT doc_id, sig,
-             [(sig >> 0) & 2047, (sig >> 11) & 2047, (sig >> 22) & 2047,
-              (sig >> 33) & 2047, (sig >> 44) & 1023, (sig >> 54) & 1023]
-               AS b6
-           FROM sg),
-         combos(band, i, j, k) AS (VALUES
-           (0,1,2,3), (1,1,2,4), (2,1,2,5), (3,1,2,6), (4,1,3,4),
-           (5,1,3,5), (6,1,3,6), (7,1,4,5), (8,1,4,6), (9,1,5,6),
-           (10,2,3,4), (11,2,3,5), (12,2,3,6), (13,2,4,5), (14,2,4,6),
-           (15,2,5,6), (16,3,4,5), (17,3,4,6), (18,3,5,6), (19,4,5,6)),
-         e AS (SELECT doc_id, sig, band,
-             (b6[i] << 22) | (b6[j] << 11) | b6[k] AS bkey
-           FROM blk CROSS JOIN combos),
+         blk AS (SELECT doc_id, sig, ${b6Sql("sig")} AS b6 FROM sg),
+         e AS (SELECT doc_id, sig, band, $blockKeySql AS bkey
+           FROM blk CROSS JOIN $combosSql),
          cap AS (SELECT * FROM (
              SELECT e.*, count(*) OVER (PARTITION BY band, bkey) AS n FROM e)
            WHERE n <= 64),
@@ -2021,18 +2034,18 @@ object SparkEntry {
     // f8: the stub arm is the whole story on the synthetic corpus —
     // f4's window-field replay (same HUGEINT wrap-around multiply)
     // compared pairwise into delta-sign bits, packed with the f6
-    // bit_or idiom, then f6's band/cap/verify SQL over the
-    // ≥33-window eligible slice. Ints compare where Spark compares
-    // field/65535 doubles — the division is strictly monotone.
-    // Fingerprint prelude (through sg) shared with f8b via audioFpSql
-    // — one source of truth for the replay, the bm25Postings pattern.
+    // bit_or idiom, then f6's band/cap/verify SQL (the generated
+    // C(6,3) block-combination fragments) over the ≥33-window
+    // eligible slice. Ints compare where Spark compares field/65535
+    // doubles — the division is strictly monotone. Fingerprint
+    // prelude (through sg) shared with f8b via audioFpSql — one
+    // source of truth for the replay, the bm25Postings pattern.
     "f8_audio_neardup" ->
       s"""WITH $audioFpSql,
          el AS (SELECT doc_id, afp FROM sg WHERE n_windows >= 33),
-         e AS (SELECT doc_id, afp, band,
-                 (afp >> (band * 16)::INT) & 65535 AS bkey
-               FROM el CROSS JOIN
-                 (SELECT unnest(generate_series(0, 3)) AS band)),
+         blk AS (SELECT doc_id, afp, ${b6Sql("afp")} AS b6 FROM el),
+         e AS (SELECT doc_id, afp, band, $blockKeySql AS bkey
+               FROM blk CROSS JOIN $combosSql),
          cap AS (SELECT * FROM (
              SELECT e.*, count(*) OVER (PARTITION BY band, bkey) AS cnt
              FROM e)
@@ -2064,16 +2077,16 @@ object SparkEntry {
          nb AS (SELECT doc_id, afp, n_windows FROM sg
            WHERE doc_id % ${operators.MultimodalOps.NearDupBatchMod} = 0),
          nbel AS (SELECT doc_id, afp FROM nb WHERE n_windows >= 33),
-         eb0 AS (SELECT doc_id, afp, band,
-             (afp >> (band * 16)::INT) & 65535 AS bkey
-           FROM st CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+         stb AS (SELECT doc_id, afp, ${b6Sql("afp")} AS b6 FROM st),
+         eb0 AS (SELECT doc_id, afp, band, $blockKeySql AS bkey
+           FROM stb CROSS JOIN $combosSql),
          eb AS (SELECT * FROM (
              SELECT eb0.*, count(*) OVER (PARTITION BY band, bkey) AS cnt
              FROM eb0)
            WHERE cnt <= 64),
-         qb AS (SELECT doc_id, afp, band,
-             (afp >> (band * 16)::INT) & 65535 AS bkey
-           FROM nbel CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+         nbb AS (SELECT doc_id, afp, ${b6Sql("afp")} AS b6 FROM nbel),
+         qb AS (SELECT doc_id, afp, band, $blockKeySql AS bkey
+           FROM nbb CROSS JOIN $combosSql),
          cand AS (SELECT DISTINCT q.doc_id AS b_id, e.doc_id AS s_id
            FROM qb q JOIN eb e ON q.band = e.band AND q.bkey = e.bkey),
          nd AS (SELECT b_id, s_id FROM cand
@@ -2099,12 +2112,12 @@ object SparkEntry {
          FROM rz ORDER BY doc_id""",
     // f6: the stub arm is the whole story on the synthetic corpus
     // (c3's simhash replay restricted to the image modality slice),
-    // then 4-band × 16-bit banding, 64-cap, hamming ≤ 3 verify, and
-    // the bidirectional min-partner verdict. Image selection replays
-    // mediaTable's pmod(md5hash64(source), 3) = 0 exactly as
-    // mediaMetaSql does.
+    // then the generated C(6,3) block-combination banding, 64-cap,
+    // hamming ≤ 3 verify, and the bidirectional min-partner verdict.
+    // Image selection replays mediaTable's pmod(md5hash64(source), 3)
+    // = 0 exactly as mediaMetaSql does.
     "f6_image_neardup" ->
-      """WITH md0 AS (SELECT doc_id, text, md5(source) AS msrc
+      s"""WITH md0 AS (SELECT doc_id, text, md5(source) AS msrc
              FROM documents WHERE text IS NOT NULL),
          hx AS (SELECT doc_id, text,
              list_reduce(list_transform(generate_series(1, 16),
@@ -2129,9 +2142,9 @@ object SparkEntry {
                     ELSE 1::BIGINT << b::INT END
                ELSE 0 END) AS phash
            FROM s GROUP BY 1),
-         e AS (SELECT doc_id, phash, band,
-             (phash >> (band * 16)::INT) & 65535 AS bkey
-           FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+         blk AS (SELECT doc_id, phash, ${b6Sql("phash")} AS b6 FROM sg),
+         e AS (SELECT doc_id, phash, band, $blockKeySql AS bkey
+           FROM blk CROSS JOIN $combosSql),
          cap AS (SELECT * FROM (
              SELECT e.*, count(*) OVER (PARTITION BY band, bkey) AS n FROM e)
            WHERE n <= 64),
@@ -2185,15 +2198,15 @@ object SparkEntry {
            WHERE doc_id % ${operators.MultimodalOps.NearDupBatchMod} <> 0),
          nb AS (SELECT * FROM sg
            WHERE doc_id % ${operators.MultimodalOps.NearDupBatchMod} = 0),
-         eb0 AS (SELECT doc_id, phash, band,
-             (phash >> (band * 16)::INT) & 65535 AS bkey
-           FROM st CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+         stb AS (SELECT doc_id, phash, ${b6Sql("phash")} AS b6 FROM st),
+         eb0 AS (SELECT doc_id, phash, band, $blockKeySql AS bkey
+           FROM stb CROSS JOIN $combosSql),
          eb AS (SELECT * FROM (
              SELECT eb0.*, count(*) OVER (PARTITION BY band, bkey) AS n FROM eb0)
            WHERE n <= 64),
-         qb AS (SELECT doc_id, phash, band,
-             (phash >> (band * 16)::INT) & 65535 AS bkey
-           FROM nb CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+         nbb AS (SELECT doc_id, phash, ${b6Sql("phash")} AS b6 FROM nb),
+         qb AS (SELECT doc_id, phash, band, $blockKeySql AS bkey
+           FROM nbb CROSS JOIN $combosSql),
          cand AS (SELECT DISTINCT q.doc_id AS b_id, e.doc_id AS s_id
            FROM qb q JOIN eb e ON q.band = e.band AND q.bkey = e.bkey),
          nd AS (SELECT b_id, s_id FROM cand

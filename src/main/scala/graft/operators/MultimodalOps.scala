@@ -469,8 +469,9 @@ object MultimodalOps {
   /** f8: audio near-dup — completes per-modality content dedup (c12
     * exact text, p11 fuzzy text, f6/f7 image, THIS audio): every audio
     * payload fingerprints to 64 delta-sign bits over its window grid,
-    * then the EXACT f6 band/cap/verify machinery (4×16-bit blocking —
-    * recall guaranteed to hamming 3 — capped buckets, in-array pair
+    * then the EXACT f6 band/cap/verify machinery (C(6,3)
+    * block-combination blocking — recall guaranteed to hamming 3 —
+    * capped buckets, in-array pair
     * expansion, hamming verify, bidirectional min partner) finds
     * near-identical recordings. Docs with fewer than `minWins` windows
     * carry too few delta bits to be evidence (a 1-window doc has
@@ -672,18 +673,20 @@ object MultimodalOps {
   private val aHashUdf = udf((b: Array[Byte]) => aHash64(b))
 
   /** f6: image near-duplicate detection — 64-bit perceptual hash per
-    * image, 4-band × 16-bit pigeonhole blocking (any pair within
-    * hamming ≤ 3 shares a band), bucket-capped candidate generation,
-    * exact hamming verify, and a per-image verdict (min near-duplicate
-    * partner or NULL). The 100 TB story improves on c3's: banding
-    * keeps candidate work bucket-local (no all-pairs) and the 16-bit
-    * band keyspace (65,536 keys per band vs c3's 256) keeps expected
-    * bucket occupancy N/65,536 — under the cap to multi-million-image
-    * corpora, where 8-bit keys saturate by ~100k images and the cap
-    * starts dropping buckets (measured: the first 8-band × 8-bit cut
-    * of this query read FASTER at data ×100 than ×10 because nearly
-    * every bucket had overflowed and been dropped — a fast wrong
-    * curve). Hamming ≤ 3 is also the radius an aHash near-dup
+    * image, C(6,3) block-combination pigeonhole blocking (any pair
+    * within hamming ≤ 3 shares a band — [[DedupOps.simhashBlocks]]),
+    * bucket-capped candidate generation, exact hamming verify, and a
+    * per-image verdict (min near-duplicate partner or NULL). The
+    * 100 TB story: banding keeps candidate work bucket-local (no
+    * all-pairs) and the ≤ 33-bit combination keys keep expected
+    * bucket occupancy ~N/2³¹ — effectively zero into billions of
+    * images, where this query's own history shows narrower keys
+    * collapsing (the first 8-band × 8-bit cut read FASTER at data
+    * ×100 than ×10 because nearly every 256-key bucket had overflowed
+    * and been dropped — a fast wrong curve; the 4×16 second cut
+    * measured 2.7% of buckets over-cap at 500k concentrated-signature
+    * docs — round 16 retired it for the same reason, across every
+    * 64-bit modality at once). Hamming ≤ 3 is also the radius an aHash near-dup
     * actually needs: the spec's noised real-PNG copy lands at
     * distance ≤ 3, and independent images sit near 32. The hash dispatches REAL-first:
     * ImageIO aHash for payloads a registered reader decodes
@@ -706,16 +709,22 @@ object MultimodalOps {
                    col("payload").cast("string")))
           .as("phash"))
 
-  /** f6/f7's 4-band × 16-bit band-key columns over `phash`. */
+  /** f6/f7/f8's band-key columns over `phash`: the same Manku C(6,3)
+    * block-combination layout as c3 (round 16 — was 4 contiguous
+    * 16-bit bands, whose 65,536-key buckets measurably saturate past
+    * ~4M docs on concentrated signatures: 2.7% of buckets over the
+    * default cap at 500k Zipf text docs in the c3 occupancy run; the
+    * same machinery, so the same collapse). One shared
+    * [[DedupOps.simhashBandCols]] layout means one pigeonhole
+    * guarantee (hamming ≤ 3) and one oracle replay across every
+    * 64-bit-signature modality.
+    */
   private def phashBandCols: Seq[org.apache.spark.sql.Column] =
-    (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-             graft.functions.VectorFns.lshBand(col("phash"), b, 16).as("bkey"))
-    }
+    graft.operators.DedupOps.simhashBandCols(col("phash"), 0, 0)
 
   private def requireRadius(maxHamming: Int): Unit =
     require(maxHamming <= 3,
-      s"4-band x 16-bit blocking guarantees recall only to hamming 3, got $maxHamming")
+      s"C(6,3) block-combination blocking guarantees recall only to hamming 3, got $maxHamming")
 
   private[graft] def imageNearDupFrom(imgs: DataFrame, bucketCap: Int,
                                       maxHamming: Int): DataFrame = {
@@ -786,14 +795,15 @@ object MultimodalOps {
     * (doc_id, band, bkey) band index and the (doc_id, phash) signature
     * store over the standing images — the p11 minhash-index shape on
     * pixels. Build-time cap: an over-cap band bucket is dropped whole
-    * (boilerplate by definition at 16-bit keys), same contract as the
-    * one-shot's.
+    * (≥ cap docs sharing 31+ signature bits — boilerplate by
+    * definition), same contract as the one-shot's.
     */
   /** The bucket-capped (doc_id, band, bkey) band index over a
     * (doc_id, phash) signature frame — shared by the image (f7) and
     * audio (f8b) standing-index builds. Build-time cap: an over-cap
-    * band bucket is dropped whole (boilerplate by definition at 16-bit
-    * keys), same contract as the one-shot's.
+    * band bucket is dropped whole (≥ cap docs sharing 31+ signature
+    * bits — boilerplate by definition), same contract as the
+    * one-shot's.
     */
   private def cappedBandIndex(sigs: DataFrame, bucketCap: Int): DataFrame =
     sigs
@@ -854,9 +864,9 @@ object MultimodalOps {
     * image gate): an arriving batch of images is labeled against the
     * STANDING catalog only, never against itself — recrawled or
     * re-encoded images are caught before they enter the corpus. Same
-    * hash (real aHash arm + kernel stub) and same 4×16-bit blocking as
-    * f6; only batch rows are output, each with its min standing
-    * partner.
+    * hash (real aHash arm + kernel stub) and same block-combination
+    * blocking as f6; only batch rows are output, each with its min
+    * standing partner.
     */
   def imageNearDupIncremental(spark: SparkSession, dir: String,
                               bucketCap: Int = 64, maxHamming: Int = 3,
@@ -952,9 +962,9 @@ object MultimodalOps {
     * recordings is fingerprinted and labeled against the STANDING
     * catalog only, never against itself — a re-encoded or re-gained
     * recording is caught before it enters the corpus. Same
-    * fingerprint (real PCM16 arm + stub seam) and same 4×16-bit
-    * blocking as f8; only batch rows are output, each with its min
-    * standing partner.
+    * fingerprint (real PCM16 arm + stub seam) and same
+    * block-combination blocking as f8; only batch rows are output,
+    * each with its min standing partner.
     */
   def audioNearDupIncremental(spark: SparkSession, dir: String,
                               bucketCap: Int = 64, maxHamming: Int = 3,

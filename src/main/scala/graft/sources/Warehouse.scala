@@ -1093,11 +1093,16 @@ object Warehouse {
     sigs.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(tbl(dir, "graft_phash_sigs"))
     writeMeta(spark, dir, "graft_phash_meta",
-              bandIndexKey(dir, "phash", bucketCap, newMod))
+              bandIndexKey(dir, "phash-c63", bucketCap, newMod))
   }
 
   /** Shared build-key shape for the band-index family (minhash, phash,
-    * audio): dir + cap + split modulus + corpus fingerprint.
+    * audio): dir + cap + split modulus + corpus fingerprint. `kind`
+    * carries a band-layout tag ("phash-c63"/"audio-c63" since the
+    * round-16 move to C(6,3) block-combination banding) so an index
+    * landed under a retired layout reads as stale and rebuilds instead
+    * of silently joining new-layout probe keys against old-layout
+    * band rows.
     */
   private def bandIndexKey(dir: String, kind: String, bucketCap: Int,
                            newMod: Int): String =
@@ -1112,7 +1117,7 @@ object Warehouse {
       : Unit =
     if (!metaFresh(spark, dir, "graft_phash_meta",
                    Seq("graft_phash_bands", "graft_phash_sigs"),
-                   bandIndexKey(dir, "phash", bucketCap, newMod)))
+                   bandIndexKey(dir, "phash-c63", bucketCap, newMod)))
       buildPhash(spark, dir, bucketCap, newMod)
 
   /** See [[buildPhash]]; delegate kept next to the other landed probes.
@@ -1147,7 +1152,7 @@ object Warehouse {
     sigs.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(tbl(dir, "graft_audio_sigs"))
     writeMeta(spark, dir, "graft_audio_meta",
-              bandIndexKey(dir, "audio", bucketCap, newMod))
+              bandIndexKey(dir, "audio-c63", bucketCap, newMod))
   }
 
   /** Build f8b's audio index only if the landed one doesn't match
@@ -1158,7 +1163,7 @@ object Warehouse {
       : Unit =
     if (!metaFresh(spark, dir, "graft_audio_meta",
                    Seq("graft_audio_bands", "graft_audio_sigs"),
-                   bandIndexKey(dir, "audio", bucketCap, newMod)))
+                   bandIndexKey(dir, "audio-c63", bucketCap, newMod)))
       buildAudio(spark, dir, bucketCap, newMod)
 
   /** See [[buildAudio]]; delegate kept next to the other landed probes.

@@ -86,6 +86,35 @@ object ZipfDedupBench {
         s""""over_cap64":${stats.getLong(4)}}"""
     }
 
+    /** c3's banding-layer occupancy: over_cap64 = 0 is a direct
+      * pigeonhole proof that NO hamming ≤ 3 pair can be cap-dropped at
+      * this corpus size — recall 1.0 without planting. Reported for
+      * the default C(6,3) layout AND the retired contiguous foils, so
+      * the artifact shows the collapse the defaults were moved off of
+      * (a 4×16 over_cap64 > 0 at ×1000 IS the ~4M-doc collapse).
+      */
+    def c3Occupancy(dir: String, bands: Int, bits: Int): String = {
+      val sigs = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").isNotNull)
+        .select(graft.functions.TextFns.simhash64Kernel(col("text")).as("sig"))
+      val cols = DedupOps.simhashBandCols(col("sig"), bands, bits)
+      val stats = sigs
+        .select(explode(array(cols: _*)).as("bk"))
+        .groupBy(col("bk.band"), col("bk.bkey"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("buckets"),
+             max(col("n")).as("max"),
+             expr("percentile_approx(n, 0.99)").as("p99"),
+             sum(when(col("n") > 64, 1L).otherwise(0L)).as("over_cap64"))
+        .collect()(0)
+      s"""{"buckets":${stats.getLong(0)},"max":${stats.getLong(1)},""" +
+        s""""p99":${stats.getLong(2)},"over_cap64":${stats.getLong(3)}}"""
+    }
+    def c3OccAll(dir: String): String =
+      s"""{"default":${c3Occupancy(dir, 0, 0)},""" +
+        s""""foil_4x16":${c3Occupancy(dir, 4, 16)},""" +
+        s""""foil_8x8":${c3Occupancy(dir, 8, 8)}}"""
+
     val b = measure(base)
     val s2 = measure(scaled)
     def obj(m: Map[String, Double]) =
@@ -94,7 +123,7 @@ object ZipfDedupBench {
     val ratios = b.keys.toSeq.sorted.map { k =>
       s""""$k":${f"${s2(k) / b(k)}%.2f"}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"zipf_dedup_bench","base":"$base","scaled":"$scaled","repeats":$repeats,"base_sec":${obj(b)},"scaled_sec":${obj(s2)},"ratio":$ratios,"base_occupancy":${occupancy(base)},"scaled_occupancy":${occupancy(scaled)}}""")
+    println(s"""{"metric":"zipf_dedup_bench","base":"$base","scaled":"$scaled","repeats":$repeats,"base_sec":${obj(b)},"scaled_sec":${obj(s2)},"ratio":$ratios,"base_occupancy":${occupancy(base)},"scaled_occupancy":${occupancy(scaled)},"base_c3_occupancy":${c3OccAll(base)},"scaled_c3_occupancy":${c3OccAll(scaled)}}""")
     spark.stop()
   }
 }

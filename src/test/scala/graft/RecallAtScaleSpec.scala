@@ -373,9 +373,9 @@ class RecallAtScaleSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSet
     val recall = imgPlantedIds.count(flagged) / nPlant.toDouble
     info(f"f6 planted image near-dup recall at $sfDir: $recall%.2f")
-    // hamming-0 plantings are inside the 4-band pigeonhole guarantee,
-    // and 16-bit band keys put ~N/65536 docs per bucket at this SF —
-    // no cap pressure, so the floor is exact
+    // hamming-0 plantings are inside the C(6,3) block-combination
+    // pigeonhole guarantee, and ≤33-bit band keys leave bucket
+    // occupancy ~0 at this SF — no cap pressure, so the floor is exact
     assert(recall == 1.0, s"f6 lost planted hamming-0 pairs: $recall")
   }
 
