@@ -19,8 +19,11 @@ object GraphOps {
     * Components in MapReduce and Beyond") reduces to on min-labeled
     * graphs. Lineage is truncated per round via localCheckpoint so the
     * plan does not grow with iterations; each round runs exactly ONE
-    * Spark job — the convergence count is fused into the aggregate
-    * that materializes the round's checkpoint.
+    * Spark job — the convergence witness (the exact label sum) is
+    * fused into the aggregate that materializes the round's
+    * checkpoint, and the neighbor-min step folds the node's own label
+    * in through a union instead of a join-back (one fewer join per
+    * round).
     *
     * Correctness of the fixpoint: labels start at self-id and only
     * ever decrease, always holding an id of a same-component node. At
@@ -47,34 +50,44 @@ object GraphOps {
       .localCheckpoint(false)
     var iter = 0
     var converged = false
+    // Convergence witness: labels only ever decrease pointwise, so the
+    // label SUM is strictly decreasing until — and constant at — the
+    // fixpoint. Tracking the sum across rounds replaces the old
+    // `prev`-column + left-join-back formulation: one fewer join per
+    // round (guide §2.4), one fewer checkpointed column, same fused
+    // one-job-per-round materialization. DECIMAL(38,0) keeps the sum
+    // exact at any node count / id magnitude (a double sum could make
+    // two different label states compare equal).
+    var prevSum: Option[java.math.BigDecimal] = None
     while (iter < maxIter && !converged) {
-      val nbrMin = labels
-        .join(sym, col("id") === col("a"))
-        .groupBy(col("b")).agg(min(col("label")).as("nbr_min"))
-      // the round's starting label rides along as `prev` so the
-      // convergence check needs no second join against `labels`
+      // neighbor-min WITH self in one aggregate: min over (own label ∪
+      // neighbors' labels) ≡ the old least(label, nbr_min) — the
+      // labels ⋈ nbrMin join-back is gone
       val stepped = labels
-        .join(nbrMin, col("id") === col("b"), "left")
-        .select(col("id"), col("label").as("prev"),
-                least(col("label"), coalesce(col("nbr_min"), col("label")))
-                  .as("label"))
+        .union(sym.join(labels, col("id") === col("a"))
+                 .select(col("b").as("id"), col("label")))
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
       val ptr = stepped
         .select(col("id").as("pid"), col("label").as("plabel"))
       val next = stepped
         .join(ptr, col("label") === col("pid"), "left")
-        .select(col("id"), col("prev"),
+        .select(col("id"),
                 least(col("label"), coalesce(col("plabel"), col("label")))
                   .as("label"))
         .localCheckpoint(false)
-      // Labels only ever decrease, so "no label changed" is fixpoint.
-      // The change count is FUSED into the materializing aggregate:
-      // one job per round both persists the checkpoint (every
-      // partition, not whatever a limit-1 probe happens to touch) and
-      // answers convergence — previously a separate probe job.
-      converged = next
-        .agg(count(when(col("label") < col("prev"), 1)).as("n_changed"))
-        .head.getLong(0) == 0L
-      labels = next.select(col("id"), col("label"))
+      // One job per round: the aggregate both persists the checkpoint
+      // (every partition) and answers convergence.
+      val sumNow = Option(next
+        .agg(sum(col("label")).cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)).as("s"))
+        .head.getDecimal(0))
+      converged = (prevSum, sumNow) match {
+        case (Some(p), Some(s)) => p.compareTo(s) == 0
+        case (None, None)       => iter > 0 // empty node set: trivial fixpoint
+        case _                  => false
+      }
+      prevSum = sumNow
+      labels = next
       iter += 1
     }
     if (!converged)

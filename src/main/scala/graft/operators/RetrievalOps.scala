@@ -107,27 +107,74 @@ object RetrievalOps {
     */
   private def bm25ScoreTail(matched: DataFrame, stats: DataFrame,
                             qterms: DataFrame, k: Int,
-                            exclSelf: Boolean): DataFrame = {
-    val dfs = matched.groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("df"))
-    val cands0 = matched
-      .join(broadcast(qterms), "term")
-      .join(broadcast(dfs), "term")
+                            exclSelf: Boolean, maxTerms: Int): DataFrame = {
+    // ONE linear pass over `matched` (guide §2.4): the old shape had
+    // TWO consumers — a df groupBy branch and the candidate stream —
+    // and since the df branch exchanged on term while the candidate
+    // branch stayed map-side under broadcast joins, no exchange could
+    // be shared and the matched lineage (a full corpus tokenization
+    // pass at the one-shot) ran TWICE. Instead: df(t) rides in as a
+    // COUNT WINDOW on the term exchange (same value — matched is
+    // (term, doc) unique), then one repartition by doc_id whose
+    // hash(doc_id) partitioning satisfies the score fold's
+    // ClusteredDistribution(query_id, doc_id) — every row of a
+    // (query, doc) group shares the doc — so the per-(query, doc)
+    // fold below aggregates EXCHANGE-FREE. That fold's shuffle was the
+    // single largest exchange in d17/d17b (155–273 MB of 3.1M-row
+    // aggregation state); what remains is two narrow exchanges of the
+    // matched slice itself, which is query-bounded (≈ Σ_t df(t) rows)
+    // at any corpus size.
+    val wDf = Window.partitionBy(col("term"))
+    val mat = matched
+      .withColumn("df", count(lit(1)).over(wDf).cast("double"))
+      .repartition(col("doc_id"))
+    // Each query's terms get a DENSE per-query ordinal in term-ASC
+    // order (a window over the TINY qterms frame). Within one
+    // (query, doc) group every contribution carries a distinct tord ≤
+    // maxTerms, and tord order ≡ term order — which is what lets the
+    // deterministic fold below run as a PIVOTED, partial-aggregable
+    // HashAggregate instead of collect_list + array_sort: the old
+    // object aggregate shipped every (term, s) struct through the
+    // (query, doc) exchange (measured 3.98 s of shuffle write / 155 MB
+    // serialized on d17's 3.1M-candidate stream) and aggregated
+    // object-typed; the pivot ships ≤ maxTerms doubles per GROUP
+    // map-side combined, fully codegen (guide §2.3: aggregate before
+    // you shuffle).
+    val wOrd = Window.partitionBy(col("query_id")).orderBy(col("term"))
+    val qt = qterms.withColumn("tord", row_number().over(wOrd))
+    val cands0 = mat
+      .join(broadcast(qt), "term")
       .crossJoin(broadcast(stats))
     val cands = if (exclSelf) cands0.filter(col("doc_id") =!= col("query_id"))
                 else cands0
     val contrib = cands.select(
-      col("query_id"), col("doc_id"), col("term"),
+      col("query_id"), col("doc_id"), col("tord"),
       bm25Term(col("tf").cast("double"), col("df"),
                col("dl").cast("double"), col("n"), col("avgdl")).as("s"))
-    // deterministic accumulation: fold the (term ASC)-sorted
-    // contribution list — identical order in DuckDB's list_reduce
+    // deterministic accumulation, same order as the oracle's
+    // term-ASC list_reduce: fold the tord-indexed slots ascending.
+    // max(when(tord = i, s)) is the slot's single value (tord is
+    // unique per group); absent slots are null and are filtered out
+    // of the fold, so the accumulation sequence is exactly the sorted
+    // contribution list. The n_terms cross-check raises instead of
+    // silently mis-scoring if any contribution missed its slot (tord
+    // > maxTerms would be a caller bug).
+    val slots = (1 to maxTerms).map(i =>
+      max(when(col("tord") === i, col("s"))).as(s"_s$i"))
+    val folded = aggregate(
+      filter(array((1 to maxTerms).map(i => col(s"_s$i")): _*),
+             x => x.isNotNull),
+      lit(0.0d), (acc, x) => acc + x)
+    val nNonNull = size(filter(array((1 to maxTerms).map(i => col(s"_s$i")): _*),
+                               x => x.isNotNull)).cast("long")
     val scored = contrib.groupBy(col("query_id"), col("doc_id"))
-      .agg(aggregate(
-             transform(array_sort(collect_list(struct(col("term"), col("s")))),
-                       x => x.getField("s")),
-             lit(0.0d), (acc, x) => acc + x).as("score"),
-           count(lit(1)).cast("long").as("n_terms"))
+      .agg(slots.head, (slots.tail :+
+        count(lit(1)).cast("long").as("n_terms")): _*)
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+              when(nNonNull === col("n_terms"), folded)
+                .otherwise(raise_error(lit(
+                  "bm25ScoreTail: tord overflow — maxTerms too small")))
+                .as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -147,13 +194,20 @@ object RetrievalOps {
     * the survivors; df counts (term, doc) rows AFTER that aggregation.
     */
   private def bm25Rank(spark: SparkSession, dir: String, qterms: DataFrame,
-                       k: Int, exclSelf: Boolean): DataFrame = {
+                       k: Int, exclSelf: Boolean, maxTerms: Int): DataFrame = {
     val terms = qterms.select(col("term")).distinct()
     val matched = tokenStream(spark, dir).join(broadcast(terms), "term")
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-    bm25ScoreTail(matched, corpusStats(spark, dir), qterms, k, exclSelf)
+    bm25ScoreTail(matched, corpusStats(spark, dir), qterms, k, exclSelf,
+                  maxTerms)
   }
+
+  /** Static per-query distinct-term bound for a literal (id, text)
+    * workload — the pivot width [[bm25ScoreTail]] folds over.
+    */
+  private def maxQueryTerms(qs: Seq[(Int, String)]): Int =
+    qs.map(_._2.split(" ").filter(_.nonEmpty).distinct.length).max
 
   // ---------- landed posting index (e16b/d17b; Warehouse.buildPostings) ----
 
@@ -246,6 +300,7 @@ object RetrievalOps {
   private[graft] def bm25RankIndexed(spark: SparkSession, dir: String,
                                      qterms: DataFrame,
                                      k: Int, exclSelf: Boolean,
+                                     maxTerms: Int = 16,
                                      tombScope: String =
                                        graft.sources.Warehouse.LiveScope)
       : DataFrame = {
@@ -269,7 +324,7 @@ object RetrievalOps {
         dir, "doc_id", tombScope)
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
     bm25ScoreTail(matched, landedStats(spark, dir, tombScope), qterms, k,
-                  exclSelf)
+                  exclSelf, maxTerms)
   }
 
   /** e16's literal query workload as (query_id, term) rows. */
@@ -283,7 +338,8 @@ object RetrievalOps {
 
   /** e16: BM25 top-k per query over the fixed literal workload. */
   def bm25Search(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
-    bm25Rank(spark, dir, bm25QueryTerms(spark), k, exclSelf = false)
+    bm25Rank(spark, dir, bm25QueryTerms(spark), k, exclSelf = false,
+             maxTerms = maxQueryTerms(Bm25Queries))
 
   /** e16b: the same search through the landed posting index — the
     * production retrieval posture (the d10→d12 amortization applied
@@ -293,7 +349,8 @@ object RetrievalOps {
   def bm25SearchIndexed(spark: SparkSession, dir: String,
                         k: Int = 10): DataFrame = {
     graft.sources.Warehouse.ensurePostings(spark, dir)
-    bm25RankIndexed(spark, dir, bm25QueryTerms(spark), k, exclSelf = false)
+    bm25RankIndexed(spark, dir, bm25QueryTerms(spark), k, exclSelf = false,
+                    maxTerms = maxQueryTerms(Bm25Queries))
   }
 
   /** e16z (round 15): the landed BM25 probe over the deterministic
@@ -314,7 +371,8 @@ object RetrievalOps {
       .select(col("query_id").cast("long").as("query_id"),
               explode(array_distinct(
                 filter(split(col("qtext"), " "), w => w =!= ""))).as("term"))
-    bm25RankIndexed(spark, dir, qt, k, exclSelf = false)
+    bm25RankIndexed(spark, dir, qt, k, exclSelf = false,
+                    maxTerms = maxQueryTerms(ZipfCheck.Queries))
   }
 
   /** e16c: the deletion demo — e16b's landed probe AFTER retracting
@@ -342,7 +400,7 @@ object RetrievalOps {
         .select(col("doc_id")),
       scope)
     bm25RankIndexed(spark, dir, bm25QueryTerms(spark), k, exclSelf = false,
-                    tombScope = scope)
+                    maxTerms = maxQueryTerms(Bm25Queries), tombScope = scope)
   }
 
   /** The e16b probe WITHOUT the freshness gate — for callers that just
@@ -353,7 +411,8 @@ object RetrievalOps {
   private[graft] def bm25SearchIndexedUnchecked(spark: SparkSession,
                                                 dir: String,
                                                 k: Int = 10): DataFrame =
-    bm25RankIndexed(spark, dir, bm25QueryTerms(spark), k, exclSelf = false)
+    bm25RankIndexed(spark, dir, bm25QueryTerms(spark), k, exclSelf = false,
+                    maxTerms = maxQueryTerms(Bm25Queries))
 
   /** d17's text side: each query DOC's top-`nTerms` terms by
     * (tf·idf DESC, term ASC) — the Lucene-MoreLikeThis term selection
@@ -498,8 +557,15 @@ object RetrievalOps {
   def hybridRetrieval(spark: SparkSession, dir: String, k: Int = 10,
                       nq: Int = SimOps.FixedQBatch, nTerms: Int = 8,
                       listK: Int = 20): DataFrame = {
-    val text = bm25Rank(spark, dir, queryDocTerms(spark, dir, nq, nTerms),
-                        listK, exclSelf = true)
+    // the selected-terms frame is ≤ |Q|·nTerms rows at ANY corpus size
+    // but its lineage is a corpus df pass + window — and bm25Rank
+    // consumes it twice (the distinct probe-term set and the broadcast
+    // scoring join). Materialize it once (the fuzzyDedup localCheckpoint
+    // pattern) so the more-like-this selection pass runs once per query
+    // instead of twice (guide §1.2: don't compute things twice).
+    val qterms = queryDocTerms(spark, dir, nq, nTerms).localCheckpoint(false)
+    val text = bm25Rank(spark, dir, qterms, listK, exclSelf = true,
+                        maxTerms = nTerms)
       .select(col("query_id"), col("doc_id"), col("rnk").as("trnk"))
     val vec = SimOps.annIvf(spark, dir, k = listK, nq = nq)
       .select(col("query_id"), col("cand_id").as("doc_id"),
@@ -525,10 +591,10 @@ object RetrievalOps {
                                graft.sources.Warehouse.LiveScope): DataFrame = {
     graft.sources.Warehouse.ensurePostings(spark, dir)
     graft.sources.Warehouse.ensureIvf(spark, dir, kmeansIters = 0)
-    val text = bm25RankIndexed(spark, dir,
-                               queryDocTermsIndexed(spark, dir, nq, nTerms,
-                                                    tombScope),
-                               listK, exclSelf = true, tombScope)
+    val qterms = queryDocTermsIndexed(spark, dir, nq, nTerms, tombScope)
+    val text = bm25RankIndexed(spark, dir, qterms,
+                               listK, exclSelf = true, maxTerms = nTerms,
+                               tombScope = tombScope)
       .select(col("query_id"), col("doc_id"), col("rnk").as("trnk"))
     val vec = graft.sources.Warehouse
       .annIvfFlatIndexed(spark, dir, k = listK, nq = nq,

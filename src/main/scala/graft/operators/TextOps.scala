@@ -118,12 +118,18 @@ object TextOps {
       .select(col("lang"), col("text"))
     val byLangCnt = Window.partitionBy(col("lang"))
       .orderBy(col("c").desc, col("g"))
+    // ≤ nLang·K rows, but the lineage is a sampled-corpus gram explode
+    // + count + rank — and it has TWO consumers below (the distinct
+    // lang list and the broadcast profile join), which re-ran the
+    // whole training pass twice. Materialize once (the fuzzyDedup
+    // localCheckpoint pattern; guide §1.2).
     val profiles = sample
       .select(col("lang"), explode(charGrams(col("text"))).as("g"))
       .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
       .withColumn("prnk", row_number().over(byLangCnt))
       .filter(col("prnk") <= LangProfileK)
       .select(col("lang").as("plang"), col("g"), col("prnk"))
+      .localCheckpoint(false)
     // per-doc profiles via the per-ROW CharGramRanks kernel: counting,
     // (count DESC, gram) ranking and the top-K cut happen inside each
     // row, so the doc side never explodes ~900 gram rows per doc

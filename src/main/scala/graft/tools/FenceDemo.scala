@@ -108,7 +108,7 @@ object FenceDemo {
     def hits(token: String, id: Long): Boolean =
       RetrievalOps.bm25RankIndexed(spark, dir,
           Seq((0L, token)).toDF("query_id", "term"), k = 5,
-          exclSelf = false)
+          exclSelf = false, maxTerms = 1)
         .collect().exists(_.getAs[Long]("doc_id") == id)
     val bothIntact = hits("zzfencea", 999991001L) &&
       hits("zzfenceb", 999991002L)

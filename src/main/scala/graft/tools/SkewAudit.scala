@@ -39,7 +39,7 @@ object SkewAudit {
 
     Warehouse.ensurePostings(spark, dir) // untimed prep + warmup scan
     RetrievalOps.bm25RankIndexed(spark, dir, qterms, k = 10,
-        exclSelf = false)
+        exclSelf = false, maxTerms = 3)
       .write.format("noop").mode("overwrite").save()
 
     val tasks = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
@@ -52,7 +52,7 @@ object SkewAudit {
     val t0 = System.nanoTime()
     (1 to repeats).foreach { _ =>
       RetrievalOps.bm25RankIndexed(spark, dir, qterms, k = 10,
-          exclSelf = false)
+          exclSelf = false, maxTerms = 3)
         .write.format("noop").mode("overwrite").save()
     }
     val wall = (System.nanoTime() - t0) / 1e9

@@ -39,7 +39,7 @@ object TombBench {
     }
     def probeDf: DataFrame =
       RetrievalOps.bm25RankIndexed(spark, dir, qterms, k = 10,
-                                   exclSelf = false)
+                                   exclSelf = false, maxTerms = 3)
     def time(df: => DataFrame): Double = (1 to repeats).map { _ =>
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()

@@ -59,7 +59,8 @@ object ZipfBench {
       Warehouse.ensureNbModel(spark, dir)
       Map(
         "e16b_zipf" -> time(RetrievalOps.bm25RankIndexed(
-          spark, dir, qterms(spark), k = 10, exclSelf = false)),
+          spark, dir, qterms(spark), k = 10, exclSelf = false,
+          maxTerms = 8)),
         "d17b_zipf" -> time(RetrievalOps.hybridRetrievalIndexed(spark, dir)),
         "e17b_zipf" -> time(TextOps.qualityClassifierIndexed(spark, dir)))
     }
