@@ -479,15 +479,31 @@ object MarketOps {
     // guarantees rank error ≤ 0.001, so the ≤-fraction must sit in
     // [0.48, 0.52] (slack covers per-group granularity and ties).
     val joined = li.join(p, col("l_partkey") === col("p_partkey"))
-    val agg = joined
+    // The exact `owners` (the verification column) is decomposed out of
+    // the sketch pass: mixed exact-distinct + sketch aggregation made
+    // Spark key the PARTIAL aggregate on (brand, suppkey) with the
+    // HLL++ partial's ~400-long register buffer riding on EVERY
+    // (brand, suppkey) group — an 84.6 MB exchange measured at sf0.1
+    // for 25 output rows (guide §2.3: shuffle fewer bytes). Split, the
+    // sketch pass partial-aggregates per (partition, brand) only
+    // (fixed state, the sketch's whole point) and the exact distinct
+    // becomes the standard two-level aggregate whose exchange carries
+    // one NARROW row per distinct (brand, suppkey). Same values.
+    val aggS = joined
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("items"),
            approx_count_distinct(col("l_suppkey"), 0.02).as("owners_approx"),
-           countDistinct(col("l_suppkey")).as("owners"),
            round(sum(col("l_extendedprice")), 2).as("volume"),
            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
              .as("median_approx"),
            round(min(col("l_extendedprice")), 2).as("floor_price"))
+    val owners = joined
+      .groupBy(col("p_brand"), col("l_suppkey")).agg(count(lit(1)))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("owners"))
+      .select(col("p_brand").as("ob"), col("owners"))
+    val agg = aggS.join(broadcast(owners), col("p_brand") === col("ob"))
+      .drop("ob")
     val medRank = joined
       .join(broadcast(agg.select(col("p_brand").as("mb"), col("median_approx"))),
             col("p_brand") === col("mb"))

@@ -1240,12 +1240,24 @@ object Warehouse {
     val probes = SimOps.nearestCells(ivfCents(spark, dir))(
         queries, "query_id", "qe", "qnrm", nProbe)
       .select(col("query_id"), col("cent_id"))
-    // landed posting lists: one row per (vec_id, cell) membership;
-    // tombstoned vectors drop here, before scoring (deletion layer)
+    // landed posting lists: one row per (vec_id, cell) membership.
+    // The list table fans m sub_j code rows per membership; collapse
+    // to one with a `sub_j = 0` filter that PUSHES INTO THE SCAN
+    // (every membership lands codes for sub_j 0..m-1, so exactly one
+    // row survives) instead of the old `.distinct()`, which sat
+    // between the scan and the broadcast probe join and (a) forced a
+    // full-index scan + exchange of every membership row — dynamic
+    // partition pruning cannot reach a scan on the far side of an
+    // exchange, so the probe read ALL cent_id directories instead of
+    // the nProbe it touches (measured 13.4 s of shuffle write inside
+    // d17b at sf0.1) — and (b) was redundant for correctness anyway:
+    // any duplicate membership collapses in the max-cos dedup below,
+    // exactly as annIvfPqIndexed's ADC shape documents. Tombstoned
+    // vectors still drop before scoring (deletion layer).
     val members = exceptTombstoned(
-        ivfLists(spark, dir).select(col("vec_id"), col("cent_id")),
+        ivfLists(spark, dir).filter(col("sub_j") === 0)
+          .select(col("vec_id"), col("cent_id")),
         dir, "vec_id", tombScope)
-      .distinct()
     val matched = members
       .join(broadcast(probes), "cent_id")
       .filter(col("vec_id") =!= col("query_id"))

@@ -53,7 +53,9 @@ object Hot {
               (k.contains("time") || k.contains("Time") ||
                k == "numOutputRows" || k.contains("dataSize") ||
                k.contains("spill")))
-            rows += ((m.value, f"${p.nodeName}#$id [$k] ${m.value}"))
+            rows += ((m.value, f"${p.nodeName}#$id [$k] ${m.value} " +
+              s"<- ${p.children.map(c => c.nodeName + "#" + c.id).mkString(",")}" +
+              s" :: ${p.simpleString(60).take(140)}"))
         }
         p match {
           case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth + 1)
