@@ -75,6 +75,15 @@ object GraftSession {
       // via SPARK_GRAFT_AGG_FALLBACK.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
               sys.env.getOrElse("SPARK_GRAFT_AGG_FALLBACK", "262144"))
+      // Planner freedom to pick shuffled-hash over sort-merge when its
+      // size conditions hold (guide §3.1/§9: SHJ skips both sorts and
+      // often wins when one side is moderately small per partition;
+      // sort-merge remains the fallback whenever the conditions fail).
+      // Execution strategy only — results identical; override per
+      // deployment via SPARK_GRAFT_PREFER_SMJ=true for clusters that
+      // would rather never risk a hash-build OOM on skewed builds.
+      .config("spark.sql.join.preferSortMergeJoin",
+              sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

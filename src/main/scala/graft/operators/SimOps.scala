@@ -115,14 +115,23 @@ object SimOps {
       else qs0.select(col("query_id"), col("qe"), col("band"),
         explode(array((Seq(lit(0L)) ++ (0 until 4).map(j => lit(1L << j)))
           .map(col("bkey").bitwiseXOR(_)): _*)).as("bkey"))
+    // Dedup AFTER scoring, not before: the old `.distinct()` on
+    // (query_id, cand_id, qe, ce) dragged both 64-float vectors
+    // through the dedup exchange (20 MB at sf0.1 — ~85% of the
+    // query's shuffle). Scoring first costs one extra cosine per
+    // duplicate band hit (≤ bands × probes per pair, map-side), and
+    // the dedup becomes max over identical per-pair values — the
+    // ivfScoreTopK collapse — shuffling only (query, cand, cos)
+    // partial-aggregated rows (guide §2.3: shuffle keys and results,
+    // not payloads).
     val scored = cands
       .join(broadcast(qs),
         cands("band") === qs("band") && cands("bkey") === qs("bkey") &&
           col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("cand_id"), col("qe"), col("ce"))
-      .distinct()
       .select(col("query_id"), col("cand_id"),
               VectorFns.cosine(col("ce"), col("qe")).as("cos"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rnk", row_number().over(w))
